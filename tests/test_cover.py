@@ -1,0 +1,99 @@
+"""Range-cover planner tests against golden range lists produced by executing
+the reference (`SmallHilbertCurve.query` perimeter algorithm)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from hilbert_curve_spark.curve.cover import (
+    coalesce_ranges,
+    cover_box,
+    dense_cover,
+    ranges_to_sql_predicate,
+)
+from hilbert_curve_spark.curve.hilbert import encode2d
+
+GOLDEN = Path(__file__).parent / "golden" / "reference_golden.txt"
+
+
+def _golden_covers():
+    cases = []
+    for line in GOLDEN.read_text().splitlines():
+        if not line.startswith("COVER "):
+            continue
+        parts = line.split()
+        order, x_lo, x_hi, y_lo, y_hi = map(int, parts[1:6])
+        ranges = [tuple(map(int, r.split(":"))) for r in parts[6].rstrip(",").split(",")]
+        cases.append((order, x_lo, x_hi, y_lo, y_hi, ranges))
+    assert cases
+    return cases
+
+
+@pytest.mark.parametrize("order,x_lo,x_hi,y_lo,y_hi,expected", _golden_covers())
+def test_cover_matches_reference(order, x_lo, x_hi, y_lo, y_hi, expected):
+    got = cover_box(x_lo, x_hi, y_lo, y_hi, order).ranges
+    assert got == expected
+
+
+# hand-pinned cases from a direct reference run (Gold2)
+def test_cover_pinned():
+    assert cover_box(10, 20, 12, 27, 6).ranges == [
+        (152, 175), (453, 454), (457, 458), (496, 544), (547, 549),
+        (565, 566), (569, 570), (730, 732), (735, 751), (800, 803),
+        (812, 871), (884, 891)]
+    assert cover_box(0, 15, 0, 15, 4).ranges == [(0, 255)]
+    assert cover_box(3, 3, 3, 3, 4).ranges == [(10, 10)]
+    assert cover_box(0, 15, 7, 7, 4).ranges == [
+        (42, 44), (47, 49), (62, 63), (192, 193), (206, 208), (211, 213)]
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_perimeter_equals_dense(seed):
+    """Perimeter algorithm == dense enumeration on random boxes."""
+    rng = np.random.default_rng(seed)
+    for order in (4, 6, 8):
+        n = 1 << order
+        a, b = sorted(rng.integers(0, n, 2).tolist())
+        c, d = sorted(rng.integers(0, n, 2).tolist())
+        assert cover_box(a, b, c, d, order).ranges == dense_cover(a, b, c, d, order).ranges
+
+
+def test_cover_exactness_property():
+    """Union of cover ranges == exact set of box-cell Hilbert values."""
+    order = 6
+    cov = cover_box(10, 20, 12, 27, order)
+    xs, ys = np.meshgrid(np.arange(10, 21), np.arange(12, 28), indexing="ij")
+    expected = set(encode2d(xs.ravel(), ys.ravel(), order).tolist())
+    got = set()
+    for lo, hi in cov.ranges:
+        got.update(range(lo, hi + 1))
+    assert got == expected
+
+
+def test_budget_coalescing():
+    exact = cover_box(10, 20, 12, 27, 6).ranges
+    for budget in (1, 2, 4, 8, len(exact), len(exact) + 5):
+        merged = coalesce_ranges(exact, budget)
+        assert len(merged) <= max(budget, 1)
+        # superset property: every exact range is inside some merged range
+        for lo, hi in exact:
+            assert any(mlo <= lo and hi <= mhi for mlo, mhi in merged)
+        # disjoint ascending
+        for (al, ah), (bl, bh) in zip(merged, merged[1:]):
+            assert ah < bl
+    # budget 4 keeps the 3 largest gaps (278 after 175, 160 after 570, 49 after 751)
+    assert coalesce_ranges(exact, 4) == [(152, 175), (453, 570), (730, 751), (800, 891)]
+
+
+def test_budgeted_cover_flag():
+    cov = cover_box(10, 20, 12, 27, 6, max_ranges=4)
+    assert not cov.exact and len(cov.ranges) == 4
+    assert cover_box(10, 20, 12, 27, 6).exact
+
+
+def test_sql_predicate_render():
+    assert (
+        ranges_to_sql_predicate([(1, 5), (9, 9)])
+        == "(hilbert BETWEEN 1 AND 5) OR (hilbert BETWEEN 9 AND 9)"
+    )
