@@ -1,0 +1,79 @@
+"""BRQ — boolean range + keyword query (reference S9/S10).
+
+* ``mode='any'`` — RSKQ semantics: docs in the rectangle matching >=1 query
+  keyword (`Scheme/RSKQ/RSKQ_Biginteger.ObjectSearch:618-873`, final
+  ``Sump.and(Sumw)`` at `:872` where ``Sumw`` is the OR of keyword bitmaps).
+* ``mode='all'`` — SKQ semantics: keywords are ANDed
+  (`Scheme/SKQ/SKQ_Biginteger.Search:239-401`, AND-fold `:369-382`).
+
+Physical plan: the spatial filter is the GRQ range-mode predicate (scan
+pruning, no shuffle); the keyword test is an ``arrays_overlap`` /
+``array_intersect`` on the doc's keyword array — a per-row codegen predicate
+against a literal array, zero joins.  The posting-index formulation
+(keyword -> doc postings, semi-join) is also provided for parity with the
+reference's KDB path and for workloads where the keyword side is indexed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, EngineConfig
+from .range_query import box_residual, compile_box, range_predicate
+
+
+def brq(
+    doc_geo: DataFrame,
+    x_lo: int, x_hi: int, y_lo: int, y_hi: int,
+    keywords: list[str],
+    mode: str = "any",
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    cover = compile_box(x_lo, x_hi, y_lo, y_hi, config)
+    out = doc_geo.filter(range_predicate(cover))
+    if not cover.exact:
+        out = out.filter(box_residual(cover))
+    kw = F.array(*[F.lit(k) for k in keywords])
+    if mode == "any":
+        out = out.filter(F.arrays_overlap(F.col("keywords"), kw))
+    elif mode == "all":
+        out = out.filter(F.size(F.array_intersect(F.array_distinct(F.col("keywords")), kw)) == len(keywords))
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return out
+
+
+def keyword_index(doc_geo: DataFrame) -> DataFrame:
+    """Keyword inverted index (reference KDB, E10): (keyword, doc_id)."""
+    return doc_geo.select(F.explode("keywords").alias("keyword"), "doc_id").distinct()
+
+
+def brq_posting_mode(
+    doc_geo: DataFrame,
+    kw_index: DataFrame,
+    x_lo: int, x_hi: int, y_lo: int, y_hi: int,
+    keywords: list[str],
+    mode: str = "any",
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Reference-shaped plan: spatial result (semi-)joined with keyword
+    postings.  The keyword filter ``isin(<literal list>)`` prunes the index
+    scan; the surviving posting set (docs for a handful of keywords) is
+    small relative to the corpus, and the join key is doc_id."""
+    cover = compile_box(x_lo, x_hi, y_lo, y_hi, config)
+    spatial = doc_geo.filter(range_predicate(cover))
+    if not cover.exact:
+        spatial = spatial.filter(box_residual(cover))
+    hits = kw_index.filter(F.col("keyword").isin(keywords))
+    if mode == "any":
+        return spatial.join(hits.select("doc_id").distinct(), "doc_id", "semi")
+    if mode == "all":
+        complete = (
+            hits.groupBy("doc_id")
+            .agg(F.countDistinct("keyword").alias("nkw"))
+            .filter(F.col("nkw") == len(keywords))
+            .select("doc_id")
+        )
+        return spatial.join(complete, "doc_id", "semi")
+    raise ValueError(f"unknown mode {mode!r}")

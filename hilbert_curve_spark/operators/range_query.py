@@ -1,0 +1,116 @@
+"""GRQ — geometric range query (reference S8,
+`Scheme/RSKQ/RSKQ_Biginteger.GRQSearch:875-995`; plaintext ground truth
+`hilbert/HilbertApp/HilbertRangeSearchApp.java:86-106`).
+
+Two physical strategies, both returning the exact same result set:
+
+* **range mode** — compile the rectangle to a budgeted Hilbert range cover
+  (driver-side, perimeter algorithm + min-gap coalescing) and emit an
+  OR-of-BETWEEN predicate on the ``hilbert`` column plus the exact box
+  residual.  On a Hilbert-sorted table this is pure partition/row-group
+  pruning: Catalyst pushes the BETWEENs to the parquet scan, so at 100 TB
+  only row groups whose hilbert min/max intersect the cover are read.
+  No shuffle, no join.
+
+* **prefix mode** — compile the rectangle to its BPC prefix set and probe a
+  prebuilt prefix-posting index (reference PDB semantics) with a broadcast
+  hash join.  The prefix list for a query rectangle is tiny (<= a few
+  hundred strings), so the build side always broadcasts; the probe side is
+  the index bucketed by prefix.
+
+Budgeted covers over-approximate (SmallHilbertCurve.java:156-162), so the
+residual ``x/y BETWEEN`` filter is always re-applied — result sets therefore
+match the reference exactly for any budget.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, EngineConfig
+from ..curve.bpc import bpc_cover_of_ranges
+from ..curve.cover import Cover, cover_box
+
+
+def compile_box(
+    x_lo: int, x_hi: int, y_lo: int, y_hi: int, config: EngineConfig = DEFAULT
+) -> Cover:
+    return cover_box(x_lo, x_hi, y_lo, y_hi, config.order, config.max_ranges)
+
+
+def range_predicate(cover: Cover) -> F.Column:
+    """OR-of-BETWEEN on hilbert — a literal predicate Catalyst pushes to the
+    scan (min/max row-group pruning on Hilbert-sorted data)."""
+    terms = [F.col("hilbert").between(lo, hi) for lo, hi in cover.ranges]
+    return functools.reduce(operator.or_, terms)
+
+
+def box_residual(cover: Cover) -> F.Column:
+    return (
+        F.col("x").between(cover.x_lo, cover.x_hi)
+        & F.col("y").between(cover.y_lo, cover.y_hi)
+    )
+
+
+def grq_range_mode(
+    doc_geo: DataFrame,
+    x_lo: int, x_hi: int, y_lo: int, y_hi: int,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Docs inside the rectangle via Hilbert cover + exact residual."""
+    cover = compile_box(x_lo, x_hi, y_lo, y_hi, config)
+    out = doc_geo.filter(range_predicate(cover))
+    if not cover.exact:
+        out = out.filter(box_residual(cover))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# prefix mode (reference PDB: prefix -> posting list)
+# ---------------------------------------------------------------------------
+
+def prefix_index(doc_geo: DataFrame, config: EngineConfig = DEFAULT) -> DataFrame:
+    """Spatial inverted index build (reference E10,
+    `DataSetAccess.preProcessIndex:254-324`): each doc explodes to its
+    ``2*order + 1`` wildcard prefixes (RSKQ ``preCode``,
+    RSKQ_Biginteger.java:139-163) -> ``(prefix, doc_id)`` postings.
+
+    Fully native SQL (lpad/bin/substring/repeat over a sequence — no UDF);
+    at scale this table is written bucketed by ``prefix`` so prefix probes
+    are shuffle-free.
+    """
+    bits = config.bits
+    full = f"lpad(bin(hilbert), {bits}, '0')"
+    prefixes = (
+        f"transform(sequence({bits}, 0, -1), "
+        f"i -> concat(substring({full}, 1, i), repeat('*', {bits} - i)))"
+    )
+    return doc_geo.select(
+        F.explode(F.expr(prefixes)).alias("prefix"), F.col("doc_id")
+    )
+
+
+def grq_prefix_mode(
+    index: DataFrame,
+    x_lo: int, x_hi: int, y_lo: int, y_hi: int,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Distinct doc_ids in the rectangle via BPC prefix probes.
+
+    The BPC cover of an *exact* range cover expands exactly the box's cells,
+    so no residual filter is needed (prefix expansions == box cell set —
+    tested in tests/test_bpc.py).  The prefix list broadcasts.
+    """
+    cover = cover_box(x_lo, x_hi, y_lo, y_hi, config.order, max_ranges=0)
+    prefixes = bpc_cover_of_ranges(cover.ranges, config.bits)
+    spark = index.sparkSession
+    plist = spark.createDataFrame([(p,) for p in prefixes], "prefix string")
+    return (
+        index.join(F.broadcast(plist), "prefix")
+        .select("doc_id")
+        .distinct()
+    )

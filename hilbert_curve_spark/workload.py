@@ -1,0 +1,31 @@
+"""Named query workload shared by ``__spark_entry__``, tests, and bench.
+
+Rectangle protocol mirrors the reference experiments: square query regions
+of 2-12% of the grid edge placed over the gaussian hot spots
+(`Experiment/PerformanceEval/DSSESearchVariesByRange.java:35,64-100`).
+Keyword workload mixes hot (low-rank, zipf head) and rare keywords
+(`keyNums` protocol, `DSSESearchVariesByRange.java:34`).
+"""
+
+from __future__ import annotations
+
+from .config import DEFAULT
+
+EDGE = DEFAULT.edge  # 4096
+
+# 8%-edge square overlapping cluster 1 (center edge/4)
+R1 = dict(x_lo=900, x_hi=1226, y_lo=800, y_hi=1126)
+# 12%-edge square overlapping cluster 2 (center 3*edge/4)
+R2 = dict(x_lo=2800, x_hi=3290, y_lo=2900, y_hi=3390)
+# small 2%-edge square at the dense center cluster
+R3 = dict(x_lo=2000, x_hi=2081, y_lo=2010, y_hi=2091)
+
+KW_ANY = ["k8", "k11", "k4000"]   # hot, hot, rare
+KW_ALL = ["k8", "k9"]             # both hot (non-trivial conjunction)
+
+
+def box_sql(r: dict, x: str = "x", y: str = "y") -> str:
+    return (
+        f"{x} BETWEEN {r['x_lo']} AND {r['x_hi']} "
+        f"AND {y} BETWEEN {r['y_lo']} AND {r['y_hi']}"
+    )
