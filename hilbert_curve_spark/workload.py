@@ -23,6 +23,25 @@ R3 = dict(x_lo=2000, x_hi=2081, y_lo=2010, y_hi=2091)
 KW_ANY = ["k8", "k11", "k4000"]   # hot, hot, rare
 KW_ALL = ["k8", "k9"]             # both hot (non-trivial conjunction)
 
+# Raster tile windows (reference generateHilbertMatrix shapes,
+# BRQComparisonInput.java:13-23): mixed aspect ratios over the hot spots.
+TILES = [
+    dict(tile_id="t1", x_start=1000, y_start=980, width=16, height=12),
+    dict(tile_id="t2", x_start=3060, y_start=3070, width=8, height=8),
+    dict(tile_id="t3", x_start=2040, y_start=2000, width=20, height=5),
+    dict(tile_id="t4", x_start=990, y_start=1005, width=64, height=48),
+]
+
+# Convex polygons over the gaussian hot centers (FIXTURES.md F4)
+POLYGONS = [
+    dict(poly_id="p1", vertices=[(1224, 1024), (1086, 1214), (862, 1141), (862, 907), (1086, 834)]),
+    dict(poly_id="p2", vertices=[(3372, 3072), (3222, 3332), (2922, 3332), (2772, 3072), (2922, 2812), (3222, 2812)]),
+    dict(poly_id="p3", vertices=[(2048, 2248), (1878, 1948), (2218, 1948)]),
+]
+
+KNN_Q = (1030, 1015)
+KNN_K = 25
+
 
 def box_sql(r: dict, x: str = "x", y: str = "y") -> str:
     return (
