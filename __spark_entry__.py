@@ -19,10 +19,14 @@ from pyspark.sql import functions as F
 from hilbert_curve_spark import workload as W
 from hilbert_curve_spark.config import DEFAULT
 from hilbert_curve_spark.operators import brq as brq_ops
+from hilbert_curve_spark.operators import dedup as dedup_ops
 from hilbert_curve_spark.operators import knn as knn_ops
 from hilbert_curve_spark.operators import pip as pip_ops
 from hilbert_curve_spark.operators import range_query as rq
+from hilbert_curve_spark.operators import similarity as sim_ops
+from hilbert_curve_spark.operators import textops
 from hilbert_curve_spark.operators import tiles as tiles_ops
+from hilbert_curve_spark.operators import updates as upd_ops
 from hilbert_curve_spark.operators.encode import encode_documents
 from hilbert_curve_spark.sources import derive
 from hilbert_curve_spark.sources.interleave import build_documents
@@ -81,6 +85,59 @@ def _pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_ops.pip_join(_doc_geo(spark, sf_dir), W.POLYGONS, DEFAULT)
 
 
+JACCARD_T = 25
+ANN_QUERY = [float((i * 37 % 19) - 9) / 8.0 for i in range(64)]
+ANN_K = 15
+
+
+def _grq_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    live = upd_ops.merge_on_read(upd_ops.build_update_stream(spark, sf_dir))
+    dg = _doc_geo(spark, sf_dir).join(live, "doc_id", "semi")
+    return rq.grq_range_mode(dg, **W.R1).select("doc_id", "x", "y")
+
+
+def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.text_profile(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.exact_dedup(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.jaccard_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold_pct=JACCARD_T
+    )
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup_ops.minhash_signatures(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return dedup_ops.minhash_lsh_pairs(sigs)
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = dedup_ops.simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return dedup_ops.simhash_near_pairs(fps, max_hamming=8)
+
+
+def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ops.cosine_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), ANN_QUERY, ANN_K
+    )
+
+
+def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ops.ann_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), ANN_QUERY, ANN_K
+    )
+
+
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hilbert_curve_spark.operators.media import extract_media_features
+
+    return extract_media_features(build_documents(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BRQ (rectangle AND any-of-keywords) on sf0.001."""
     return _brq_any(spark, "/root/testdata/sf0.001")
@@ -96,6 +153,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": _tile_assign,
         "knn": _knn,
         "pip_join": _pip,
+        "grq_updates": _grq_updates,
+        "text_profile": _text_profile,
+        "dedup_exact": _dedup_exact,
+        "jaccard_pairs": _jaccard_pairs,
+        "minhash_pairs": _minhash_pairs,
+        "simhash_pairs": _simhash_pairs,
+        "cosine_topk": _cosine_topk,
+        "ann_topk": _ann_topk,
+        "media_features": _media_features,
     }
 
 
@@ -155,9 +221,23 @@ def _pip_oracle() -> str:
     )
 
 
+def _grq_updates_oracle() -> str:
+    live = upd_ops.merge_on_read_sql(upd_ops.update_stream_sql())
+    return (
+        f"{_doc_geo_cte()}, live AS ({live}) "
+        f"SELECT d.doc_key AS doc_id, d.x, d.y FROM doc_geo d "
+        f"JOIN live l ON d.doc_key = l.doc_id WHERE {W.box_sql(W.R1)}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     cte = _doc_geo_cte()
     return {
+        "grq_updates": _grq_updates_oracle(),
+        "text_profile": textops.text_profile_oracle(),
+        "dedup_exact": dedup_ops.exact_dedup_oracle(),
+        "jaccard_pairs": dedup_ops.jaccard_pairs_oracle(threshold_pct=JACCARD_T),
+        "cosine_topk": sim_ops.cosine_topk_oracle(ANN_QUERY, ANN_K),
         "tile_cells": _tile_cells_oracle(),
         "tile_assign": _tile_assign_oracle(),
         "knn": _knn_oracle(),

@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line::
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "docs": N, "docs_per_sec": ...}
+
+The spatial corpus is the deterministic amplified interleave
+(``SPARK_GRAFT_AMP``, default 128 -> ~640k docs at sf0.1, the reference's
+experiment scale).  Measurement protocol follows the reference
+(`Experiment/PerformanceEval/DSSESearchVariesByRange.java:31,73-111`):
+a warm-up pass on every query, then the timed pass.
+
+``--scaling`` runs the whole suite at two parallelism levels (local[8] vs
+local[32]) and reports throughput at both plus the scaling efficiency
+(BASELINE.json two-cluster-size criterion, sandbox form) — results also
+appended to BENCH/scaling.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+AMP = int(os.environ.get("SPARK_GRAFT_AMP", "128"))
+
+
+def _build(spark):
+    """Materialized corpus + derived tables (cached once, like a real
+    deployment where doc_geo is a maintained table)."""
+    from pyspark.sql import functions as F
+
+    from hilbert_curve_spark.operators.encode import encode_documents
+    from hilbert_curve_spark.sources.interleave import build_documents
+
+    docs = build_documents(spark, SF_DIR, amp=AMP)
+    geo = encode_documents(docs).persist()
+    n = geo.count()
+    return geo, n
+
+
+def _queries(geo):
+    from pyspark.sql import functions as F
+
+    from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators import brq as brq_ops
+    from hilbert_curve_spark.operators import knn as knn_ops
+    from hilbert_curve_spark.operators import pip as pip_ops
+    from hilbert_curve_spark.operators import range_query as rq
+    from hilbert_curve_spark.operators import skew
+    from hilbert_curve_spark.operators import tiles as tiles_ops
+
+    def q_grq_range():
+        return rq.grq_range_mode(geo, **W.R1).count()
+
+    def q_grq_prefix():
+        idx = rq.prefix_index(geo)
+        return rq.grq_prefix_mode(idx, **W.R3).count()
+
+    def q_brq_any():
+        return brq_ops.brq(geo, **W.R2, keywords=W.KW_ANY, mode="any").count()
+
+    def q_brq_all():
+        return brq_ops.brq(geo, **W.R1, keywords=W.KW_ALL, mode="all").count()
+
+    def q_tile_assign():
+        return tiles_ops.tile_assignment(geo, W.TILES).count()
+
+    def q_pip_join():
+        return pip_ops.pip_join(geo, W.POLYGONS).count()
+
+    def q_knn():
+        qx, qy = W.KNN_Q
+        return knn_ops.knn(geo, qx, qy, W.KNN_K).count()
+
+    def q_cell_stats():
+        return skew.salted_cell_counts(geo).count()
+
+    return {
+        "grq_range": q_grq_range,
+        "grq_prefix": q_grq_prefix,
+        "brq_any": q_brq_any,
+        "brq_all": q_brq_all,
+        "tile_assign": q_tile_assign,
+        "pip_join": q_pip_join,
+        "knn": q_knn,
+        "cell_stats": q_cell_stats,
+    }
+
+
+def run_suite(master: str) -> dict:
+    from hilbert_curve_spark.session import get_spark
+
+    spark = get_spark("hcs-bench", master=master)
+    try:
+        t_build0 = time.time()
+        geo, n_docs = _build(spark)
+        build_sec = time.time() - t_build0
+        qs = _queries(geo)
+        for f in qs.values():  # warm-up (JIT/codegen/cache), reference protocol
+            f()
+        times = {}
+        for name, f in qs.items():
+            t0 = time.time()
+            f()
+            times[name] = round(time.time() - t0, 3)
+        total = round(sum(times.values()), 3)
+        return {
+            "master": master,
+            "build_sec": round(build_sec, 3),
+            "queries": times,
+            "total_sec": total,
+            "docs": n_docs,
+            "docs_per_sec": round(n_docs * len(qs) / total, 1),
+        }
+    finally:
+        spark.stop()
+
+
+def main():
+    scaling = "--scaling" in sys.argv
+    if scaling:
+        r8 = run_suite("local[8]")
+        r32 = run_suite("local[32]")
+        eff = (r8["total_sec"] / r32["total_sec"]) / 4.0
+        out = {
+            "metric": "spatial suite wall time, local[8] vs local[32] scaling",
+            "value": r32["total_sec"],
+            "unit": "sec",
+            "queries": r32["queries"],
+            "sf": SF_DIR,
+            "docs": r32["docs"],
+            "local8": r8,
+            "local32": r32,
+            "scaling_efficiency": round(eff, 3),
+        }
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    else:
+        r = run_suite(f"local[{CPUS}]")
+        out = {
+            "metric": "spatial-join + tiling suite wall time (amplified corpus)",
+            "value": r["total_sec"],
+            "unit": "sec",
+            "queries": r["queries"],
+            "sf": SF_DIR,
+            "docs": r["docs"],
+            "docs_per_sec": r["docs_per_sec"],
+            "build_sec": r["build_sec"],
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -54,7 +54,7 @@ def decode_stub(refs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     h = (_token_hash(refs).astype(np.int64) & ((1 << 31) - 1)).astype(np.int64)
     width = (64 + h % 1024).astype(np.int32)
     height = (64 + (h // 1024) % 1024).astype(np.int32)
-    feats = np.stack([(h >> np.arange(8)) % 251 for _ in range(1)])[0].T.astype(np.float32) / 251.0
+    feats = ((h[:, None] >> np.arange(8)[None, :]) % 251).astype(np.float32) / 251.0
     return width, height, feats
 
 

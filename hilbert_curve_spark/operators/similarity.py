@@ -58,12 +58,16 @@ def cosine_topk(
 def cosine_topk_oracle(query_vec: list[float], k: int = 10, table: str = "embeddings") -> str:
     qn = float(np.sqrt(np.sum(np.float64(np.asarray(query_vec, dtype=np.float32)) ** 2)))
     qlit = "[" + ", ".join(f"CAST({float(v)} AS FLOAT)" for v in query_vec) + "]"
+    # list_reduce = sequential left fold, exactly matching Spark's
+    # ``aggregate`` fold order (0.0 + x == x in IEEE, so the missing init
+    # value cannot diverge); list_sum would use a different summation order.
     dot = (
-        f"list_sum(list_transform(list_zip(embedding, {qlit}), "
-        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        f"list_reduce(list_transform(list_zip(embedding, {qlit}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)"
     )
     norm = (
-        "list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        "list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), "
+        "(a, b) -> a + b)"
     )
     return (
         f"SELECT vec_id, CAST(FLOOR(1000000.0 * {dot} / (SQRT({norm}) * {qn!r})) AS BIGINT) AS cos_e6 "

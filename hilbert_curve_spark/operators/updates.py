@@ -25,23 +25,27 @@ from pyspark.sql import functions as F
 
 from ..sources import derive
 
-# Deterministic update workload derived from doc_id (FIXTURES.md F6):
-#   batch 1: every doc added; batch 2: doc_id % 7 == 0 deleted;
-#   batch 3: doc_id % 14 == 0 re-added.
+# Deterministic update workload derived from sid (FIXTURES.md F6):
+#   batch 1: every doc added; batch 2: sid % 7 == 0 deleted;
+#   batch 3: sid % 14 == 0 re-added.
 _BATCHES = [
     (1, "add", "TRUE"),
-    (2, "del", "doc_id % 7 = 0"),
-    (3, "add", "doc_id % 14 = 0"),
+    (2, "del", "sid % 7 = 0"),
+    (3, "add", "sid % 14 = 0"),
 ]
 
 
 def build_update_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """updates(doc_id:string, version:int, op:string) — derived workload."""
+    """updates(doc_id:string, version:int, op:string) — derived workload
+    over the amplified corpus."""
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sids = flat.select(
+        F.expr(f"explode(sequence(0, {derive.AMP - 1}))").alias("rep"), "doc_id"
+    ).select(F.expr(derive.SID_SQL).alias("sid"))
     parts = []
     for version, op, pred in _BATCHES:
         parts.append(
-            flat.filter(F.expr(pred)).select(
+            sids.filter(F.expr(pred)).select(
                 F.expr(derive.doc_key_sql()).alias("doc_id"),
                 F.lit(version).alias("version"),
                 F.lit(op).alias("op"),
@@ -57,7 +61,7 @@ def update_stream_sql(table: str = "documents") -> str:
     """Oracle-side identical update stream."""
     selects = [
         f"SELECT {derive.doc_key_sql()} AS doc_id, {v} AS version, '{op}' AS op "
-        f"FROM {table} WHERE {pred}"
+        f"FROM {derive.corpus_sql(table)} WHERE {pred}"
         for v, op, pred in _BATCHES
     ]
     return " UNION ALL ".join(selects)

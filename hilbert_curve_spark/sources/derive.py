@@ -31,7 +31,23 @@ EDGE = 1 << ORDER           # 4096
 SIGMA_HALF = 590            # uniform half-width for Irwin-Hall (sigma ~ edge/12)
 KW_UNIVERSE = 8000
 KW_PER_DOC = 4
-MEDIA_MOD = 3               # doc_id % 3 media spans per doc
+MEDIA_MOD = 3               # sid % 3 media spans per doc
+
+# Corpus amplification: each flat doc derives AMP interleaved documents with
+# synthetic id  sid = doc_id * 8192 + rep  (rep in [0, AMP)), so the spatial
+# corpus is AMP x the flat table (the flat tables are only 500-5000 rows;
+# the reference experiments run 20k-1M objects).  Identical in both engines:
+# Spark explode(sequence(...)), DuckDB unnest(range(...)).
+AMP = 16
+SID_SQL = "(doc_id * 8192 + rep)"
+
+
+def corpus_sql(table: str = "documents", amp: int = AMP) -> str:
+    """Amplified id stream: one row per (flat doc, rep) with column sid."""
+    return (
+        f"(SELECT doc_id * 8192 + rep AS sid FROM {table}, "
+        f"(SELECT unnest(range(0, {amp})) AS rep))"
+    )
 
 # independent LCG streams (multiplier, increment); moduli chosen so
 # doc_id * mult stays well inside int64 for doc_id < 2**32
@@ -52,13 +68,13 @@ _STREAMS = {
 }
 
 
-def _u(stream: str, mod: int, id_col: str = "doc_id") -> str:
+def _u(stream: str, mod: int, id_col: str = "sid") -> str:
     """Uniform integer in [0, mod) from an LCG stream keyed by doc_id."""
     mult, add = _STREAMS[stream]
     return f"((({id_col} * {mult} + {add}) % {_PRIME}) % {mod})"
 
 
-def _axis_expr(axis: str, id_col: str = "doc_id") -> str:
+def _axis_expr(axis: str, id_col: str = "sid") -> str:
     """Lattice coordinate: cluster center + Irwin-Hall(4) offset, clamped."""
     center = (
         f"(CASE WHEN {id_col} % 10 < 4 THEN {EDGE // 4} "
@@ -70,36 +86,36 @@ def _axis_expr(axis: str, id_col: str = "doc_id") -> str:
     return f"GREATEST(0, LEAST({EDGE - 1}, {center} + ({us}) - {mean}))"
 
 
-def x_sql(id_col: str = "doc_id") -> str:
+def x_sql(id_col: str = "sid") -> str:
     return _axis_expr("x", id_col)
 
 
-def y_sql(id_col: str = "doc_id") -> str:
+def y_sql(id_col: str = "sid") -> str:
     return _axis_expr("y", id_col)
 
 
-def keyword_sql(j: int, id_col: str = "doc_id") -> str:
+def keyword_sql(j: int, id_col: str = "sid") -> str:
     """j-th keyword of a doc: 'k' || floor(8000/(1+u)), u ~ U[0,1000)."""
     u = _u(f"kw{j}", 1000, id_col)
     rank = f"CAST(FLOOR({KW_UNIVERSE}.0 / (1 + {u})) AS BIGINT)"
     return f"('k' || CAST({rank} AS STRING))"
 
 
-def doc_key_sql(id_col: str = "doc_id") -> str:
+def doc_key_sql(id_col: str = "sid") -> str:
     """String document key per input_hint: 'doc' || zero-padded id."""
-    return f"('doc' || LPAD(CAST({id_col} AS STRING), 8, '0'))"
+    return f"('doc' || LPAD(CAST({id_col} AS STRING), 10, '0'))"
 
 
-def n_media_sql(id_col: str = "doc_id") -> str:
+def n_media_sql(id_col: str = "sid") -> str:
     return f"({id_col} % {MEDIA_MOD})"
 
 
-def doc_geo_select_sql(table: str = "documents") -> str:
+def doc_geo_select_sql(table: str = "documents", amp: int = AMP) -> str:
     """Full oracle-side projection: the reference-shaped doc_geo row
     (FIXTURES.md F2) minus the hilbert column (which only the engine — or the
     recursive-CTE oracle in tile queries — computes)."""
     kws = ", ".join(f"{keyword_sql(j)} AS kw{j}" for j in range(KW_PER_DOC))
     return (
         f"SELECT {doc_key_sql()} AS doc_key, {x_sql()} AS x, {y_sql()} AS y, {kws} "
-        f"FROM {table}"
+        f"FROM {corpus_sql(table, amp)}"
     )

@@ -33,7 +33,7 @@ def _span_struct(kind: str, text_sql: str, media_sql: str, offset: int) -> str:
     )
 
 
-def spans_expr(id_col: str = "doc_id") -> str:
+def spans_expr(id_col: str = "sid") -> str:
     """SQL expression producing the spans array for one flat-doc row."""
     geo = _span_struct(
         "geo",
@@ -61,10 +61,16 @@ def spans_expr(id_col: str = "doc_id") -> str:
     )
 
 
-def build_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flat parquet -> interleaved documents(doc_id, spans)."""
+def build_documents(spark: SparkSession, sf_dir: str, amp: int = derive.AMP) -> DataFrame:
+    """Flat parquet -> amplified interleaved documents(doc_id, spans).
+
+    Each flat row fans out to ``amp`` interleaved docs (sid = doc_id*8192+rep,
+    see derive.corpus_sql) — a narrow generate, no shuffle."""
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return flat.select(
+    sids = flat.select(
+        F.expr(f"explode(sequence(0, {amp - 1}))").alias("rep"), "doc_id"
+    ).select(F.expr(derive.SID_SQL).alias("sid"))
+    return sids.select(
         F.expr(derive.doc_key_sql()).alias("doc_id"),
         F.expr(spans_expr()).alias("spans"),
     )

@@ -1,0 +1,78 @@
+"""Near-dedup family validation: MinHash-LSH and SimHash against exact
+n-gram Jaccard on a corpus with planted near-duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hilbert_curve_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """40 base docs + planted near-dups (one word changed) + exact dups."""
+    base = [
+        ("b%02d" % i, " ".join(f"w{(i * 17 + j * 5) % 23}" for j in range(40)))
+        for i in range(40)
+    ]
+    near = [("n%02d" % i, t.replace(" " + t.split()[20] + " ", " CHANGED ", 1)) for i, (_, t) in enumerate(base[:10])]
+    exact = [("e%02d" % i, t) for i, (_, t) in enumerate(base[:5])]
+    return spark.createDataFrame(base + near + exact, "doc_id string, text string")
+
+
+def _true_pairs(corpus, threshold_pct):
+    pairs = dedup.jaccard_pairs(corpus, threshold_pct=threshold_pct, band=1000)
+    return {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+
+
+def test_exact_dedup(spark, corpus):
+    out = dedup.exact_dedup(corpus)
+    dups = out.filter(F.col("n_copies") > 1).collect()
+    assert len(dups) == 5
+    for r in dups:
+        assert r["keep_doc_id"].startswith("b")  # min doc_id survives
+
+
+def test_minhash_recall(spark, corpus):
+    truth = _true_pairs(corpus, 70)
+    assert truth, "fixture must contain true near-dup pairs"
+    sigs = dedup.minhash_signatures(corpus)
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(sigs, bands=32, rows=4).collect()
+    }
+    missed = truth - cand
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_minhash_signature_estimates_jaccard(spark, corpus):
+    sigs = {r["doc_id"]: r["sig"] for r in dedup.minhash_signatures(corpus).collect()}
+    # identical docs -> identical signatures
+    assert sigs["b00"] == sigs["e00"]
+    # near-dup -> high signature agreement
+    agree = sum(a == b for a, b in zip(sigs["b01"], sigs["n01"])) / len(sigs["b01"])
+    assert agree > 0.6
+    # unrelated -> low agreement
+    agree2 = sum(a == b for a, b in zip(sigs["b03"], sigs["b20"])) / len(sigs["b03"])
+    assert agree2 < agree
+
+
+def test_simhash_near_pairs(spark, corpus):
+    fps = dedup.simhash(corpus)
+    vals = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    assert vals["b00"] == vals["e00"]  # identical text -> identical fingerprint
+    pairs = dedup.simhash_near_pairs(fps, max_hamming=16).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert ("b00", "e00") in found
+    # hamming values are symmetric-consistent
+    for r in pairs:
+        assert 0 <= r["hamming"] <= 16
+
+
+def test_jaccard_blocking_no_false_positives(spark, corpus):
+    """Blocked join is a subset of unblocked (blocking only prunes)."""
+    blocked = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_pairs(corpus, threshold_pct=70).collect()
+    }
+    unblocked = _true_pairs(corpus, 70)
+    assert blocked <= unblocked

@@ -1,0 +1,55 @@
+"""Per-row span-sequence invariant (BASELINE.json input_hint): the
+``(kind, text, media_ref, order)`` sequence of every document survives every
+pipeline stage and shuffle byte-identically.  The engine guarantees this
+structurally — spans are never rebuilt, only carried or joined by doc_id
+(SURVEY §1.2) — and this test pins it behaviorally."""
+
+import pandas as pd
+
+from hilbert_curve_spark.operators.encode import encode_documents
+from hilbert_curve_spark.sources.interleave import build_documents
+
+
+def _canon(df):
+    rows = df.select("doc_id", "spans").collect()
+    return {
+        r["doc_id"]: tuple(
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        )
+        for r in rows
+    }
+
+
+def test_span_sequence_survives_pipeline(spark, sf_dir):
+    docs = build_documents(spark, sf_dir, amp=2)
+    before = _canon(docs)
+    assert before, "corpus empty"
+
+    # full pipeline with shuffles: encode -> repartition on the skewed cell
+    # key -> self-join derived facts back by doc_id
+    enc = encode_documents(docs, keep_spans=True)
+    shuffled = enc.repartition(8, "cell")
+    facts = shuffled.select("doc_id", "hilbert")
+    rejoined = shuffled.join(facts, "doc_id").select("doc_id", "spans")
+
+    after = _canon(rejoined)
+    assert after == before
+
+    # structure checks: offsets are 0..n-1 in order; geo span first
+    for seq in before.values():
+        assert [s[3] for s in seq] == list(range(len(seq)))
+        assert seq[0][0] == "geo"
+        kinds = [s[0] for s in seq]
+        assert kinds.count("geo") == 1
+
+
+def test_media_spans_well_formed(spark, sf_dir):
+    docs = build_documents(spark, sf_dir, amp=3)
+    pdf = docs.limit(50).toPandas()
+    for _, row in pdf.iterrows():
+        for s in row["spans"]:
+            if s["kind"] == "media":
+                assert s["media_ref"].startswith("m://doc")
+                assert s["text"] == ""
+            else:
+                assert s["media_ref"] == ""
