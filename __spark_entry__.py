@@ -20,6 +20,8 @@ from hilbert_curve_spark import workload as W
 from hilbert_curve_spark.config import DEFAULT
 from hilbert_curve_spark.operators import brq as brq_ops
 from hilbert_curve_spark.operators import dedup as dedup_ops
+from hilbert_curve_spark.operators import events as ev_ops
+from hilbert_curve_spark.operators import islands as isl_ops
 from hilbert_curve_spark.operators import knn as knn_ops
 from hilbert_curve_spark.operators import pip as pip_ops
 from hilbert_curve_spark.operators import range_query as rq
@@ -138,6 +140,40 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(build_documents(spark, sf_dir))
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev_ops.tumbling_counts(_events(spark, sf_dir))
+
+
+def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev_ops.sessionize(_events(spark, sf_dir))
+
+
+def _events_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev_ops.latest_event_per_user(_events(spark, sf_dir))
+
+
+def _events_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev_ops.systematic_sample(_events(spark, sf_dir))
+
+
+def _hilbert_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact-cover pipeline: enumerate the R3 box's cells as a
+    DataFrame, Arrow-batch encode, merge consecutive indices via windowed
+    gap-and-island (the scale path of SURVEY S4)."""
+    r = W.R3
+    cells = tiles_ops.tile_cells(
+        spark,
+        [dict(tile_id="q", x_start=r["x_lo"], y_start=r["y_lo"],
+              width=r["x_hi"] - r["x_lo"] + 1, height=r["y_hi"] - r["y_lo"] + 1)],
+        DEFAULT,
+    )
+    return isl_ops.merge_islands(cells.select("hilbert"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BRQ (rectangle AND any-of-keywords) on sf0.001."""
     return _brq_any(spark, "/root/testdata/sf0.001")
@@ -162,6 +198,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _cosine_topk,
         "ann_topk": _ann_topk,
         "media_features": _media_features,
+        "events_tumbling": _events_tumbling,
+        "events_sessions": _events_sessions,
+        "events_latest": _events_latest,
+        "events_sample": _events_sample,
+        "hilbert_islands": _hilbert_islands,
     }
 
 
@@ -230,9 +271,33 @@ def _grq_updates_oracle() -> str:
     )
 
 
+def _islands_oracle() -> str:
+    r = W.R3
+    cells = (
+        f"SELECT gx.cx AS cx, gy.cy AS cy "
+        f"FROM (SELECT unnest(range({r['x_lo']}, {r['x_hi'] + 1})) AS cx) gx, "
+        f"(SELECT unnest(range({r['y_lo']}, {r['y_hi'] + 1})) AS cy) gy"
+    )
+    hcte = tiles_ops.hilbert_sql_cte(DEFAULT.order, cells)
+    # embed the hv CTE, then run the islands window pipeline over it
+    return (
+        f"{hcte}, vals AS (SELECT DISTINCT hilbert FROM hv), flagged AS ("
+        "SELECT hilbert, CASE WHEN hilbert - LAG(hilbert) OVER (ORDER BY hilbert) = 1 "
+        "THEN 0 ELSE 1 END AS b FROM vals), isl AS ("
+        "SELECT hilbert, SUM(b) OVER (ORDER BY hilbert ROWS UNBOUNDED PRECEDING) AS island "
+        "FROM flagged) "
+        "SELECT MIN(hilbert) AS lo, MAX(hilbert) AS hi FROM isl GROUP BY island"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     cte = _doc_geo_cte()
     return {
+        "events_tumbling": ev_ops.tumbling_counts_oracle(),
+        "events_sessions": ev_ops.sessionize_oracle(),
+        "events_latest": ev_ops.latest_event_oracle(),
+        "events_sample": ev_ops.systematic_sample_oracle(),
+        "hilbert_islands": _islands_oracle(),
         "grq_updates": _grq_updates_oracle(),
         "text_profile": textops.text_profile_oracle(),
         "dedup_exact": dedup_ops.exact_dedup_oracle(),

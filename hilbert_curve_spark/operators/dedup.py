@@ -138,12 +138,14 @@ def _hash_params(num: int = _NUM_HASHES) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _token_hash(tokens: np.ndarray) -> np.ndarray:
-    """FNV-1a 64-bit over utf-8 bytes, vectorized per unique token."""
+    """FNV-1a 64-bit over utf-8 bytes (python-int arithmetic with explicit
+    wraparound — deterministic across processes, unlike builtin hash())."""
+    mask = (1 << 64) - 1
     out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):  # unique tokens only — bounded vocabulary
-        h = np.uint64(1469598103934665603)
+    for i, t in enumerate(tokens):  # per distinct shingle — bounded set
+        h = 1469598103934665603
         for byte in t.encode("utf-8"):
-            h = (h ^ np.uint64(byte)) * np.uint64(1099511628211)
+            h = ((h ^ byte) * 1099511628211) & mask
         out[i] = h
     return out
 

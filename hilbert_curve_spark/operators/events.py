@@ -1,0 +1,126 @@
+"""Event-stream operators over the ``events`` table (event_id, ts, user_id,
+event_type, value, props) — the batch forms of the engine's streaming
+surface (tumbling windows, sessionization, versioned dedup), each with an
+exact SQL oracle (timestamp truncation + integer window functions only).
+
+The reference has no streaming operators (SURVEY §2.3: updates are
+synchronous point mutations); these are the idiomatic-Spark equivalents the
+north_star pipeline needs (micro-batch ingest + event-time aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """(window_start, event_type, n_events, sum_value_e6) — event-time
+    tumbling window aggregation (Structured-Streaming-compatible: swap the
+    source for readStream and add a watermark; the plan is identical).
+
+    ``sum_value_e6``: value summed as integer micro-units so the oracle
+    cannot diverge on float summation order."""
+    v6 = F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)")
+    return (
+        events.withColumn("v6", v6)
+        .groupBy(
+            F.window("ts", f"{minutes} minutes").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("v6").alias("sum_value_e6"))
+    )
+
+
+def tumbling_counts_oracle(minutes: int = 60, table: str = "events") -> str:
+    # Spark's window() is epoch-aligned; for divisors of a day date_trunc
+    # equivalents exist, but the epoch-bucket arithmetic below matches ANY
+    # window size exactly.
+    secs = minutes * 60
+    bucket = f"to_timestamp(CAST(FLOOR(epoch(ts) / {secs}) AS BIGINT) * {secs})"
+    return (
+        f"SELECT {bucket} AS window_start, event_type, COUNT(*) AS n_events, "
+        f"SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS sum_value_e6 "
+        f"FROM {table} GROUP BY 1, 2"
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user sessions: a new session starts after a gap > gap_minutes.
+    Output (user_id, session_id, n_events, start_ts, end_ts).
+
+    Classic gap-and-island: lag + boundary flag + running sum — one shuffle
+    on user_id; at scale the events table is bucketed by user_id making
+    this shuffle-free (the window's required distribution matches)."""
+    gap = gap_minutes * 60
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ has no direct long cast in Spark 4; session tz is UTC so
+    # the two-step cast equals DuckDB's epoch() on the naive timestamp
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    boundary = (
+        F.when(epoch - F.lag(epoch).over(w) > gap, 1)
+        .otherwise(0)
+    )
+    with_sess = events.withColumn("b", boundary).withColumn(
+        "session_id", F.sum("b").over(w)
+    )
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+    )
+
+
+def sessionize_oracle(gap_minutes: int = 30, table: str = "events") -> str:
+    gap = gap_minutes * 60
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w > {gap} THEN 1 ELSE 0 END AS b
+  FROM {table}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    """Versioned dedup (reference E3 OSM semantics — keep max version per id,
+    `SpatialDataProcessor/BirminghanData/OsmToCsvConverter.java:57-59`):
+    newest event per (user_id, event_type)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+def latest_event_oracle(table: str = "events") -> str:
+    return f"""
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT user_id, event_type, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM {table}
+) WHERE rn = 1
+"""
+
+
+def systematic_sample(events: DataFrame, k: int = 10) -> DataFrame:
+    """Deterministic 1-in-k systematic sample (reference E8's fixed-size
+    sampling made reproducible: id-keyed, not RNG-keyed)."""
+    return events.filter(F.col("event_id") % k == 0)
+
+
+def systematic_sample_oracle(k: int = 10, table: str = "events") -> str:
+    return f"SELECT * FROM {table} WHERE event_id % {k} = 0"

@@ -9,12 +9,21 @@ from hilbert_curve_spark.operators import dedup
 
 @pytest.fixture(scope="module")
 def corpus(spark):
-    """40 base docs + planted near-dups (one word changed) + exact dups."""
-    base = [
-        ("b%02d" % i, " ".join(f"w{(i * 17 + j * 5) % 23}" for j in range(40)))
-        for i in range(40)
-    ]
-    near = [("n%02d" % i, t.replace(" " + t.split()[20] + " ", " CHANGED ", 1)) for i, (_, t) in enumerate(base[:10])]
+    """40 unique base docs + planted near-dups (one word changed) + exact
+    dups of the first five."""
+
+    def words(i):
+        # quadratic step over a 97-symbol vocab: different docs share few
+        # shingles (a linear step would make docs cyclic rotations of each
+        # other -> spuriously high Jaccard)
+        return [f"w{(i * 31 + j * j * 7) % 97}" for j in range(40)] + [f"u{i}"]
+
+    base = [("b%02d" % i, " ".join(words(i))) for i in range(40)]
+    near = []
+    for i in range(10):
+        w = words(i)
+        w[20] = "CHANGED"
+        near.append(("n%02d" % i, " ".join(w)))
     exact = [("e%02d" % i, t) for i, (_, t) in enumerate(base[:5])]
     return spark.createDataFrame(base + near + exact, "doc_id string, text string")
 

@@ -1,0 +1,72 @@
+"""Physical-plan assertions: the engine's scale claims must be visible in
+the actual Catalyst plans — filters pushed to the scan, broadcasts where
+promised, no shuffle on the doc side of tile/pip joins, codegen in the
+index build."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hilbert_curve_spark import workload as W
+from hilbert_curve_spark.config import DEFAULT
+from hilbert_curve_spark.operators import pip as pip_ops
+from hilbert_curve_spark.operators import range_query as rq
+from hilbert_curve_spark.operators import tiles as tiles_ops
+from hilbert_curve_spark.operators.encode import encode_documents
+from hilbert_curve_spark.sources.interleave import build_documents
+from hilbert_curve_spark.sources.layout import read_sorted, write_sorted
+
+
+@pytest.fixture(scope="module")
+def sorted_geo(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("layout") / "doc_geo")
+    geo = encode_documents(build_documents(spark, sf_dir, amp=4))
+    write_sorted(geo, path, partitions=8)
+    return read_sorted(spark, path)
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_predicate_pushed_to_scan(sorted_geo):
+    q = rq.grq_range_mode(sorted_geo, **W.R1)
+    plan = _plan(q)
+    assert "PushedFilters" in plan
+    # the hilbert cover must reach the parquet scan as pushed Or(GreaterThanOrEqual...)
+    scan_line = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "hilbert" in scan_line
+
+
+def test_range_query_has_no_shuffle(sorted_geo):
+    q = rq.grq_range_mode(sorted_geo, **W.R1)
+    assert "Exchange" not in _plan(q)  # pure pruned scan + filter
+
+
+def test_tile_assignment_broadcasts_ranges(sorted_geo):
+    q = tiles_ops.tile_assignment(sorted_geo, W.TILES, DEFAULT)
+    plan = _plan(q)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pip_join_broadcasts_covers(sorted_geo):
+    q = pip_ops.pip_join(sorted_geo, W.POLYGONS, DEFAULT)
+    plan = _plan(q)
+    assert "Broadcast" in plan
+
+
+def test_prefix_index_is_codegen(sorted_geo):
+    idx = rq.prefix_index(sorted_geo, DEFAULT)
+    plan = _plan(idx)
+    assert "*(" in plan  # whole-stage-codegen stage markers
+    assert "BatchEvalPython" not in plan  # no per-row python anywhere
+    assert "Exchange" not in plan  # explode is narrow
+
+
+def test_file_pruning_on_sorted_layout(spark, sorted_geo):
+    """Row-group/file statistics actually prune: a narrow hilbert range
+    reads fewer rows than the full scan (observable via numOutputRows of
+    the scan after filter pushdown — proxy: count with metrics)."""
+    full = sorted_geo.count()
+    lo, hi = 0, 1 << 10
+    narrow = sorted_geo.filter(F.col("hilbert").between(lo, hi)).count()
+    assert narrow < full
