@@ -174,6 +174,42 @@ def _hilbert_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isl_ops.merge_islands(cells.select("hilbert"))
 
 
+def _hilbert_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode round-trip as an oracle-checked query: the engine decodes its
+    own hilbert column back to coordinates; the oracle recomputes (x, y)
+    arithmetically — equality proves encode∘decode == id on real data."""
+    from hilbert_curve_spark.functions.udfs import hilbert_decode_x_udf, hilbert_decode_y_udf
+
+    dg = _doc_geo(spark, sf_dir)
+    return dg.select(
+        "doc_id",
+        hilbert_decode_x_udf(DEFAULT.order)(F.col("hilbert")).alias("x"),
+        hilbert_decode_y_udf(DEFAULT.order)(F.col("hilbert")).alias("y"),
+    )
+
+
+def _keyword_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword inverted-index build (E10) + posting-size stats."""
+    idx = brq_ops.keyword_index(_doc_geo(spark, sf_dir))
+    return idx.groupBy("keyword").agg(F.count("*").alias("n_docs"))
+
+
+def _extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extent scan (E5 first pass)."""
+    return _doc_geo(spark, sf_dir).agg(
+        F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def _cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-cell histogram via two-phase salted aggregation (skew path)."""
+    from hilbert_curve_spark.operators.skew import salted_cell_counts
+
+    return salted_cell_counts(_doc_geo(spark, sf_dir), DEFAULT)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BRQ (rectangle AND any-of-keywords) on sf0.001."""
     return _brq_any(spark, "/root/testdata/sf0.001")
@@ -203,6 +239,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_latest": _events_latest,
         "events_sample": _events_sample,
         "hilbert_islands": _hilbert_islands,
+        "hilbert_decode": _hilbert_decode,
+        "keyword_postings": _keyword_postings,
+        "extent": _extent,
+        "cell_stats": _cell_stats,
     }
 
 
@@ -290,9 +330,39 @@ def _islands_oracle() -> str:
     )
 
 
+def _keyword_postings_oracle() -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT doc_key, kw{j} AS keyword FROM doc_geo" for j in range(derive.KW_PER_DOC)
+    )
+    return (
+        f"{_doc_geo_cte()}, kw AS (SELECT DISTINCT doc_key, keyword FROM ({unions})) "
+        "SELECT keyword, COUNT(*) AS n_docs FROM kw GROUP BY keyword"
+    )
+
+
+def _cell_stats_oracle() -> str:
+    shift = 2 * DEFAULT.cell_shift
+    hcte = tiles_ops.hilbert_sql_cte(
+        DEFAULT.order,
+        "SELECT x AS cx, y AS cy FROM doc_geo",
+        pre_ctes=f"doc_geo AS ({derive.doc_geo_select_sql('documents')}), ",
+    )
+    return (
+        f"{hcte} SELECT hv.hilbert >> {shift} AS cell, COUNT(*) AS n_docs "
+        "FROM doc_geo d JOIN hv ON d.x = hv.cx AND d.y = hv.cy GROUP BY 1"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     cte = _doc_geo_cte()
     return {
+        "hilbert_decode": f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo",
+        "keyword_postings": _keyword_postings_oracle(),
+        "extent": (
+            f"{cte} SELECT MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, "
+            "MAX(y) AS max_y, COUNT(*) AS n_docs FROM doc_geo"
+        ),
+        "cell_stats": _cell_stats_oracle(),
         "events_tumbling": ev_ops.tumbling_counts_oracle(),
         "events_sessions": ev_ops.sessionize_oracle(),
         "events_latest": ev_ops.latest_event_oracle(),

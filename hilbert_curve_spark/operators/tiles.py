@@ -81,7 +81,7 @@ def tile_assignment(
     return joined.select("tile_id", "doc_id").distinct()
 
 
-def hilbert_sql_cte(order: int, cells_sql: str) -> str:
+def hilbert_sql_cte(order: int, cells_sql: str, pre_ctes: str = "") -> str:
     """DuckDB recursive-CTE computing Hilbert indices for a cell set — an
     *independent* formulation (the classic xy2d iteration) that provably
     equals the Skilling transform in 2-D (tests/test_hilbert.py golden +
@@ -89,7 +89,7 @@ def hilbert_sql_cte(order: int, cells_sql: str) -> str:
     and may carry extra grouping columns (forwarded via cx/cy join)."""
     s0 = 1 << (order - 1)
     return f"""
-WITH RECURSIVE cells AS ({cells_sql}), it AS (
+WITH RECURSIVE {pre_ctes}cells AS ({cells_sql}), it AS (
   SELECT cx, cy, cx AS hx, cy AS hy, CAST({s0} AS BIGINT) AS s, CAST(0 AS BIGINT) AS d
   FROM (SELECT DISTINCT cx, cy FROM cells)
   UNION ALL
