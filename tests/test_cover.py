@@ -97,3 +97,14 @@ def test_sql_predicate_render():
         ranges_to_sql_predicate([(1, 5), (9, 9)])
         == "(hilbert BETWEEN 1 AND 5) OR (hilbert BETWEEN 9 AND 9)"
     )
+
+
+def test_orientation_matches_reference():
+    from hilbert_curve_spark.curve.orientation import hilbert_orientation
+
+    for line in GOLDEN.read_text().splitlines():
+        if not line.startswith("ORIENT "):
+            continue
+        _, order, n, std, expected = line.split()
+        got = hilbert_orientation(int(order), int(n), std == "true")
+        assert got == expected, (order, n, std, got, expected)
