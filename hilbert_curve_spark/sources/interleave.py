@@ -61,15 +61,26 @@ def spans_expr(id_col: str = "sid") -> str:
     )
 
 
-def build_documents(spark: SparkSession, sf_dir: str, amp: int = derive.AMP) -> DataFrame:
+def build_documents(
+    spark: SparkSession, sf_dir: str, amp: int = derive.AMP, partitions: int | None = None
+) -> DataFrame:
     """Flat parquet -> amplified interleaved documents(doc_id, spans).
 
     Each flat row fans out to ``amp`` interleaved docs (sid = doc_id*8192+rep,
-    see derive.corpus_sql) — a narrow generate, no shuffle."""
+    see derive.corpus_sql).  The flat table is tiny (often a single parquet
+    file = ONE input partition), so a generate fan-out inherits that single
+    partition and serializes the whole downstream pipeline on one core —
+    the amplified sid stream is therefore explicitly redistributed before
+    the (comparatively expensive) span construction.  A real 100 TB input
+    arrives already partitioned and skips this shuffle (the rows shuffled
+    here are single int64s — the cheapest possible stage boundary)."""
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sids = flat.select(
         F.expr(f"explode(sequence(0, {amp - 1}))").alias("rep"), "doc_id"
     ).select(F.expr(derive.SID_SQL).alias("sid"))
+    n_part = partitions or spark.sparkContext.defaultParallelism * 2
+    if amp * flat.rdd.getNumPartitions() >= n_part:
+        sids = sids.repartition(n_part)
     return sids.select(
         F.expr(derive.doc_key_sql()).alias("doc_id"),
         F.expr(spans_expr()).alias("spans"),
