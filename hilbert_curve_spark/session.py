@@ -32,7 +32,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # single-JVM local mode: the driver heap hosts ALL task slots — at
+        # local[32] each concurrent parquet writer/sort buffers inside this
+        # heap, so size it for the slot count (32 writers x ~1 GB would GC-
+        # thrash an 8g heap; measured 9x slowdown)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
