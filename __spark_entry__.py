@@ -128,6 +128,10 @@ def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ops.embed_dup_pairs(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ann_topk(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"), ANN_QUERY, ANN_K
@@ -232,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _minhash_pairs,
         "simhash_pairs": _simhash_pairs,
         "cosine_topk": _cosine_topk,
+        "embed_dup_pairs": _embed_dup_pairs,
         "ann_topk": _ann_topk,
         "media_features": _media_features,
         "events_tumbling": _events_tumbling,
@@ -373,6 +378,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup_ops.exact_dedup_oracle(),
         "jaccard_pairs": dedup_ops.jaccard_pairs_oracle(threshold_pct=JACCARD_T),
         "cosine_topk": sim_ops.cosine_topk_oracle(ANN_QUERY, ANN_K),
+        "embed_dup_pairs": sim_ops.embed_dup_pairs_oracle(),
         "tile_cells": _tile_cells_oracle(),
         "tile_assign": _tile_assign_oracle(),
         "knn": _knn_oracle(),

@@ -141,9 +141,12 @@ def run_suite(master: str) -> dict:
             f()
         times = {}
         for name, f in qs.items():
-            t0 = time.time()
-            f()
-            times[name] = round(time.time() - t0, 3)
+            best = float("inf")
+            for _ in range(2):  # min-of-2: the VM has bursty CPU steal
+                t0 = time.time()
+                f()
+                best = min(best, time.time() - t0)
+            times[name] = round(best, 3)
         total = round(sum(times.values()), 3)
         return {
             "master": master,

@@ -75,6 +75,59 @@ def cosine_topk_oracle(query_vec: list[float], k: int = 10, table: str = "embedd
     )
 
 
+def embed_dup_pairs(
+    embeddings: DataFrame, threshold_e6: int = 250_000, block_col: str = "label"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key:
+    (vec_a, vec_b, cos_e6) for pairs with integer-scaled cosine >= threshold.
+
+    The block column bounds the pair space (at 10^12 rows the block is an
+    LSH bucket or coarse cluster id; here the corpus ``label``).  Dot
+    products and norms are JVM-side sequential folds, so the DuckDB oracle
+    (same fold order) matches bit-for-bit.
+    """
+    n = embeddings.select(
+        "vec_id",
+        F.col(block_col).alias("blk"),
+        "embedding",
+        F.expr(f"SQRT({_norm2_sql('embedding')})").alias("nrm"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = F.expr(
+        f"CAST(FLOOR(1000000.0 * {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)) AS BIGINT)"
+    )
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_e6"),
+        )
+        .filter(F.col("cos_e6") >= threshold_e6)
+    )
+
+
+def embed_dup_pairs_oracle(
+    threshold_e6: int = 250_000, block_col: str = "label", table: str = "embeddings"
+) -> str:
+    dot = (
+        "list_reduce(list_transform(list_zip(a.embedding, b.embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    norm = (
+        "SQRT(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), "
+        "(x, y) -> x + y))"
+    )
+    return f"""
+WITH n AS (SELECT vec_id, {block_col} AS blk, embedding, {norm} AS nrm FROM {table})
+SELECT vec_a, vec_b, cos_e6 FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(FLOOR(1000000.0 * {dot} / (a.nrm * b.nrm)) AS BIGINT) AS cos_e6
+  FROM n a JOIN n b ON a.blk = b.blk AND a.vec_id < b.vec_id
+) WHERE cos_e6 >= {threshold_e6}
+"""
+
+
 # ---------------------------------------------------------------------------
 # sign-LSH ANN
 # ---------------------------------------------------------------------------
