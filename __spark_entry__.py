@@ -48,6 +48,17 @@ def _grq_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("doc_id"), F.col("x"), F.col("y"))
 
 
+def _grq_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-coalesced cover (4 ranges, heavy over-approximation) + exact
+    residual — result must still match the plain box oracle exactly
+    (SmallHilbertCurve.java:156-162 contract)."""
+    from hilbert_curve_spark.config import EngineConfig
+
+    tight = EngineConfig(max_ranges=4)
+    out = rq.grq_range_mode(_doc_geo(spark, sf_dir), **W.R2, config=tight)
+    return out.select("doc_id", "x", "y")
+
+
 def _grq_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     dg = _doc_geo(spark, sf_dir)
     idx = rq.prefix_index(dg, DEFAULT)
@@ -222,6 +233,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "grq_range": _grq_range,
+        "grq_budget": _grq_budget,
         "grq_prefix": _grq_prefix,
         "brq_any": _brq_any,
         "brq_all": _brq_all,
@@ -385,6 +397,9 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": _pip_oracle(),
         "grq_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
+        ),
+        "grq_budget": (
+            f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R2)}"
         ),
         "grq_prefix": (
             f"{cte} SELECT DISTINCT doc_key AS doc_id FROM doc_geo WHERE {W.box_sql(W.R3)}"

@@ -129,6 +129,18 @@ def coalesce_ranges(ranges: list[tuple[int, int]], max_ranges: int) -> list[tupl
     return out
 
 
+def merge_overlapping(ranges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Union possibly-overlapping intervals into disjoint ascending ones
+    (inputs from multiple independent covers, e.g. several polygons)."""
+    out: list[tuple[int, int]] = []
+    for lo, hi in sorted(ranges):
+        if out and lo <= out[-1][1] + 1:
+            out[-1] = (out[-1][0], max(out[-1][1], hi))
+        else:
+            out.append((lo, hi))
+    return out
+
+
 def dense_cover(x_lo: int, x_hi: int, y_lo: int, y_hi: int, order: int) -> Cover:
     """Exact cover by dense enumeration (encode every cell, sort, merge
     consecutive) — the reference's

@@ -83,7 +83,15 @@ def pip_join(
         for lo, hi in cov.ranges:
             rows.append((p["poly_id"], i, lo, hi))
     ranges = spark.createDataFrame(rows, "poly_id string, poly_idx int, lo long, hi long")
-    cand = doc_geo.join(
+    # literal union-of-covers prefilter: a BETWEEN on two *columns* (the join
+    # condition below) cannot be pushed to the scan, so first cut the probe
+    # side with the merged literal ranges — Catalyst pushes those to parquet
+    # row-group pruning and the nested-loop join only sees survivors
+    from ..curve.cover import coalesce_ranges, merge_overlapping
+    from .range_query import range_predicate
+
+    union_cover = coalesce_ranges(merge_overlapping([(r[2], r[3]) for r in rows]), 64)
+    cand = doc_geo.filter(range_predicate(union_cover)).join(
         F.broadcast(ranges), F.col("hilbert").between(F.col("lo"), F.col("hi"))
     )
     inside = pip_udf(polygons)(F.col("x"), F.col("y"), F.col("poly_idx"))

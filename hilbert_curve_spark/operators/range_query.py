@@ -42,10 +42,11 @@ def compile_box(
     return cover_box(x_lo, x_hi, y_lo, y_hi, config.order, config.max_ranges)
 
 
-def range_predicate(cover: Cover) -> F.Column:
+def range_predicate(cover: "Cover | list[tuple[int, int]]") -> F.Column:
     """OR-of-BETWEEN on hilbert — a literal predicate Catalyst pushes to the
     scan (min/max row-group pruning on Hilbert-sorted data)."""
-    terms = [F.col("hilbert").between(lo, hi) for lo, hi in cover.ranges]
+    ranges = cover.ranges if isinstance(cover, Cover) else cover
+    terms = [F.col("hilbert").between(lo, hi) for lo, hi in ranges]
     return functools.reduce(operator.or_, terms)
 
 

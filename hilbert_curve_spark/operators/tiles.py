@@ -72,7 +72,15 @@ def tile_assignment(
         rows,
         "tile_id string, lo long, hi long, bx_lo long, bx_hi long, by_lo long, by_hi long",
     )
-    joined = doc_geo.join(
+    # literal union-of-covers prefilter (pushed to the scan) ahead of the
+    # column-vs-column nested-loop condition — see pip.pip_join
+    from ..curve.cover import coalesce_ranges, merge_overlapping
+    from .range_query import range_predicate
+
+    union_cover = coalesce_ranges(
+        merge_overlapping([(r[1], r[2]) for r in rows]), 64
+    )
+    joined = doc_geo.filter(range_predicate(union_cover)).join(
         F.broadcast(ranges),
         F.col("hilbert").between(F.col("lo"), F.col("hi"))
         & F.col("x").between(F.col("bx_lo"), F.col("bx_hi"))
