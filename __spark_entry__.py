@@ -144,8 +144,10 @@ def _embed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nbits sizes the LSH code to the corpus: ~n/2^nbits vectors per bucket
+    # (500-5000 rows here -> 3 bits; at 10^12 rows -> ~30 bits)
     return sim_ops.ann_topk(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), ANN_QUERY, ANN_K
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), ANN_QUERY, ANN_K, nbits=3
     )
 
 
