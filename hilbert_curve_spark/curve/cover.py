@@ -36,7 +36,10 @@ import numpy as np
 
 from .hilbert import decode2d, encode2d
 
-__all__ = ["Cover", "cover_box", "coalesce_ranges", "dense_cover", "ranges_to_sql_predicate"]
+__all__ = [
+    "Cover", "cover_box", "coalesce_ranges", "dense_cover",
+    "ranges_to_sql_predicate", "cell_shift_for_budget", "expand_ranges_to_cells",
+]
 
 
 @dataclass(frozen=True)
@@ -163,3 +166,31 @@ def dense_cover(x_lo: int, x_hi: int, y_lo: int, y_hi: int, order: int) -> Cover
 def ranges_to_sql_predicate(ranges: list[tuple[int, int]], col: str = "hilbert") -> str:
     """Render a cover as an OR-of-BETWEEN SQL predicate (pushdown-friendly)."""
     return " OR ".join(f"({col} BETWEEN {lo} AND {hi})" for lo, hi in ranges)
+
+
+def cell_shift_for_budget(ranges: list[tuple[int, int]], budget: int = 4096) -> int:
+    """Smallest shift ``s`` such that expanding every range to its aligned
+    ``hilbert >> s`` cells yields at most ``budget`` cells in total.
+
+    This turns an interval table into an equi-join key: a range join
+    ``hilbert BETWEEN lo AND hi`` against N broadcast ranges is a
+    nested-loop (every probe row × every range); joining instead on
+    ``hilbert >> s == cell`` with the BETWEEN kept as a residual is a
+    broadcast *hash* join — O(1) per probe row regardless of N.  The budget
+    bounds the broadcast table size; the shift only coarsens the hash key,
+    never the result (the residual stays exact)."""
+    s = 0
+    while sum((hi >> s) - (lo >> s) + 1 for lo, hi in ranges) > budget:
+        s += 1
+    return s
+
+
+def expand_ranges_to_cells(
+    ranges: list[tuple[int, int]], shift: int
+) -> list[tuple[int, int, int]]:
+    """Each (lo, hi) -> one (cell, lo, hi) row per aligned cell it touches."""
+    return [
+        (cell, lo, hi)
+        for lo, hi in ranges
+        for cell in range(lo >> shift, (hi >> shift) + 1)
+    ]

@@ -44,9 +44,18 @@ def brq(
     return out
 
 
-def keyword_index(doc_geo: DataFrame) -> DataFrame:
-    """Keyword inverted index (reference KDB, E10): (keyword, doc_id)."""
-    return doc_geo.select(F.explode("keywords").alias("keyword"), "doc_id").distinct()
+def keyword_index(doc_geo: DataFrame, keywords: list[str] | None = None) -> DataFrame:
+    """Keyword inverted index (reference KDB, E10): (keyword, doc_id).
+
+    ``keywords`` optionally restricts the build to a literal keyword list —
+    the filter sits *below* the distinct, so an ad-hoc probe dedups only the
+    handful of matching postings instead of shuffling the whole exploded
+    keyword stream (the full-index build passes ``None`` and is written
+    bucketed by keyword at scale)."""
+    exploded = doc_geo.select(F.explode("keywords").alias("keyword"), "doc_id")
+    if keywords is not None:
+        exploded = exploded.filter(F.col("keyword").isin(keywords))
+    return exploded.distinct()
 
 
 def brq_posting_mode(

@@ -15,31 +15,38 @@ from pyspark.sql import functions as F
 
 
 def tumbling_counts(events: DataFrame, minutes: int = 60) -> DataFrame:
-    """(window_start, event_type, n_events, sum_value_e6) — event-time
+    """(window_start_s, event_type, n_events, sum_value_e6) — event-time
     tumbling window aggregation (Structured-Streaming-compatible: swap the
     source for readStream and add a watermark; the plan is identical).
 
+    ``window_start_s`` is the window start as integer epoch seconds: Spark's
+    ``window().start`` is TIMESTAMP_NTZ while DuckDB's ``to_timestamp`` is
+    TIMESTAMPTZ, so a timestamp-typed output can never schema-match across
+    the two engines — the epoch integer is the engine-neutral form.
     ``sum_value_e6``: value summed as integer micro-units so the oracle
     cannot diverge on float summation order."""
     v6 = F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)")
+    start = (
+        F.window("ts", f"{minutes} minutes")
+        .getField("start")
+        .cast("timestamp")
+        .cast("long")
+    )
     return (
         events.withColumn("v6", v6)
-        .groupBy(
-            F.window("ts", f"{minutes} minutes").getField("start").alias("window_start"),
-            "event_type",
-        )
+        .groupBy(start.alias("window_start_s"), "event_type")
         .agg(F.count("*").alias("n_events"), F.sum("v6").alias("sum_value_e6"))
     )
 
 
 def tumbling_counts_oracle(minutes: int = 60, table: str = "events") -> str:
-    # Spark's window() is epoch-aligned; for divisors of a day date_trunc
-    # equivalents exist, but the epoch-bucket arithmetic below matches ANY
-    # window size exactly.
+    # Spark's window() is epoch-aligned; the epoch-bucket arithmetic below
+    # matches ANY window size exactly (sub-second parts floor into the same
+    # bucket Spark's microsecond arithmetic assigns).
     secs = minutes * 60
-    bucket = f"to_timestamp(CAST(FLOOR(epoch(ts) / {secs}) AS BIGINT) * {secs})"
+    bucket = f"CAST(FLOOR(epoch(ts) / {secs}) AS BIGINT) * {secs}"
     return (
-        f"SELECT {bucket} AS window_start, event_type, COUNT(*) AS n_events, "
+        f"SELECT {bucket} AS window_start_s, event_type, COUNT(*) AS n_events, "
         f"SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS sum_value_e6 "
         f"FROM {table} GROUP BY 1, 2"
     )
@@ -55,7 +62,10 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     gap = gap_minutes * 60
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # TIMESTAMP_NTZ has no direct long cast in Spark 4; session tz is UTC so
-    # the two-step cast equals DuckDB's epoch() on the naive timestamp
+    # the two-step cast equals floor(epoch) of the naive timestamp.  The gap
+    # test therefore compares WHOLE seconds on both engines — the oracle
+    # must floor its (fractional double) epoch() the same way, else a
+    # sub-second gap straddling the threshold splits sessions differently.
     epoch = F.col("ts").cast("timestamp").cast("long")
     boundary = (
         F.when(epoch - F.lag(epoch).over(w) > gap, 1)
@@ -76,7 +86,9 @@ def sessionize_oracle(gap_minutes: int = 30, table: str = "events") -> str:
     return f"""
 WITH flagged AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w > {gap} THEN 1 ELSE 0 END AS b
+         CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w > {gap}
+              THEN 1 ELSE 0 END AS b
   FROM {table}
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (

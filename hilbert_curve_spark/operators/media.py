@@ -1,12 +1,18 @@
 """Multimodal (image/audio/video) column plumbing.
 
-Media payloads are opaque ``binary`` columns with typed metadata; decode /
-feature-extraction runs as Arrow-batched ``mapInPandas`` so one executor
-core streams batches without materializing a partition.  The actual codec
-step is STUBBED (``decode_stub``) because no image/audio libraries exist in
-this container — the Spark-side contract (schemas, batch iteration,
-partitioning, deterministic fake features) is real and tested; swapping the
-stub for PIL/torchaudio is a one-function change.
+Media payloads are opaque references / ``binary`` columns with typed
+metadata; decode / feature-extraction runs as Arrow-batched ``mapInPandas``
+so one executor core streams batches without materializing a partition.
+The actual codec step is STUBBED (``decode_stub``) because no image/audio
+libraries exist in this container — the Spark-side contract (schemas, batch
+iteration, partitioning, vectorized numpy feature math) is real and tested;
+swapping the stub for PIL/torchaudio is a one-function change.
+
+The stub is *deterministic pure int64 arithmetic* keyed on the numeric
+payload embedded in ``media_ref`` (``m://doc<sid>/<n>``), so the DuckDB
+correctness oracle can recompute the exact same widths/heights/features in
+SQL — the whole media pipeline is driver-checkable end to end, not just
+"runs without crashing".
 """
 
 from __future__ import annotations
@@ -39,40 +45,57 @@ MEDIA_FEATURE_SCHEMA = StructType(
     ]
 )
 
+# LCG mixing constants (same family as sources/derive.py streams); all
+# intermediates stay < 2^63 for sid < 2^35, far above any test corpus.
+_MIX_MULT = 2654435761
+_MIX_ADD = 1013904223
+_MIX_MOD = 1_000_003
+FEATURE_DIM = 8
 
-def decode_stub(refs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Deterministic fake decoder: (width, height, 8-dim feature) derived
-    from a stable hash of the media_ref.  Replace with a real codec
+
+def decode_stub(keys: np.ndarray, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic fake decoder: (width, height, 8-dim feature) from the
+    numeric payload of the media ref.  Replace with a real codec
     (PIL / ffmpeg / torchaudio) outside this sandbox.
 
     Raises ``NotImplementedError`` if asked for real pixel decode.
     """
-    # stable FNV-1a (python's builtin hash() is per-process salted — never
-    # use it executor-side)
-    from .dedup import _token_hash
-
-    h = (_token_hash(refs).astype(np.int64) & ((1 << 31) - 1)).astype(np.int64)
+    h = ((keys * FEATURE_DIM + idx) * _MIX_MULT + _MIX_ADD) % _MIX_MOD
     width = (64 + h % 1024).astype(np.int32)
     height = (64 + (h // 1024) % 1024).astype(np.int32)
-    feats = ((h[:, None] >> np.arange(8)[None, :]) % 251).astype(np.float32) / 251.0
+    feats = ((h[:, None] >> np.arange(FEATURE_DIM)[None, :]) % 251).astype(np.float32) / 251.0
     return width, height, feats
+
+
+def decode_real(payload: bytes) -> np.ndarray:
+    """Real pixel/sample decode — unavailable in this container (no PIL /
+    ffmpeg / torchaudio).  Kept as the documented extension point."""
+    raise NotImplementedError("media codec libraries are not available in this sandbox")
 
 
 def extract_media_features(docs_with_spans: DataFrame) -> DataFrame:
     """documents(doc_id, spans) -> one feature row per media span.
 
-    Span explosion is native SQL; only the decode crosses into Arrow.
-    Output partitioning follows the input (no shuffle).
+    Span explosion and ref parsing are native SQL; only the decode crosses
+    into Arrow (vectorized numpy per batch — no per-row Python).  Output
+    partitioning follows the input (no shuffle).
     """
-    media = docs_with_spans.select(
-        "doc_id",
-        F.explode(F.expr("filter(spans, s -> s.kind = 'media')")).alias("s"),
-    ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    media = (
+        docs_with_spans.select(
+            "doc_id",
+            F.explode(F.expr("filter(spans, s -> s.kind = 'media')")).alias("s"),
+        )
+        .select("doc_id", F.col("s.media_ref").alias("media_ref"))
+        # m://doc<10-digit sid>/<n> — positions fixed by the corpus contract
+        .withColumn("media_key", F.expr("CAST(substring(media_ref, 8, 10) AS BIGINT)"))
+        .withColumn("media_idx", F.expr("CAST(substring(media_ref, 19) AS BIGINT)"))
+    )
 
     def _iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            refs = b["media_ref"].to_numpy(dtype=object)
-            width, height, feats = decode_stub(refs)
+            keys = b["media_key"].to_numpy(np.int64)
+            idx = b["media_idx"].to_numpy(np.int64)
+            width, height, feats = decode_stub(keys, idx)
             yield pd.DataFrame(
                 {
                     "doc_id": b["doc_id"],
@@ -86,3 +109,56 @@ def extract_media_features(docs_with_spans: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_iter, MEDIA_FEATURE_SCHEMA)
+
+
+def media_features_checked(docs_with_spans: DataFrame) -> DataFrame:
+    """Driver-checkable projection of :func:`extract_media_features`: the
+    ``feature`` array explodes to ``(dim, feat_u8)`` integer rows (the exact
+    251-denominator numerators), so every cell is hashable and the DuckDB
+    oracle can recompute it with pure int64 arithmetic.  The float array
+    stays the programmatic API; this view exists for the correctness gate.
+    """
+    feats = extract_media_features(docs_with_spans)
+    return feats.select(
+        "doc_id",
+        "media_ref",
+        "media_kind",
+        "width",
+        "height",
+        "n_bytes",
+        F.posexplode("feature").alias("dim", "val"),
+    ).select(
+        "doc_id",
+        "media_ref",
+        "media_kind",
+        "width",
+        "height",
+        "n_bytes",
+        "dim",
+        F.expr("CAST(round(val * 251) AS INT)").alias("feat_u8"),
+    )
+
+
+def media_features_oracle(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`media_features_checked`: rebuilds the media
+    span set from the corpus sid stream and replays the stub arithmetic."""
+    from ..sources import derive
+
+    corpus = derive.corpus_sql(table)
+    doc_key = derive.doc_key_sql()
+    return f"""
+WITH m AS (
+  SELECT {doc_key} AS doc_id,
+         ('m://' || {doc_key} || '/' || CAST(n AS STRING)) AS media_ref,
+         ((sid * {FEATURE_DIM} + n) * {_MIX_MULT} + {_MIX_ADD}) % {_MIX_MOD} AS h
+  FROM {corpus}, (SELECT unnest(range(0, {derive.MEDIA_MOD - 1})) AS n)
+  WHERE n < sid % {derive.MEDIA_MOD}
+), dims AS (SELECT unnest(range(0, {FEATURE_DIM})) AS dim)
+SELECT m.doc_id, m.media_ref, 'image' AS media_kind,
+       CAST(64 + h % 1024 AS INT) AS width,
+       CAST(64 + (h // 1024) % 1024 AS INT) AS height,
+       CAST((64 + h % 1024) * (64 + (h // 1024) % 1024) * 3 AS BIGINT) AS n_bytes,
+       CAST(d.dim AS INT) AS dim,
+       CAST((h >> d.dim) % 251 AS INT) AS feat_u8
+FROM m, dims d
+"""

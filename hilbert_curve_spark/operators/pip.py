@@ -5,13 +5,22 @@ north_star extends to general polygons).
 Physical plan (per north_rule: cell-bucketed broadcast join + exact test):
 
 1. **Prefilter** — each polygon's bounding box compiles to a budgeted
-   Hilbert range cover (driver-side); the ``(poly_id, lo, hi)`` table is
-   broadcast and probed with ``hilbert BETWEEN`` — the giant doc side is
-   never shuffled, and on Hilbert-sorted storage the cover prunes the scan.
-2. **Exact test** — integer-exact even-odd ray cast evaluated in a
-   vectorized Arrow-batched pandas UDF over the (small) surviving pairs.
+   Hilbert range cover (driver-side); the merged literal union of all
+   covers is pushed to the scan (parquet row-group pruning on
+   Hilbert-sorted storage).
+2. **Equi-key broadcast hash join** — every cover range expands to the
+   aligned ``hilbert >> s`` cells it touches (``s`` chosen so the broadcast
+   table stays under a budget), and the probe joins on
+   ``hilbert >> s == ck`` with ``hilbert BETWEEN lo AND hi`` as a residual.
+   A plain interval join would be a BroadcastNestedLoopJoin — every
+   surviving row tested against *all* ranges, O(rows × ranges); the hashed
+   cell key makes it O(rows).
+3. **Exact test** — integer-exact even-odd ray cast evaluated as a native
+   Column expression: the polygon's edge list is a literal
+   ``array<struct>`` folded with ``aggregate`` (boolean XOR), entirely
+   inside whole-stage codegen — no Python anywhere in this operator.
    The crossing test is pure int64 arithmetic (no division), so the DuckDB
-   oracle can evaluate the *identical* predicate and cannot diverge on
+   oracle evaluates the *identical* predicate and cannot diverge on
    boundary cases:   for each edge with (y1 > py) != (y2 > py), the ray
    x -> +inf crosses iff  px*dy < x1*dy + (py-y1)*(x2-x1)  (inequality
    flipped when dy < 0).
@@ -19,86 +28,95 @@ Physical plan (per north_rule: cell-bucketed broadcast join + exact test):
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
 
 from ..config import DEFAULT, EngineConfig
-from ..curve.cover import cover_box
+from ..curve.cover import (
+    cell_shift_for_budget,
+    coalesce_ranges,
+    cover_box,
+    expand_ranges_to_cells,
+    merge_overlapping,
+)
 
 Polygon = dict  # {poly_id: str, vertices: list[(x, y)]}
 
 
-def _crossings_mask(px: np.ndarray, py: np.ndarray, verts: list[tuple[int, int]]) -> np.ndarray:
-    """Vectorized integer even-odd ray cast: True = inside."""
-    inside = np.zeros(px.shape, dtype=bool)
+def _edges(verts: list[tuple[int, int]]) -> list[tuple[int, int, int, int]]:
     n = len(verts)
-    for i in range(n):
-        x1, y1 = verts[i]
-        x2, y2 = verts[(i + 1) % n]
-        straddles = (y1 > py) != (y2 > py)
-        dy = y2 - y1
-        lhs = px * dy
-        rhs = x1 * dy + (py - y1) * (x2 - x1)
-        cross = np.where(dy > 0, lhs < rhs, lhs > rhs)
-        inside ^= straddles & cross
-    return inside
+    return [(*verts[i], *verts[(i + 1) % n]) for i in range(n)]
 
 
-def pip_udf(polygons: list[Polygon]):
-    """(x, y, poly_idx) -> inside.  Polygon vertex lists are captured
-    driver-side (closure broadcast); evaluation batches by polygon."""
-    verts_by_idx = {i: p["vertices"] for i, p in enumerate(polygons)}
-
-    @F.pandas_udf(BooleanType())
-    def _pip(x: pd.Series, y: pd.Series, idx: pd.Series) -> pd.Series:
-        px = x.to_numpy(np.int64)
-        py = y.to_numpy(np.int64)
-        pi = idx.to_numpy(np.int64)
-        out = np.zeros(len(px), dtype=bool)
-        for i in np.unique(pi):
-            m = pi == i
-            out[m] = _crossings_mask(px[m], py[m], verts_by_idx[int(i)])
-        return pd.Series(out)
-
-    return _pip
+def inside_polygon_expr(verts: list[tuple[int, int]], x: str = "x", y: str = "y") -> F.Column:
+    """Codegen even-odd ray cast: fold the literal edge array with a boolean
+    XOR (``!=``) accumulator.  Exact int64 arithmetic end to end."""
+    edge_lits = ", ".join(
+        f"named_struct('x1', CAST({x1} AS BIGINT), 'y1', CAST({y1} AS BIGINT), "
+        f"'x2', CAST({x2} AS BIGINT), 'y2', CAST({y2} AS BIGINT))"
+        for x1, y1, x2, y2 in _edges(verts)
+    )
+    return F.expr(
+        f"aggregate(array({edge_lits}), false, (acc, e) -> (acc != ("
+        f"((e.y1 > {y}) != (e.y2 > {y})) AND "
+        f"(CASE WHEN e.y2 - e.y1 > 0 "
+        f"THEN {x} * (e.y2 - e.y1) < e.x1 * (e.y2 - e.y1) + ({y} - e.y1) * (e.x2 - e.x1) "
+        f"ELSE {x} * (e.y2 - e.y1) > e.x1 * (e.y2 - e.y1) + ({y} - e.y1) * (e.x2 - e.x1) "
+        f"END))))"
+    )
 
 
 def pip_join(
     doc_geo: DataFrame,
     polygons: list[Polygon],
     config: EngineConfig = DEFAULT,
+    cell_budget: int = 1024,
 ) -> DataFrame:
     """(poly_id, doc_id, x, y) for every doc strictly inside each polygon."""
     spark = doc_geo.sparkSession
-    rows = []
+    per_poly: list[tuple[str, int, list[tuple[int, int]]]] = []
+    all_ranges: list[tuple[int, int]] = []
     for i, p in enumerate(polygons):
         xs = [v[0] for v in p["vertices"]]
         ys = [v[1] for v in p["vertices"]]
         x_lo, x_hi = max(0, min(xs)), min(config.edge - 1, max(xs))
         y_lo, y_hi = max(0, min(ys)), min(config.edge - 1, max(ys))
         cov = cover_box(x_lo, x_hi, y_lo, y_hi, config.order, config.max_ranges)
-        for lo, hi in cov.ranges:
-            rows.append((p["poly_id"], i, lo, hi))
-    ranges = spark.createDataFrame(rows, "poly_id string, poly_idx int, lo long, hi long")
-    # literal union-of-covers prefilter: a BETWEEN on two *columns* (the join
-    # condition below) cannot be pushed to the scan, so first cut the probe
-    # side with the merged literal ranges — Catalyst pushes those to parquet
-    # row-group pruning and the nested-loop join only sees survivors
-    from ..curve.cover import coalesce_ranges, merge_overlapping
+        per_poly.append((p["poly_id"], i, cov.ranges))
+        all_ranges.extend(cov.ranges)
+
+    shift = cell_shift_for_budget(all_ranges, cell_budget)
+    rows = [
+        (poly_id, idx, cell, lo, hi)
+        for poly_id, idx, ranges in per_poly
+        for cell, lo, hi in expand_ranges_to_cells(ranges, shift)
+    ]
+    ranges_df = spark.createDataFrame(
+        rows, "poly_id string, poly_idx int, ck long, lo long, hi long"
+    )
+
+    # literal union-of-covers prefilter: pushed to the parquet scan
+    # (row-group pruning); the hash join below only sees survivors
     from .range_query import range_predicate
 
-    union_cover = coalesce_ranges(merge_overlapping([(r[2], r[3]) for r in rows]), 64)
-    cand = doc_geo.filter(range_predicate(union_cover)).join(
-        F.broadcast(ranges), F.col("hilbert").between(F.col("lo"), F.col("hi"))
+    union_cover = coalesce_ranges(merge_overlapping(all_ranges), 64)
+    cand = (
+        doc_geo.filter(range_predicate(union_cover))
+        .withColumn("_ck", F.shiftright(F.col("hilbert"), shift))
+        .join(
+            F.broadcast(ranges_df),
+            (F.col("_ck") == F.col("ck"))
+            & F.col("hilbert").between(F.col("lo"), F.col("hi")),
+        )
     )
-    inside = pip_udf(polygons)(F.col("x"), F.col("y"), F.col("poly_idx"))
+    # per-polygon covers are disjoint range lists, so each doc matches at
+    # most one (ck, lo, hi) row per polygon — no distinct needed afterwards
+    inside = F.when(F.col("poly_idx") == 0, inside_polygon_expr(polygons[0]["vertices"]))
+    for i in range(1, len(polygons)):
+        inside = inside.when(F.col("poly_idx") == i, inside_polygon_expr(polygons[i]["vertices"]))
     return (
-        cand.filter(inside)
+        cand.filter(inside.otherwise(F.lit(False)))
         .select("poly_id", "doc_id", "x", "y")
-        .distinct()
     )
 
 
@@ -109,11 +127,7 @@ def pip_oracle_sql(polygons: list[Polygon], doc_geo_sql_table: str = "doc_geo") 
     (poly, doc); odd count = inside."""
     edge_rows = []
     for p in polygons:
-        verts = p["vertices"]
-        n = len(verts)
-        for i in range(n):
-            x1, y1 = verts[i]
-            x2, y2 = verts[(i + 1) % n]
+        for x1, y1, x2, y2 in _edges(p["vertices"]):
             edge_rows.append(f"('{p['poly_id']}', {x1}, {y1}, {x2}, {y2})")
     values = ", ".join(edge_rows)
     return f"""edges(poly_id, x1, y1, x2, y2) AS (VALUES {values}),

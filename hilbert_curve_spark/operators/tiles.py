@@ -7,10 +7,12 @@
   and encoded by the Arrow-batched kernel.
 * ``tile_assignment`` maps documents to the tiles whose window contains
   them.  Physical plan: each tile compiles (driver-side) to a budgeted
-  Hilbert range cover; the ``(tile_id, lo, hi, box)`` table is tiny and
-  broadcast, so the doc side is probed with a broadcast range join plus the
-  exact box residual — no shuffle of the (huge) doc side, and on
-  Hilbert-sorted storage the union of all tile covers prunes the scan.
+  Hilbert range cover whose ranges expand to aligned ``hilbert >> s``
+  cells; the tiny ``(tile_id, ck, lo, hi, box)`` table broadcasts and the
+  doc side probes it with a broadcast HASH join on the cell key (BETWEEN +
+  exact window as residuals) — no shuffle of the (huge) doc side, no
+  nested-loop fanout, and on Hilbert-sorted storage the union of all tile
+  covers prunes the scan.
 """
 
 from __future__ import annotations
@@ -55,37 +57,57 @@ def tile_assignment(
 ) -> DataFrame:
     """(tile_id, doc_id) for every doc inside a tile window.
 
-    Driver compiles per-tile covers; the broadcast side carries the range
-    bounds AND the exact window, so the join predicate is
-    ``hilbert BETWEEN lo AND hi`` (satisfiable only for a pruned sliver of
-    the doc side) with the residual box check conjoined.
+    Driver compiles per-tile covers; the broadcast side carries the aligned
+    cell key (hash-join equi key), the range bounds, and the exact window —
+    the BETWEEN and box checks are residuals on the hash-matched rows.
     """
     spark = doc_geo.sparkSession
-    rows = []
+    from ..curve.cover import (
+        cell_shift_for_budget,
+        coalesce_ranges,
+        expand_ranges_to_cells,
+        merge_overlapping,
+    )
+    from .range_query import range_predicate
+
+    per_tile = []
+    all_ranges: list[tuple[int, int]] = []
     for t in tiles:
         x_lo, y_lo = t["x_start"], t["y_start"]
         x_hi, y_hi = x_lo + t["width"] - 1, y_lo + t["height"] - 1
         cov = cover_box(x_lo, x_hi, y_lo, y_hi, config.order, config.max_ranges)
-        for lo, hi in cov.ranges:
-            rows.append((t["tile_id"], lo, hi, x_lo, x_hi, y_lo, y_hi))
-    ranges = spark.createDataFrame(
-        rows,
-        "tile_id string, lo long, hi long, bx_lo long, bx_hi long, by_lo long, by_hi long",
-    )
-    # literal union-of-covers prefilter (pushed to the scan) ahead of the
-    # column-vs-column nested-loop condition — see pip.pip_join
-    from ..curve.cover import coalesce_ranges, merge_overlapping
-    from .range_query import range_predicate
+        per_tile.append((t["tile_id"], cov.ranges, x_lo, x_hi, y_lo, y_hi))
+        all_ranges.extend(cov.ranges)
 
-    union_cover = coalesce_ranges(
-        merge_overlapping([(r[1], r[2]) for r in rows]), 64
+    # equi-key broadcast HASH join: ranges expand to aligned hilbert>>s
+    # cells (the hash key); BETWEEN + exact window stay as residuals.  A
+    # column-vs-column BETWEEN alone would be a BroadcastNestedLoopJoin —
+    # O(rows x ranges) — see pip.pip_join for the full rationale.
+    shift = cell_shift_for_budget(all_ranges, budget=1024)
+    rows = [
+        (tile_id, cell, lo, hi, x_lo, x_hi, y_lo, y_hi)
+        for tile_id, ranges, x_lo, x_hi, y_lo, y_hi in per_tile
+        for cell, lo, hi in expand_ranges_to_cells(ranges, shift)
+    ]
+    ranges_df = spark.createDataFrame(
+        rows,
+        "tile_id string, ck long, lo long, hi long, "
+        "bx_lo long, bx_hi long, by_lo long, by_hi long",
     )
-    joined = doc_geo.filter(range_predicate(union_cover)).join(
-        F.broadcast(ranges),
-        F.col("hilbert").between(F.col("lo"), F.col("hi"))
-        & F.col("x").between(F.col("bx_lo"), F.col("bx_hi"))
-        & F.col("y").between(F.col("by_lo"), F.col("by_hi")),
+    union_cover = coalesce_ranges(merge_overlapping(all_ranges), 64)
+    joined = (
+        doc_geo.filter(range_predicate(union_cover))
+        .withColumn("_ck", F.shiftright(F.col("hilbert"), shift))
+        .join(
+            F.broadcast(ranges_df),
+            (F.col("_ck") == F.col("ck"))
+            & F.col("hilbert").between(F.col("lo"), F.col("hi"))
+            & F.col("x").between(F.col("bx_lo"), F.col("bx_hi"))
+            & F.col("y").between(F.col("by_lo"), F.col("by_hi")),
+        )
     )
+    # per-tile cover ranges are disjoint, so each (tile, doc) appears at
+    # most once — the distinct only guards overlapping tile windows
     return joined.select("tile_id", "doc_id").distinct()
 
 

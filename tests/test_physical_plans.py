@@ -42,16 +42,20 @@ def test_range_query_has_no_shuffle(sorted_geo):
     assert "Exchange" not in _plan(q)  # pure pruned scan + filter
 
 
-def test_tile_assignment_broadcasts_ranges(sorted_geo):
+def test_tile_assignment_is_broadcast_hash_join(sorted_geo):
     q = tiles_ops.tile_assignment(sorted_geo, W.TILES, DEFAULT)
     plan = _plan(q)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # O(rows x ranges) regression
 
 
-def test_pip_join_broadcasts_covers(sorted_geo):
+def test_pip_join_is_broadcast_hash_join_no_python(sorted_geo):
     q = pip_ops.pip_join(sorted_geo, W.POLYGONS, DEFAULT)
     plan = _plan(q)
-    assert "Broadcast" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the ray cast is a native aggregate() fold — no Python runner stages
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_prefix_index_is_codegen(sorted_geo):
