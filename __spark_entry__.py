@@ -138,13 +138,15 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = dedup_ops.minhash_signatures(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    return dedup_ops.minhash_lsh_pairs(sigs)
+    return dedup_ops.minhash_pairs_checked(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
 
 
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_hamming=3 -> 4-band blocking with pigeonhole-complete recall
     fps = dedup_ops.simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    return dedup_ops.simhash_near_pairs(fps, max_hamming=8)
+    return dedup_ops.simhash_near_pairs(fps, max_hamming=3)
 
 
 def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -406,7 +408,10 @@ def oracle_sql() -> dict[str, str]:
         "text_profile": textops.text_profile_oracle(),
         "dedup_exact": dedup_ops.exact_dedup_oracle(),
         "jaccard_pairs": dedup_ops.jaccard_pairs_oracle(threshold_pct=JACCARD_T),
+        "minhash_pairs": dedup_ops.minhash_pairs_oracle(),
+        "simhash_pairs": dedup_ops.simhash_pairs_oracle(max_hamming=3),
         "cosine_topk": sim_ops.cosine_topk_oracle(ANN_QUERY, ANN_K),
+        "ann_topk": sim_ops.ann_topk_oracle(ANN_QUERY, ANN_K, nbits=3),
         "embed_dup_pairs": sim_ops.embed_dup_pairs_oracle(),
         "tile_cells": _tile_cells_oracle(),
         "tile_assign": _tile_assign_oracle(),

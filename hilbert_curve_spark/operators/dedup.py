@@ -9,16 +9,18 @@ Four families, each scalable to 10^12 docs:
   key (doc length band + first token) so the pair space is bounded; exact
   Jaccard on ``array_intersect``/``array_union`` sizes.  Full SQL oracle
   (DuckDB list functions).
-* **MinHash + LSH** — signature = per-hash-family min over shingle hashes
-  (vectorized numpy over Arrow batches); signatures banded into LSH
-  buckets; candidate pairs = bucket self-join.  Oracle-free (engine
-  family); validated in pytest against exact Jaccard (recall/precision
-  bounds on the derived corpus).
-* **SimHash** — 64-bit weighted-projection fingerprint, hamming-ball
-  candidate pairs via 4x16-bit band blocking.  Same pytest validation.
+* **MinHash + LSH** — signature = per-hash-family min over md5-derived
+  shingle hashes (native Column expressions, whole-stage codegen);
+  signatures banded into LSH buckets; candidate pairs = bucket self-join,
+  annotated with exact Jaccard.  Full SQL oracle (the whole pipeline —
+  token hash, signatures, banding — replays in DuckDB).
+* **SimHash** — 60-bit weighted-projection fingerprint, hamming-ball
+  candidate pairs via ``max_hamming + 1``-band blocking (pigeonhole-
+  complete recall).  Full SQL oracle.
 
 MinHash/SimHash hash functions are deterministic (no seed-at-runtime), so
-results are stable across runs and resumable.
+results are stable across runs and resumable; pytest additionally
+validates recall against exact Jaccard on a planted-near-dup corpus.
 """
 
 from __future__ import annotations
@@ -123,53 +125,106 @@ WHERE CAST(FLOOR(100.0 * len(list_intersect(a.grams, b.grams)) /
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH
+# engine-neutral token hashing
+#
+# MinHash/SimHash need a deterministic token hash BOTH engines can compute:
+# md5 (identical in Spark and DuckDB) parsed to an integer with positional
+# hex arithmetic (instr/substring — identical semantics in both).  This is
+# all inside whole-stage codegen on the Spark side — the per-byte Python
+# FNV loop of the first iteration is gone entirely.
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+_M31 = 2147483647  # Mersenne prime 2^31 - 1: a*h stays < 2^62 (no overflow)
 _NUM_HASHES = 128
+_SIMHASH_BITS = 60  # 15 hex chars -> exact int64, bit k via pow(2, k)
+
+
+def _hex_to_long_sql(hex_var: str, start: int, nchars: int) -> str:
+    """Engine-neutral SQL: parse ``nchars`` hex chars of ``hex_var`` starting
+    at 1-based ``start`` into a BIGINT (instr-based nibble arithmetic)."""
+    terms = [
+        # CAST keeps the nibble product in BIGINT — instr yields INT and
+        # Spark's ANSI mode faults on int32 overflow otherwise
+        f"(instr('0123456789abcdef', substring({hex_var}, {start + i}, 1)) - 1)"
+        f" * CAST({16 ** (nchars - 1 - i)} AS BIGINT)"
+        for i in range(nchars)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def token_hash31_sql(md5_var: str) -> str:
+    """31-bit token hash from an md5 hex string (first 8 hex chars mod M31)."""
+    return f"({_hex_to_long_sql(md5_var, 1, 8)} % {_M31})"
+
+
+def token_hash60_sql(md5_var: str) -> str:
+    """60-bit token hash from an md5 hex string (first 15 hex chars)."""
+    return _hex_to_long_sql(md5_var, 1, 15)
 
 
 def _hash_params(num: int = _NUM_HASHES) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(20240316)  # fixed — determinism requirement
-    a = rng.integers(1, _MERSENNE, num, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, num, dtype=np.int64)
+    a = rng.integers(1, _M31, num, dtype=np.int64)
+    b = rng.integers(0, _M31, num, dtype=np.int64)
     return a, b
 
 
-def _token_hash(tokens: np.ndarray) -> np.ndarray:
-    """FNV-1a 64-bit over utf-8 bytes (python-int arithmetic with explicit
-    wraparound — deterministic across processes, unlike builtin hash())."""
-    mask = (1 << 64) - 1
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):  # per distinct shingle — bounded set
-        h = 1469598103934665603
-        for byte in t.encode("utf-8"):
-            h = ((h ^ byte) * 1099511628211) & mask
-        out[i] = h
-    return out
+def _hashes_col(n: int, bits_sql) -> F.Column:
+    """grams -> array<long> of token hashes, md5 computed once per gram."""
+    return F.expr(f"transform(transform(grams, g -> md5(g)), m -> {bits_sql('m')})")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _doc_boundaries(hs_series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flatten a Series of int64 lists into (flat, starts, lengths)."""
+    lens = np.array([0 if h is None else len(h) for h in hs_series], dtype=np.int64)
+    flat = (
+        np.concatenate([np.asarray(h, dtype=np.int64) for h in hs_series if h is not None and len(h)])
+        if lens.sum()
+        else np.empty(0, dtype=np.int64)
+    )
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return flat, starts, lens
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = _NUM_HASHES, n: int = 3) -> DataFrame:
-    """(doc_id, sig: array<long>) — Arrow-batched vectorized MinHash over
-    word n-gram shingles."""
+    """(doc_id, sig: array<long>) — MinHash over word n-gram shingles:
+    ``sig_i = min_g (a_i * h31(g) + b_i) mod M31``.
+
+    Token hashes are native md5 Column expressions (JVM-side, engine-neutral
+    so the DuckDB oracle replays them); the 128-way min is one numpy
+    outer-product + ``minimum.reduceat`` per Arrow batch — fully vectorized,
+    no per-row Python.  (A pure higher-order-function formulation was tried
+    and rejected: Spark evaluates HOF lambdas interpreted, ~50x slower.)
+    All arithmetic stays < 2^62, exact in int64 on both engines."""
     a, b = _hash_params(num_hashes)
 
     @F.pandas_udf(ArrayType(LongType()))
-    def _minhash(grams: pd.Series) -> pd.Series:
-        sigs = []
-        for gl in grams:
-            if gl is None or len(gl) == 0:
-                sigs.append([0] * num_hashes)
-                continue
-            th = _token_hash(np.asarray(gl, dtype=object)).astype(np.int64) & ((1 << 61) - 1)
-            # sig_i = min_j (a_i * h_j + b_i) mod M  — outer product, vectorized
-            vals = (np.multiply.outer(a.astype(np.object_), th) + b[:, None]) % _MERSENNE
-            sigs.append(vals.min(axis=1).astype(np.int64).tolist())
-        return pd.Series(sigs)
+    def _sigs(hs: pd.Series) -> pd.Series:
+        flat, starts, lens = _doc_boundaries(hs)
+        if flat.size == 0:
+            return pd.Series([[0] * num_hashes] * len(hs))
+        vals = (a[:, None] * flat[None, :] + b[:, None]) % _M31  # (H, G_total)
+        nz = lens > 0
+        mins = np.minimum.reduceat(vals, starts[nz], axis=1)[:, : int(nz.sum())]
+        # reduceat with duplicate/trailing starts needs the nz mask: empty
+        # docs get the [0]*H sentinel signature instead
+        out, j = [], 0
+        for has in nz:
+            if has:
+                out.append(mins[:, j].tolist())
+                j += 1
+            else:
+                out.append([0] * num_hashes)
+        return pd.Series(out)
 
-    return docs.select("doc_id", _shingle_col(n).alias("grams")).select(
-        "doc_id", _minhash("grams").alias("sig")
+    return (
+        docs.select("doc_id", _shingle_col(n).alias("grams"))
+        .select("doc_id", _hashes_col(n, token_hash31_sql).alias("hs"))
+        .select("doc_id", _sigs("hs").alias("sig"))
     )
 
 
@@ -178,18 +233,20 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate pairs whose signatures collide in >=1 LSH band.
 
-    explode to (band_id, band_hash) -> shuffle on the bucket key ->
-    self-join within buckets.  Hot buckets (boilerplate docs) are exactly
-    the skew case: AQE skew-join splits them; at 10^12 docs the bucket id
-    additionally gets a salt on the build of per-bucket pair lists.
+    explode to (band_id, band_key) -> shuffle on the bucket key ->
+    self-join within buckets; the band key is the raw ``rows``-element
+    signature slice (array equality — engine-neutral, unlike ``hash()``).
+    Hot buckets (boilerplate docs) are exactly the skew case: AQE skew-join
+    splits them; at 10^12 docs the bucket id additionally gets a salt on
+    the build of per-bucket pair lists.
     """
     assert bands * rows <= _NUM_HASHES
     band_expr = (
         f"transform(sequence(0, {bands - 1}), "
-        f"b -> named_struct('band', b, 'bh', hash(slice(sig, b * {rows} + 1, {rows}))))"
+        f"b -> named_struct('band', b, 'bkey', slice(sig, b * {rows} + 1, {rows})))"
     )
     buckets = sigs.select("doc_id", F.explode(F.expr(band_expr)).alias("e")).select(
-        "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+        "doc_id", F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey")
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -197,7 +254,7 @@ def minhash_lsh_pairs(
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -205,42 +262,141 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_pairs_checked(
+    docs: DataFrame, num_hashes: int = _NUM_HASHES, bands: int = 32, rows: int = 4, n: int = 3
+) -> DataFrame:
+    """LSH candidate pairs annotated with their *exact* n-gram Jaccard:
+    (doc_a, doc_b, jac_pct).  The exact score makes the result fully
+    oracle-checkable (the reference's own correctness method is result-set
+    containment with exact re-scoring,
+    `Experiment/SearchCorrectness/RSKQ_SearchCorrectness.java:800-875`)."""
+    cand = minhash_lsh_pairs(minhash_signatures(docs, num_hashes, n), bands, rows)
+    g = docs.select("doc_id", _shingle_col(n).alias("grams"))
+    inter = F.size(F.array_intersect(F.col("ga.grams"), F.col("gb.grams")))
+    union = F.size(F.col("ga.grams")) + F.size(F.col("gb.grams")) - inter
+    jac_pct = F.floor(F.lit(100) * inter / union).cast("long")
+    return (
+        cand.join(g.alias("ga"), F.col("doc_a") == F.col("ga.doc_id"))
+        .join(g.alias("gb"), F.col("doc_b") == F.col("gb.doc_id"))
+        .select("doc_a", "doc_b", jac_pct.alias("jac_pct"))
+    )
+
+
+def _grams_duckdb(n: int) -> str:
+    """DuckDB word-shingle expression over column ``toks`` (list of words),
+    mirroring _shingle_col."""
+    return (
+        f"list_distinct([array_to_string(toks[i : i + {n - 1}], ' ') "
+        f"for i in range(1, greatest(2, len(toks) - {n - 2}))])"
+    )
+
+
+def minhash_pairs_oracle(
+    table: str = "documents",
+    num_hashes: int = _NUM_HASHES,
+    bands: int = 32,
+    rows: int = 4,
+    n: int = 3,
+) -> str:
+    """DuckDB oracle replaying the exact MinHash+LSH pipeline in SQL:
+    same md5-based token hash, same (a_i, b_i) literals, same band slices."""
+    a, b = _hash_params(num_hashes)
+    mins = ", ".join(
+        f"MIN(({int(a[i])} * h + {int(b[i])}) % {_M31}) AS s{i}" for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {keys} FROM sigs".format(
+            b=bi,
+            keys=", ".join(f"s{bi * rows + r} AS k{r}" for r in range(rows)),
+        )
+        for bi in range(bands)
+    )
+    band_eq = " AND ".join(f"a.k{r} = b.k{r}" for r in range(rows))
+    return f"""
+WITH g AS (
+  SELECT doc_id, {_grams_duckdb(n)} AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {table})
+), e AS (
+  SELECT doc_id, md5(unnest(grams)) AS m FROM g
+), hx AS (
+  SELECT doc_id, {token_hash31_sql('m')} AS h FROM e
+), sigs AS (
+  SELECT doc_id, {mins} FROM hx GROUP BY doc_id
+), bandrows AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandrows a JOIN bandrows b
+    ON a.band = b.band AND {band_eq} AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(FLOOR(100.0 * len(list_intersect(ga.grams, gb.grams)) /
+            (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)))) AS BIGINT) AS jac_pct
+FROM cand c
+JOIN g ga ON ga.doc_id = c.doc_a
+JOIN g gb ON gb.doc_id = c.doc_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
 def simhash(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, simhash: long) — 64-bit SimHash over shingle hashes."""
+    """(doc_id, simhash: long) — 60-bit SimHash over shingle hashes.
 
+    Token hashes are native md5 Column expressions (engine-neutral, DuckDB
+    replays them); the per-bit majority vote is one numpy bit-matrix +
+    ``add.reduceat`` per Arrow batch.  Bit k of the fingerprint is set iff
+    strictly more than half the shingle hashes have bit k set (vote > 0) —
+    exactly the oracle's SUM(+1/-1) > 0.  60 bits (15 md5 hex chars) keep
+    every intermediate exact in int64 for both engines."""
     @F.pandas_udf(LongType())
-    def _simhash(grams: pd.Series) -> pd.Series:
-        out = np.zeros(len(grams), dtype=np.int64)
-        for i, gl in enumerate(grams):
-            if gl is None or len(gl) == 0:
-                continue
-            th = _token_hash(np.asarray(gl, dtype=object))
-            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-            vote = (2 * bits - 1).sum(axis=0)
-            fp = np.uint64(0)
-            for k in range(64):
-                if vote[k] > 0:
-                    fp |= np.uint64(1) << np.uint64(k)
-            out[i] = np.int64(fp.astype(np.int64))
+    def _fp(hs: pd.Series) -> pd.Series:
+        flat, starts, lens = _doc_boundaries(hs)
+        out = np.zeros(len(hs), dtype=np.int64)
+        if flat.size:
+            ks = np.arange(_SIMHASH_BITS, dtype=np.int64)
+            bits = (flat[:, None] >> ks[None, :]) & 1  # (G_total, 60)
+            nz = lens > 0
+            sums = np.add.reduceat(bits, starts[nz], axis=0)
+            majority = 2 * sums > lens[nz][:, None]
+            out[nz] = (majority.astype(np.int64) << ks[None, :]).sum(axis=1)
         return pd.Series(out)
 
-    return docs.select("doc_id", _shingle_col(n).alias("grams")).select(
-        "doc_id", _simhash("grams").alias("simhash")
+    return (
+        docs.select("doc_id", _shingle_col(n).alias("grams"))
+        .select("doc_id", _hashes_col(n, token_hash60_sql).alias("hs"))
+        .select("doc_id", _fp("hs").alias("simhash"))
     )
+
+
+def _simhash_chunks(max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) chunks splitting the fingerprint into
+    ``max_hamming + 1`` bands — pigeonhole: any pair within ``max_hamming``
+    agrees exactly on >= 1 band, so band blocking has complete recall."""
+    bands = max_hamming + 1
+    base, rem = divmod(_SIMHASH_BITS, bands)
+    chunks, off = [], 0
+    for i in range(bands):
+        w = base + (1 if i < rem else 0)
+        chunks.append((off, w))
+        off += w
+    return chunks
 
 
 def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pairs within hamming distance via 4x16-bit band blocking (any pair
-    with distance <= 3 shares at least one exact 16-bit band)."""
-    bands = F.expr(
-        "transform(sequence(0, 3), b -> named_struct('band', b, "
-        "'piece', (simhash >> (b * 16)) & 65535))"
+    """All pairs within ``max_hamming`` (complete, not best-effort): the
+    fingerprint splits into ``max_hamming + 1`` bands, pairs collide on a
+    band equi-join, exact hamming is the residual filter."""
+    chunks = _simhash_chunks(max_hamming)
+    pieces_lit = ", ".join(
+        f"named_struct('band', {i}, 'piece', (simhash div {1 << off}) % {1 << w})"
+        for i, (off, w) in enumerate(chunks)
     )
-    pieces = fps.select("doc_id", "simhash", F.explode(bands).alias("e")).select(
+    pieces = fps.select(
+        "doc_id", "simhash", F.explode(F.expr(f"array({pieces_lit})")).alias("e")
+    ).select(
         "doc_id", "simhash", F.col("e.band").alias("band"), F.col("e.piece").alias("piece")
     )
     a = pieces.alias("a")
@@ -261,3 +417,38 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         .distinct()
     )
+
+
+def simhash_pairs_oracle(table: str = "documents", max_hamming: int = 3, n: int = 3) -> str:
+    """DuckDB oracle replaying simhash + band blocking + hamming filter."""
+    chunks = _simhash_chunks(max_hamming)
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band, (simhash // {1 << off}) % {1 << w} AS piece FROM fp"
+        for i, (off, w) in enumerate(chunks)
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id, {_grams_duckdb(n)} AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {table})
+), e AS (
+  SELECT doc_id, md5(unnest(grams)) AS m FROM g
+), hx AS (
+  SELECT doc_id, {token_hash60_sql('m')} AS h FROM e
+), dims AS (SELECT unnest(range(0, {_SIMHASH_BITS})) AS k),
+votes AS (
+  SELECT doc_id, k,
+         SUM(CASE WHEN (h // CAST(pow(2, k) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hx, dims GROUP BY doc_id, k
+), fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN CAST(pow(2, k) AS BIGINT) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+), bandrows AS (
+  {band_selects}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bandrows a JOIN bandrows b
+  ON a.band = b.band AND a.piece = b.piece AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""

@@ -137,17 +137,43 @@ def _planes(dim: int, nbits: int = 16) -> np.ndarray:
     return rng.standard_normal((nbits, dim))
 
 
-def lsh_bucket_udf(dim: int, nbits: int = 16):
-    planes = _planes(dim, nbits)
+def _plane_lit_spark(plane: np.ndarray) -> str:
+    return "array(" + ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in plane) + ")"
 
-    @F.pandas_udf(LongType())
-    def _bucket(emb: pd.Series) -> pd.Series:
-        mat = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
-        signs = (mat @ planes.T) > 0
-        codes = (signs.astype(np.int64) << np.arange(nbits, dtype=np.int64)).sum(axis=1)
-        return pd.Series(codes)
 
-    return _bucket
+def _plane_lit_duck(plane: np.ndarray) -> str:
+    return "[" + ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in plane) + "]"
+
+
+def lsh_bucket_expr(dim: int, nbits: int = 16) -> F.Column:
+    """Sign-LSH bucket code as a native Column: bit j set iff the sequential
+    left-fold dot product with literal plane j is positive.  The identical
+    fold order exists in DuckDB (``list_reduce``), so bucket codes are
+    bit-reproducible across engines — the correctness lever that lets the
+    ANN query have a full SQL oracle."""
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_sql('embedding', _plane_lit_spark(p))} > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(_planes(dim, nbits))
+    )
+    return F.expr(f"CAST({terms} AS BIGINT)")
+
+
+def _query_code(query_vec: list[float], planes: np.ndarray) -> int:
+    """Query-side bucket code with the same sequential fold as the SQL."""
+    code = 0
+    for j in range(planes.shape[0]):
+        acc = 0.0
+        for v, w in zip(query_vec, planes[j]):
+            acc += float(v) * float(w)
+        if acc > 0:
+            code |= 1 << j
+    return code
+
+
+def _probe_codes(query_vec: list[float], nbits: int, hamming_probe: int) -> list[int]:
+    planes = _planes(len(query_vec), nbits)
+    qcode = _query_code(query_vec, planes)
+    return [qcode] + ([qcode ^ (1 << i) for i in range(nbits)] if hamming_probe else [])
 
 
 def ann_topk(
@@ -159,13 +185,48 @@ def ann_topk(
 ) -> DataFrame:
     """Approximate top-k: probe the query's LSH bucket and its hamming-1
     neighbours, exact cosine re-rank within.  At 10^12 rows the table is
-    stored bucketed by the LSH code, so the probe reads ~(nbits+1)/2^nbits
-    of the data."""
+    stored bucketed/partitioned by the LSH code (``lsh_bucket_expr`` is the
+    write-path partition key), so the probe reads ~(nbits+1)/2^nbits of the
+    data instead of recomputing codes on the fly."""
     dim = len(query_vec)
-    planes = _planes(dim, nbits)
-    q = np.asarray(query_vec, dtype=np.float64)
-    qcode = int(((q @ planes.T) > 0).astype(np.int64) @ (1 << np.arange(nbits)))
-    probes = [qcode] + [qcode ^ (1 << i) for i in range(nbits)] if hamming_probe else [qcode]
-    bucketed = embeddings.withColumn("bucket", lsh_bucket_udf(dim, nbits)(F.col("embedding")))
+    probes = _probe_codes(query_vec, nbits, hamming_probe)
+    bucketed = embeddings.withColumn("bucket", lsh_bucket_expr(dim, nbits))
     cand = bucketed.filter(F.col("bucket").isin(probes))
     return cosine_topk(cand, query_vec, k)
+
+
+def ann_topk_oracle(
+    query_vec: list[float],
+    k: int = 10,
+    nbits: int = 16,
+    hamming_probe: int = 1,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle replaying the sign-LSH probe: identical plane literals,
+    identical fold order, identical probe set."""
+    planes = _planes(len(query_vec), nbits)
+    probes = _probe_codes(query_vec, nbits, hamming_probe)
+    dot_of = lambda plane_lit: (  # noqa: E731 — local SQL snippet builder
+        f"list_reduce(list_transform(list_zip(embedding, {plane_lit}), "
+        f"p -> CAST(p[1] AS DOUBLE) * p[2]), (a, b) -> a + b)"
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_of(_plane_lit_duck(p))} > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    qn = float(np.sqrt(np.sum(np.float64(np.asarray(query_vec, dtype=np.float32)) ** 2)))
+    qlit = "[" + ", ".join(f"CAST({float(v)} AS FLOAT)" for v in query_vec) + "]"
+    dot = (
+        f"list_reduce(list_transform(list_zip(embedding, {qlit}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)"
+    )
+    norm = (
+        "list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), "
+        "(a, b) -> a + b)"
+    )
+    in_list = ", ".join(str(c) for c in probes)
+    return (
+        f"WITH b AS (SELECT vec_id, embedding, ({bucket}) AS bucket FROM {table}) "
+        f"SELECT vec_id, CAST(FLOOR(1000000.0 * {dot} / (SQRT({norm}) * {qn!r})) AS BIGINT) AS cos_e6 "
+        f"FROM b WHERE bucket IN ({in_list}) ORDER BY cos_e6 DESC, vec_id LIMIT {k}"
+    )
