@@ -95,6 +95,38 @@ def _brq_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "x", "y")
 
 
+def _construction_grq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 per-axis tree-cover baseline (ConstructionOne.java:330-384):
+    result set must equal the plain box — same oracle as a Hilbert GRQ."""
+    from hilbert_curve_spark.operators.construction import construction_grq
+
+    return construction_grq(_doc_geo(spark, sf_dir), **W.R2, config=DEFAULT)
+
+
+def _csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 reference-true CSV ingestion: doc_geo exports to the reference's
+    DataRow CSV shape (FixRangeCompareToConstructionOne.java:148-173), the
+    positional-schema reader loads it back, the Hilbert column is recomputed
+    from the CSV coordinates, and a GRQ runs on the re-ingested table — the
+    result must equal the R1 box oracle on the original corpus."""
+    import os
+
+    from hilbert_curve_spark.functions.udfs import hilbert_encode_udf
+    from hilbert_curve_spark.sources import readers
+
+    dg = _doc_geo(spark, sf_dir)
+    path = f"/tmp/hcs_csv_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    readers.write_datarow_csv(dg, path)
+    back = readers.read_datarow_csv(spark, path)
+    geo2 = back.select(
+        F.expr("'doc' || lpad(CAST(fileID AS STRING), 10, '0')").alias("doc_id"),
+        F.col("pointX").alias("x"),
+        F.col("pointY").alias("y"),
+        hilbert_encode_udf(DEFAULT.order)(F.col("pointX"), F.col("pointY")).alias("hilbert"),
+    )
+    return rq.grq_range_mode(geo2, **W.R1).select("doc_id", "x", "y")
+
+
 def _tile_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles_ops.tile_cells(spark, W.TILES, DEFAULT)
 
@@ -253,6 +285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grq_range": _grq_range,
         "grq_budget": _grq_budget,
         "grq_prefix": _grq_prefix,
+        "construction_grq": _construction_grq,
+        "csv_roundtrip": _csv_roundtrip,
         "brq_any": _brq_any,
         "brq_all": _brq_all,
         "tile_cells": _tile_cells,
@@ -422,6 +456,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "grq_budget": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R2)}"
+        ),
+        "construction_grq": (
+            f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R2)}"
+        ),
+        "csv_roundtrip": (
+            f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),
         "grq_prefix": (
             f"{cte} SELECT DISTINCT doc_key AS doc_id FROM doc_geo WHERE {W.box_sql(W.R3)}"

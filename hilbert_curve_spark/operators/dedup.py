@@ -72,9 +72,14 @@ def jaccard_pairs(
     """Exact n-gram Jaccard similarity join: pairs (doc_a, doc_b, jac_pct)
     with jaccard >= threshold (integer percent — no float compare).
 
-    Blocking: docs join only within the same word-count band (length ratio
-    bound implied by the Jaccard threshold) AND sharing the same first
-    token.  Self-join shuffles on the block key; AQE splits skewed blocks.
+    Blocking is a HEURISTIC, not a similarity bound: docs join only within
+    the same fixed-width word-count band (``floor(wc / band)``) AND sharing
+    the same first token, so near-duplicate pairs straddling a band edge or
+    differing in token 0 are missed by design (the oracle replays the same
+    blocking, so parity holds).  This family is the *exact-rescoring* path;
+    MinHash-LSH (below) is the recall-complete candidate generator — run
+    LSH for candidates, this join's scoring for the final decision.
+    Self-join shuffles on the block key; AQE splits skewed blocks.
     """
     g = docs.select(
         "doc_id",
