@@ -75,7 +75,16 @@ def _build(spark):
     geo = spark.read.parquet(geo_path)
     n = geo.count()
     idx_path = f"{_corpus_path()}_pidx"
-    prefix_index(geo).write.mode("overwrite").parquet(idx_path)
+    # deployment layout: posting index range-partitioned + sorted by the
+    # probe key, so the literal pbits prefilter in grq_prefix_mode becomes
+    # parquet row-group pruning (probe reads a sliver, not 16M rows)
+    (
+        prefix_index(geo)
+        .repartitionByRange(32, "pbits", "plen")
+        .sortWithinPartitions("pbits", "plen")
+        .write.mode("overwrite")
+        .parquet(idx_path)
+    )
     pidx = spark.read.parquet(idx_path)
     return geo, pidx, n
 
@@ -256,23 +265,38 @@ def main():
         # while local[8] and below stay stable).  Override with
         # SPARK_GRAFT_SCALING_N on real hardware.
         n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
         m_small, m_big = f"local[{n_small}]", f"local[{4 * n_small}]"
-        r_small = run_heavy(m_small, amp)
-        r_big = run_heavy(m_big, amp)
-        eff = (r_small["total_sec"] / r_big["total_sec"]) / 4.0
+        # MEDIAN-of-reps paired draws: the VM's CPU steal is bursty, and a
+        # single lucky draw is not honest evidence — the reported efficiency
+        # is the median across full (small, big) pairs, with every draw
+        # recorded so the spread is visible.
+        draws = []
+        for _ in range(reps):
+            r_small = run_heavy(m_small, amp)
+            r_big = run_heavy(m_big, amp)
+            eff = (r_small["total_sec"] / r_big["total_sec"]) / 4.0
+            draws.append({"small": r_small, "big": r_big, "efficiency": round(eff, 3)})
+        draws_sorted = sorted(draws, key=lambda d: d["efficiency"])
+        med = draws_sorted[len(draws_sorted) // 2]
+        r_small, r_big = med["small"], med["big"]
         out = {
-            "metric": f"compute-bound pipeline wall time, {m_small} vs {m_big} on identical input",
+            "metric": (
+                f"compute-bound pipeline wall time, {m_small} vs {m_big} on "
+                f"identical input (median of {reps} paired draws)"
+            ),
             "value": r_big["total_sec"],
             "unit": "sec",
             "queries": r_big["stages"],
             "sf": SF_DIR,
             "docs": r_big["docs"],
-            "local8": r_small,
-            "local32": r_big,
+            "small": r_small,
+            "big": r_big,
             "masters": [m_small, m_big],
             "throughput_N": r_small["docs_per_sec"],
             "throughput_4N": r_big["docs_per_sec"],
-            "scaling_efficiency": round(eff, 3),
+            "scaling_efficiency": med["efficiency"],
+            "efficiency_draws": [d["efficiency"] for d in draws],
         }
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
         with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:

@@ -87,12 +87,23 @@ class CheckpointRunner:
             out = df.persist()
             lineage = self._partition_lineage(out)
             out.write.mode("overwrite").parquet(str(dpath))
+            # per-partition bytes: one part-file per write task, in partition
+            # order — pair them up with the row lineage
+            part_files = sorted(p for p in dpath.glob("part-*") if p.is_file())
+            for entry, pf in zip(lineage, part_files):
+                entry["bytes"] = pf.stat().st_size
+            conf = self.spark.conf
             manifest = {
                 "stage": st.name,
                 "input_fingerprint": fp,
                 "rows": sum(p["rows"] for p in lineage),
                 "partitions": lineage,
                 "wall_sec": round(time.time() - t0, 3),
+                "engine_config": {
+                    "shuffle_partitions": conf.get("spark.sql.shuffle.partitions"),
+                    "adaptive_enabled": conf.get("spark.sql.adaptive.enabled"),
+                    "ansi_enabled": conf.get("spark.sql.ansi.enabled", "true"),
+                },
                 "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
             tmp = mpath.with_suffix(".tmp")

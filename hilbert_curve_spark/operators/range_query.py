@@ -119,7 +119,11 @@ def grq_prefix_mode(
     cover = cover_box(x_lo, x_hi, y_lo, y_hi, config.order, max_ranges=0)
     prefixes = bpc_cover_of_ranges(cover.ranges, config.bits)
     spark = index.sparkSession
-    plist = spark.createDataFrame(
-        [prefix_to_key(p) for p in prefixes], "pbits long, plen int"
-    )
-    return index.join(F.broadcast(plist), ["pbits", "plen"]).select("doc_id")
+    keys = [prefix_to_key(p) for p in prefixes]
+    plist = spark.createDataFrame(keys, "pbits long, plen int")
+    # literal isin prefilter ahead of the join: join keys cannot prune a
+    # scan, but this literal list can — on an index stored sorted by
+    # (pbits, plen) it becomes parquet row-group pruning, so the probe
+    # reads a sliver of the posting table instead of all of it
+    probe = index.filter(F.col("pbits").isin([k[0] for k in keys]))
+    return probe.join(F.broadcast(plist), ["pbits", "plen"]).select("doc_id")

@@ -1,0 +1,169 @@
+"""Structured-Streaming forms of the event operators: watermarked tumbling
+windows and stateful sessionization (``applyInPandasWithState``).
+
+The reference has no streaming surface (SURVEY §2.3); these are the
+idiomatic-Spark twins of ``operators/events.py`` — same semantics, same
+integer-second arithmetic, so a batch run over the same data is the oracle
+(tested in ``tests/test_streaming_events.py``).
+
+Design notes for the 100 TB / real-cluster shape:
+
+* The source here is a file stream (the sandbox form); swap for Kafka by
+  changing ``readStream`` options only — every transformation below is
+  source-agnostic.
+* Watermarks bound state: the tumbling aggregation drops windows older
+  than the watermark, and the sessionizer sets a per-key event-time
+  timeout at ``last_ts + gap`` so closed sessions are emitted and evicted
+  instead of accumulating forever.
+* State is keyed by ``user_id`` — the same key the batch sessionizer
+  shuffles on, so a bucketed-by-user Kafka topic partitioning makes the
+  stateful stage shuffle-free.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_s", LongType()),
+        StructField("session_end_s", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_s", LongType()),
+        StructField("last_s", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source event stream (one file per micro-batch for determinism)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def tumbling_counts_stream(
+    events: DataFrame, minutes: int = 60, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of ``operators.events.tumbling_counts``: same epoch
+    bucketing, plus a watermark that bounds aggregation state."""
+    v6 = F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)")
+    start = (
+        F.window("ts", f"{minutes} minutes")
+        .getField("start")
+        .cast("timestamp")
+        .cast("long")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("v6", v6)
+        .groupBy(start.alias("window_start_s"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("v6").alias("sum_value_e6"))
+    )
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Stateful streaming sessionization via ``applyInPandasWithState``.
+
+    Per-user state carries (session_start, last_event, count) in integer
+    epoch seconds — the exact arithmetic of the batch sessionizer, so the
+    emitted (closed) sessions byte-match a batch run over the same prefix
+    of the stream.  A session closes when a later event arrives past the
+    gap, or when the event-time timeout (``last + gap``) fires under the
+    watermark; both paths emit the same row and the state is then replaced
+    or removed — bounded state, no per-key growth.
+    """
+    gap = gap_minutes * 60
+
+    def _sessionize(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_s, last_s, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_start_s": start_s,
+                        "session_end_s": last_s,
+                        "n_events": n,
+                    }
+                ]
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        secs = (rows["ts"].astype("int64") // 1_000_000_000).tolist()
+        cur = state.get if state.exists else None  # (start_s, last_s, n)
+        closed = []
+        for s in secs:
+            if cur is None:
+                cur = (s, s, 1)
+            elif s - cur[1] > gap:
+                closed.append(cur)
+                cur = (s, s, 1)
+            else:
+                cur = (cur[0], s, cur[2] + 1)
+        state.update(cur)
+        state.setTimeoutTimestamp((cur[1] + gap) * 1000)
+        if closed:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_start_s": a,
+                        "session_end_s": b,
+                        "n_events": n,
+                    }
+                    for a, b, n in closed
+                ]
+            )
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -9,9 +9,9 @@ that as a real Structured Streaming job:
 * ``stream_updates`` — file-source stream over an updates directory;
   each micro-batch appends to the versioned log (foreachBatch so the sink
   stays plain parquet/Iceberg and the append is atomic per batch).
-* ``live_count_stream`` — a windowless stateful aggregation demonstrating
-  watermark + dedup on the same stream (drop late duplicates by doc_id
-  within the watermark).
+
+Watermarked windowed aggregation and custom stateful operators
+(``applyInPandasWithState``) live in :mod:`.event_streams`.
 
 Versions are assigned from the micro-batch id — a monotone total order per
 key (SURVEY §7.4 risk 6: never executor wall-clock).

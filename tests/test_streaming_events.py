@@ -1,0 +1,103 @@
+"""Streaming event operators vs their batch twins: the batch operator is
+the oracle for the streaming plan over the same data."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hilbert_curve_spark.operators import events as ev_ops
+from hilbert_curve_spark.streaming import event_streams as es
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events split into 3 files (3 micro-batches), time-ordered so the
+    watermark advances monotonically like a live stream."""
+    out = tmp_path_factory.mktemp("stream") / "events"
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").orderBy("ts")
+    n = df.count()
+    rows = df.collect()
+    for i in range(3):
+        chunk = rows[i * n // 3 : (i + 1) * n // 3]
+        spark.createDataFrame(chunk, df.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(out / f"batch{i}"))
+    # flatten: move part files into one dir (file-stream sources list files)
+    flat = tmp_path_factory.mktemp("stream") / "flat"
+    flat.mkdir()
+    k = 0
+    for sub in sorted(out.glob("batch*")):
+        for pf in sorted(sub.glob("part-*")):
+            shutil.copy(pf, flat / f"{k:02d}.parquet")
+            k += 1
+    return str(flat)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_dir, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    q = (
+        es.tumbling_counts_stream(es.read_event_stream(spark, events_dir))
+        .writeStream.format("memory")
+        .queryName("tumbling_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start_s"], r["event_type"]): (r["n_events"], r["sum_value_e6"])
+        for r in spark.sql("SELECT * FROM tumbling_stream").collect()
+    }
+    batch = {
+        (r["window_start_s"], r["event_type"]): (r["n_events"], r["sum_value_e6"])
+        for r in ev_ops.tumbling_counts(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ).collect()
+    }
+    assert got == batch
+
+
+def test_sessionize_stream_matches_batch_closed_sessions(
+    spark, sf_dir, events_dir, tmp_path_factory
+):
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    q = (
+        es.sessionize_stream(es.read_event_stream(spark, events_dir))
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start_s"], r["session_end_s"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_stream").collect()
+    }
+    # batch oracle: every session EXCEPT each user's last (the stream can
+    # only close a session once a later event or the final watermark passes
+    # the gap; the per-user tail session may legitimately still be open)
+    batch_df = ev_ops.sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    batch_rows = batch_df.withColumn(
+        "start_s", F.col("start_ts").cast("timestamp").cast("long")
+    ).withColumn("end_s", F.col("end_ts").cast("timestamp").cast("long")).collect()
+    last_per_user = {}
+    for r in batch_rows:
+        cur = last_per_user.get(r["user_id"])
+        if cur is None or r["start_s"] > cur["start_s"]:
+            last_per_user[r["user_id"]] = r
+    expect_closed = {
+        (r["user_id"], r["start_s"], r["end_s"], r["n_events"])
+        for r in batch_rows
+        if last_per_user[r["user_id"]] is not r
+    }
+    # every emitted session must be a true batch session...
+    all_batch = {
+        (r["user_id"], r["start_s"], r["end_s"], r["n_events"]) for r in batch_rows
+    }
+    assert got <= all_batch
+    # ...and every non-tail session must have been emitted
+    assert expect_closed <= got
