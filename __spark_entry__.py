@@ -205,6 +205,53 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features_checked(build_documents(spark, sf_dir))
 
 
+S2_LEVEL = 12
+
+
+def _s2_dirs():
+    """Deterministic unnormalized direction vectors from the lattice coords:
+    half-integer doubles (never zero, exact in float64), so the S2 encode's
+    compare/divide/sqrt/floor chain is bit-identical in Spark and DuckDB."""
+    e = DEFAULT.edge
+    half = e / 2.0
+    vx = F.col("x").cast("double") - F.lit(half) + F.lit(0.5)
+    vy = F.col("y").cast("double") - F.lit(half) + F.lit(0.5)
+    vz = ((F.col("x") * 31 + F.col("y") * 17) % e).cast("double") - F.lit(half) + F.lit(0.5)
+    return vx, vy, vz
+
+
+def _s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real S2 cell encoding (north_star "H3/S2 cells"): every doc's derived
+    direction vector -> signed-int64 S2 cell id at level 12 via the
+    vectorized numpy kernel (curve/s2.py) — oracle-checked bit-for-bit
+    against the DuckDB rendering of the same public-spec algorithm."""
+    from hilbert_curve_spark.functions.cells import s2_cell_xyz_udf
+
+    dg = _doc_geo(spark, sf_dir)
+    vx, vy, vz = _s2_dirs()
+    return dg.select(
+        F.col("doc_id"), s2_cell_xyz_udf(S2_LEVEL)(vx, vy, vz).alias("s2_cell")
+    )
+
+
+def _s2_cells_oracle() -> str:
+    from hilbert_curve_spark.curve.s2_sql import s2_sql_cte
+
+    e = DEFAULT.edge
+    half = e / 2.0
+    pts = (
+        f"SELECT doc_key AS key, CAST(x AS DOUBLE) - {half} + 0.5 AS vx, "
+        f"CAST(y AS DOUBLE) - {half} + 0.5 AS vy, "
+        f"CAST((x * 31 + y * 17) % {e} AS DOUBLE) - {half} + 0.5 AS vz FROM doc_geo"
+    )
+    cte = s2_sql_cte(
+        pts,
+        S2_LEVEL,
+        pre_ctes=f"doc_geo AS ({derive.doc_geo_select_sql('documents')}), ",
+    )
+    return f"{cte} SELECT key AS doc_id, s2_cell FROM s2v"
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -303,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_dup_pairs": _embed_dup_pairs,
         "ann_topk": _ann_topk,
         "media_features": _media_features,
+        "s2_cells": _s2_cells,
         "events_tumbling": _events_tumbling,
         "events_sessions": _events_sessions,
         "events_latest": _events_latest,
@@ -433,6 +481,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cell_stats": _cell_stats_oracle(),
         "media_features": media_features_oracle(),
+        "s2_cells": _s2_cells_oracle(),
         "events_tumbling": ev_ops.tumbling_counts_oracle(),
         "events_sessions": ev_ops.sessionize_oracle(),
         "events_latest": ev_ops.latest_event_oracle(),
