@@ -199,6 +199,19 @@ def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN: probe the 2 nearest of 8 inverted lists,
+    exact re-rank within (the partition-pruning scale path; sign-LSH
+    `ann_topk` is the hash-bucket alternative)."""
+    return sim_ops.ivf_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        ANN_QUERY,
+        ANN_K,
+        n_centroids=8,
+        nprobe=2,
+    )
+
+
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hilbert_curve_spark.operators.media import media_features_checked
 
@@ -349,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _cosine_topk,
         "embed_dup_pairs": _embed_dup_pairs,
         "ann_topk": _ann_topk,
+        "ivf_topk": _ivf_topk,
         "media_features": _media_features,
         "s2_cells": _s2_cells,
         "events_tumbling": _events_tumbling,
@@ -495,6 +509,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": dedup_ops.simhash_pairs_oracle(max_hamming=3),
         "cosine_topk": sim_ops.cosine_topk_oracle(ANN_QUERY, ANN_K),
         "ann_topk": sim_ops.ann_topk_oracle(ANN_QUERY, ANN_K, nbits=3),
+        "ivf_topk": sim_ops.ivf_topk_oracle(ANN_QUERY, ANN_K, n_centroids=8, nprobe=2),
         "embed_dup_pairs": sim_ops.embed_dup_pairs_oracle(),
         "tile_cells": _tile_cells_oracle(),
         "tile_assign": _tile_assign_oracle(),

@@ -230,3 +230,151 @@ def ann_topk_oracle(
         f"SELECT vec_id, CAST(FLOOR(1000000.0 * {dot} / (SQRT({norm}) * {qn!r})) AS BIGINT) AS cos_e6 "
         f"FROM b WHERE bucket IN ({in_list}) ORDER BY cos_e6 DESC, vec_id LIMIT {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse-quantizer variant
+# ---------------------------------------------------------------------------
+
+IVF_STRIDE = 37  # deterministic centroid sampling stride (vec_id % stride == 0)
+
+
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """Deterministic coarse centroids: the first ``n_centroids`` vectors (by
+    vec_id) among rows with ``vec_id % IVF_STRIDE == 0``.
+
+    At 10^12 rows the centroids come from a periodic k-means job and live in
+    a small dimension table; the strided pick here is the deterministic
+    stand-in that both engines (and the DuckDB oracle) can reproduce
+    exactly — the *query plan* downstream is identical either way."""
+    return (
+        embeddings.filter((F.col("vec_id") % IVF_STRIDE) == 0)
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """Assign every vector to its nearest centroid by integer-scaled cosine
+    (ties broken by centroid id): (vec_id, cid, embedding).
+
+    Plan shape: broadcast hash join (centroids are tiny) fanning each row
+    out C ways, then a windowed argmax per vec_id — one shuffle on vec_id.
+    At scale the assignment is computed at WRITE time and stored as a
+    partition column, so queries never pay this join."""
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(embeddings, n_centroids)
+    cos = F.expr(
+        f"CAST(FLOOR(1000000.0 * {_dot_sql('embedding', 'cvec')} / "
+        f"(SQRT({_norm2_sql('embedding')}) * SQRT({_norm2_sql('cvec')}))) AS BIGINT)"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    return (
+        embeddings.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "embedding")
+    )
+
+
+def _centroid_query_cos(query_vec: list[float]) -> F.Column:
+    """Integer-scaled cosine between a centroid vector (``cvec``) and the
+    literal query — the same fold order as everywhere else, so the probe
+    choice is the identical integer in Spark and DuckDB."""
+    qlit = "array(" + ", ".join(f"CAST({float(v)} AS FLOAT)" for v in query_vec) + ")"
+    qn = float(np.sqrt(np.sum(np.float64(np.asarray(query_vec, dtype=np.float32)) ** 2)))
+    return F.expr(
+        f"CAST(FLOOR(1000000.0 * {_dot_sql('cvec', qlit)} / "
+        f"(SQRT({_norm2_sql('cvec')}) * {qn!r})) AS BIGINT)"
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN: rank centroids against the query, scan only the ``nprobe``
+    nearest inverted lists, exact cosine re-rank within: (vec_id, cos_e6).
+
+    The probe list is chosen by the integer-scaled centroid-query cosine
+    (collected from a C-row frame — a driver action on the tiny dimension
+    side only).  At 10^12 rows the table is partitioned by ``cid`` so the
+    probe becomes partition pruning — the query reads ~nprobe/n_centroids
+    of the data."""
+    cents = ivf_centroids(embeddings, n_centroids)
+    probe = [
+        int(r["cid"])
+        for r in cents.withColumn("qcos", _centroid_query_cos(query_vec))
+        .orderBy(F.col("qcos").desc(), F.col("cid"))
+        .limit(nprobe)
+        .collect()
+    ]
+    assigned = ivf_assign(embeddings, n_centroids)
+    cand = assigned.filter(F.col("cid").isin(probe))
+    return cosine_topk(cand.select("vec_id", "embedding"), query_vec, k)
+
+
+def ivf_topk_oracle(
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle replaying the IVF pipeline end to end: same strided
+    centroids, same integer-scaled-cosine probe choice and argmax
+    assignment (identical fold order -> identical integers -> identical
+    probe set and result)."""
+    dot_cv = (
+        "list_reduce(list_transform(list_zip(e.embedding, c.cvec), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)"
+    )
+    norm_of = lambda col: (  # noqa: E731
+        f"SQRT(list_reduce(list_transform({col}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), "
+        "(a, b) -> a + b))"
+    )
+    qn = float(np.sqrt(np.sum(np.float64(np.asarray(query_vec, dtype=np.float32)) ** 2)))
+    qlit = "[" + ", ".join(f"CAST({float(v)} AS FLOAT)" for v in query_vec) + "]"
+    dot_q = (
+        f"list_reduce(list_transform(list_zip(embedding, {qlit}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)"
+    )
+    dot_qc = (
+        f"list_reduce(list_transform(list_zip(cvec, {qlit}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM {table}
+  WHERE vec_id % {IVF_STRIDE} = 0 ORDER BY vec_id LIMIT {n_centroids}
+), probes AS (
+  SELECT cid FROM (
+    SELECT cid,
+           CAST(FLOOR(1000000.0 * {dot_qc} / ({norm_of('cvec')} * {qn!r})) AS BIGINT) AS qcos
+    FROM cents
+  ) ORDER BY qcos DESC, cid LIMIT {nprobe}
+), scored AS (
+  SELECT e.vec_id, c.cid, e.embedding,
+         CAST(FLOOR(1000000.0 * {dot_cv} /
+              ({norm_of('e.embedding')} * {norm_of('c.cvec')})) AS BIGINT) AS ccos,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             CAST(FLOOR(1000000.0 * {dot_cv} /
+                  ({norm_of('e.embedding')} * {norm_of('c.cvec')})) AS BIGINT) DESC,
+             c.cid) AS rn
+  FROM {table} e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, cid, embedding FROM scored WHERE rn = 1
+)
+SELECT vec_id,
+       CAST(FLOOR(1000000.0 * {dot_q} /
+            (SQRT(list_reduce(list_transform(embedding,
+                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a, b) -> a + b)) * {qn!r})) AS BIGINT) AS cos_e6
+FROM assigned WHERE cid IN (SELECT cid FROM probes)
+ORDER BY cos_e6 DESC, vec_id LIMIT {k}
+"""

@@ -29,3 +29,38 @@ def test_embed_dup_pairs_threshold(spark, sf_dir):
     for r in pairs:
         assert r["cos_e6"] >= 250_000
         assert r["vec_a"] < r["vec_b"]
+
+
+def test_ivf_probe_all_equals_exact(spark, sf_dir):
+    """Probing every inverted list must reproduce exact brute-force top-k —
+    the IVF structure only prunes, never re-ranks differently."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = entry_mod.ANN_QUERY
+    exact = [(r["vec_id"], r["cos_e6"]) for r in sim.cosine_topk(emb, q, 10).collect()]
+    full = [
+        (r["vec_id"], r["cos_e6"])
+        for r in sim.ivf_topk(emb, q, 10, n_centroids=8, nprobe=8).collect()
+    ]
+    assert full == exact
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    """nprobe=2/8 on unclustered gaussian embeddings: results are a subset
+    of the probed lists, ranked by the exact cosine; recall floor 0.3
+    (random inverted lists retain ~nprobe/n_centroids of any top-k)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = entry_mod.ANN_QUERY
+    exact = [r["vec_id"] for r in sim.cosine_topk(emb, q, 10).collect()]
+    approx = [r["vec_id"] for r in sim.ivf_topk(emb, q, 10, n_centroids=8, nprobe=2).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.3, recall
+    common = [v for v in exact if v in set(approx)]
+    assert common == [v for v in approx if v in set(common)]
+
+
+def test_ivf_assignment_partitions(spark, sf_dir):
+    """Every vector lands in exactly one inverted list."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned = sim.ivf_assign(emb, n_centroids=8)
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
