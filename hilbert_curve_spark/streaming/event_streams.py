@@ -131,7 +131,23 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             return
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         secs = (rows["ts"].astype("int64") // 1_000_000_000).tolist()
+        # late-data guard: unlike windowed aggregation, applyInPandasWithState
+        # does NOT filter rows behind the watermark — without this, an
+        # out-of-order micro-batch replay (e.g. file sources with unstable
+        # mtime ordering) feeds ancient events into current state and
+        # produces sessions with start > end (observed live).  Dropping
+        # late rows is exactly what the built-in watermarked operators do.
+        wm_s = state.getCurrentWatermarkMs() // 1000
+        if wm_s > 0:
+            secs = [s for s in secs if s >= wm_s]
         cur = state.get if state.exists else None  # (start_s, last_s, n)
+        if not secs:
+            if cur is not None:
+                timeout_ms = (cur[1] + gap) * 1000
+                state.setTimeoutTimestamp(
+                    max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+                )
+            return
         closed = []
         for s in secs:
             if cur is None:
@@ -142,7 +158,12 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             else:
                 cur = (cur[0], s, cur[2] + 1)
         state.update(cur)
-        state.setTimeoutTimestamp((cur[1] + gap) * 1000)
+        # a user whose events lag the global watermark by more than the
+        # delay can have last+gap already behind it — Spark rejects such a
+        # timestamp, so clamp to watermark+1: the overdue session then
+        # closes at the very next watermark advance (same emitted row)
+        timeout_ms = (cur[1] + gap) * 1000
+        state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
         if closed:
             yield pd.DataFrame(
                 [

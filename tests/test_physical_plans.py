@@ -74,3 +74,36 @@ def test_file_pruning_on_sorted_layout(spark, sorted_geo):
     lo, hi = 0, 1 << 10
     narrow = sorted_geo.filter(F.col("hilbert").between(lo, hi)).count()
     assert narrow < full
+
+
+def test_s2_encode_is_shuffle_free_arrow(sorted_geo):
+    """S2 encoding is an Arrow-batched projection in the scan stage: one
+    pandas-UDF eval, no Exchange (the 100 TB shape — encode rides the scan)."""
+    from hilbert_curve_spark.functions.cells import s2_cell_xyz_udf
+
+    q = sorted_geo.select(
+        "doc_id",
+        s2_cell_xyz_udf(12)(
+            F.col("x").cast("double") + 0.5,
+            F.col("y").cast("double") + 0.5,
+            (F.col("x") + F.col("y")).cast("double") + 0.5,
+        ).alias("s2_cell"),
+    )
+    plan = _plan(q)
+    assert "ArrowEvalPython" in plan  # vectorized, not BatchEvalPython
+    assert "BatchEvalPython" not in plan  # per-row Python ban
+    assert "Exchange" not in plan
+
+
+def test_ivf_assign_broadcasts_centroids(spark, sf_dir):
+    """IVF assignment: the C-row centroid side is broadcast; the only
+    Exchange is the windowed argmax's hash partition on vec_id."""
+    from hilbert_curve_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(ivf_assign(emb, n_centroids=8))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan or (
+        "BroadcastExchange" in plan
+    )
+    # no per-row Python anywhere: cosine is a codegen aggregate fold
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,7 +1,9 @@
 """Streaming event operators vs their batch twins: the batch operator is
 the oracle for the streaming plan over the same data."""
 
+import os
 import shutil
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -27,9 +29,16 @@ def events_dir(spark, sf_dir, tmp_path_factory):
     flat = tmp_path_factory.mktemp("stream") / "flat"
     flat.mkdir()
     k = 0
+    now = time.time()
     for sub in sorted(out.glob("batch*")):
         for pf in sorted(sub.glob("part-*")):
-            shutil.copy(pf, flat / f"{k:02d}.parquet")
+            dst = flat / f"{k:02d}.parquet"
+            shutil.copy(pf, dst)
+            # distinct, increasing mtimes: the file source orders batches by
+            # mtime, and equal stamps make pickup order unstable — a replay
+            # that feeds old events after the watermark advanced exercises
+            # the late-data guard rather than the happy path
+            os.utime(dst, (now + k * 10, now + k * 10))
             k += 1
     return str(flat)
 
