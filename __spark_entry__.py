@@ -21,6 +21,7 @@ from hilbert_curve_spark.config import DEFAULT
 from hilbert_curve_spark.operators import brq as brq_ops
 from hilbert_curve_spark.operators import dedup as dedup_ops
 from hilbert_curve_spark.operators import events as ev_ops
+from hilbert_curve_spark.operators import graph as graph_ops
 from hilbert_curve_spark.operators import islands as isl_ops
 from hilbert_curve_spark.operators import knn as knn_ops
 from hilbert_curve_spark.operators.media import media_features_oracle
@@ -179,6 +180,21 @@ def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.text_profile(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+SAMPLE_RATES = {"en": 3, "zh": 2}  # downweight the overrepresented strata
+
+
+def _quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_topk_per_lang(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=10
+    )
+
+
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.stratified_sample(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), SAMPLE_RATES
+    )
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.exact_dedup(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
@@ -186,6 +202,20 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.jaccard_pairs(
         spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold_pct=JACCARD_T
+    )
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components (large/small-star) over the
+    exact Jaccard pair graph; oracle recomputes labels with a recursive-CTE
+    min-label closure over the identical pair SQL."""
+    return graph_ops.dedup_clusters(_jaccard_pairs(spark, sf_dir))
+
+
+def _dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return graph_ops.dedup_survivors(
+        docs, dedup_ops.jaccard_pairs(docs, threshold_pct=JACCARD_T)
     )
 
 
@@ -415,8 +445,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "updates_compacted": _updates_compacted,
         "events_stream_tumbling": _events_stream_tumbling,
         "text_profile": _text_profile,
+        "quality_topk": _quality_topk,
+        "stratified_sample": _stratified_sample,
         "dedup_exact": _dedup_exact,
         "jaccard_pairs": _jaccard_pairs,
+        "dedup_clusters": _dedup_clusters,
+        "dedup_survivors": _dedup_survivors,
         "minhash_pairs": _minhash_pairs,
         "simhash_pairs": _simhash_pairs,
         "cosine_topk": _cosine_topk,
@@ -565,8 +599,16 @@ def oracle_sql() -> dict[str, str]:
         "grq_updates": _grq_updates_oracle(),
         "updates_compacted": _updates_compacted_oracle(),
         "text_profile": textops.text_profile_oracle(),
+        "quality_topk": textops.quality_topk_per_lang_oracle(k=10),
+        "stratified_sample": textops.stratified_sample_oracle(SAMPLE_RATES),
         "dedup_exact": dedup_ops.exact_dedup_oracle(),
         "jaccard_pairs": dedup_ops.jaccard_pairs_oracle(threshold_pct=JACCARD_T),
+        "dedup_clusters": graph_ops.dedup_clusters_oracle(
+            dedup_ops.jaccard_pairs_oracle(threshold_pct=JACCARD_T)
+        ),
+        "dedup_survivors": graph_ops.dedup_survivors_oracle(
+            dedup_ops.jaccard_pairs_oracle(threshold_pct=JACCARD_T)
+        ),
         "minhash_pairs": dedup_ops.minhash_pairs_oracle(),
         "simhash_pairs": dedup_ops.simhash_pairs_oracle(max_hamming=3),
         "cosine_topk": sim_ops.cosine_topk_oracle(ANN_QUERY, ANN_K),

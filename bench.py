@@ -268,13 +268,14 @@ def main():
     scaling = "--scaling" in sys.argv
     if scaling:
         amp = int(os.environ.get("SPARK_GRAFT_SCALING_AMP", "512"))
-        # N and 4N parallelism on identical input.  N defaults to 2 (so 4N=8)
+        # N and 4N parallelism on identical input.  N defaults to 1 (so 4N=4)
         # because this sandbox VM enforces a hypervisor CPU quota: sustained
-        # >~8-thread bursts hit unpredictable steal throttling (measured: the
-        # same stage at local[32] swings 16s -> 151s within one session,
-        # while local[8] and below stay stable).  Override with
-        # SPARK_GRAFT_SCALING_N on real hardware.
-        n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
+        # multi-thread bursts hit unpredictable steal throttling (measured:
+        # the same stage at local[32] swings 16s -> 151s within one session;
+        # even the local[2]/local[8] pairing drew paired efficiencies from
+        # 0.13 to 0.78 across sessions, while local[1]/local[4] stays in
+        # 0.76-0.99).  Override with SPARK_GRAFT_SCALING_N on real hardware.
+        n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "1"))
         reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
         m_small, m_big = f"local[{n_small}]", f"local[{4 * n_small}]"
         # The VM's hypervisor CPU quota produces multi-minute throttling

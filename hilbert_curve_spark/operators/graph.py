@@ -1,0 +1,164 @@
+"""Distributed connected components + near-duplicate clustering.
+
+A training-data dedup pipeline does not stop at *pairs*: near-duplicate
+pairs form a graph whose connected components are the duplicate clusters,
+and the pipeline keeps one representative per cluster.  The reference has
+no graph operator (its dedup is the OSM max-version fold); this module is
+the pipeline-side extension the brief asks for, built on the
+alternating large-star / small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the standard
+shuffle-bounded CC for data too large for any single machine:
+
+* each half-round is ``groupBy(min) + join`` — two hash shuffles on the
+  node id, **no per-key neighbor-set materialization** (a ``collect_set``
+  formulation would OOM on a hot node; the min-aggregate one cannot);
+* converges in O(log^2 n) rounds on adversarial graphs, 2-4 rounds on the
+  short/dense clusters real near-dup graphs produce;
+* every round ends in ``localCheckpoint`` to truncate lineage — an
+  iterative plan otherwise doubles in depth per round and the optimizer
+  re-analyzes the whole history each action (on a cluster, point
+  ``spark.sparkContext.setCheckpointDir`` at durable storage and swap in
+  ``.checkpoint()`` for executor-loss tolerance);
+* convergence is detected by an edge-multiset fingerprint
+  (``count + sum(xxhash64(u, v))``) — one tiny action per round instead
+  of a full old-vs-new anti-join.
+
+Labels are component-minimum node ids, so results are deterministic and
+engine-neutral: the DuckDB oracle recomputes the same labels with a
+recursive-CTE min-label closure (`__spark_entry__._dedup_clusters_oracle`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # pmod keeps each term < 2^31 so the ANSI-mode sum cannot overflow
+        # int64 below ~4e9 edges per partition-set; collisions only ever
+        # cost one extra (no-op) round, never a wrong result
+        F.coalesce(
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(2147483647))), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every *strictly larger* neighbor to
+    ``m = min(N(u) + {u})``.  Works on the symmetrized edge list."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient every edge large->small, then for each node u: connect u and
+    all its (smaller) neighbors to the minimum of the group."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    joined = oriented.join(mins, "u")
+    neighbor_edges = joined.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_edges = mins.select("u", F.col("m").alias("v"))
+    return neighbor_edges.union(self_edges).filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """(node, rep) for every node of the undirected graph ``edges``;
+    ``rep`` is the minimum node id of the node's component (roots map to
+    themselves).  See module docstring for the physical design."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+    fp = _fingerprint(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        nfp = _fingerprint(e)
+        if nfp == fp:
+            break
+        fp = nfp
+    # converged edges are stars (node -> component min); roots have no
+    # outgoing edge and label themselves
+    labels = e.groupBy("u").agg(F.min("v").alias("rep"))
+    return (
+        nodes.join(labels, "u", "left")
+        .select(
+            F.col("u").alias("node"),
+            F.coalesce("rep", F.col("u")).alias("rep"),
+        )
+    )
+
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """Near-duplicate clusters from a similarity-pair table
+    ``(doc_a, doc_b, ...)``: (doc_id, rep_id) for every doc in at least one
+    pair, rep = lexicographic minimum of its cluster.  Singleton docs are
+    not emitted (they trivially represent themselves)."""
+    cc = connected_components(pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
+    return cc.select(F.col("node").alias("doc_id"), F.col("rep").alias("rep_id"))
+
+
+def dedup_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The dedup pipeline's output: every doc_id that survives near-dup
+    removal — cluster representatives plus all singletons.  One broadcast-
+    able anti-join against the (tiny relative to the corpus) victim list."""
+    victims = dedup_clusters(pairs).filter(F.col("doc_id") != F.col("rep_id"))
+    return docs.select("doc_id").join(victims, "doc_id", "anti")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles: recursive-CTE min-label closure.  The closure enumerates,
+# per node, every reachable node (symmetric edges => the whole component),
+# and MIN over it is exactly the large/small-star fixpoint label.  State
+# space is O(sum of component size^2) — fine for an oracle at test scale,
+# unusable at 100 TB, which is precisely why the engine runs star rounds.
+# ---------------------------------------------------------------------------
+
+
+def _cc_closure_sql(pairs_sql: str) -> str:
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+cc(node, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, c.label FROM cc c JOIN edges e ON e.u = c.node
+)
+"""
+
+
+def dedup_clusters_oracle(pairs_sql: str) -> str:
+    return (
+        _cc_closure_sql(pairs_sql)
+        + "SELECT node AS doc_id, MIN(label) AS rep_id FROM cc GROUP BY node"
+    )
+
+
+def dedup_survivors_oracle(pairs_sql: str, table: str = "documents") -> str:
+    return (
+        _cc_closure_sql(pairs_sql)
+        + f"SELECT doc_id FROM {table} WHERE doc_id NOT IN "
+        "(SELECT node FROM (SELECT node, MIN(label) AS rep FROM cc GROUP BY node) "
+        "WHERE node <> rep)"
+    )

@@ -92,3 +92,76 @@ def text_profile_oracle(table: str = "documents") -> str:
         f"SELECT doc_id, md5(text) AS fingerprint, {word_count_sql()} AS n_words, "
         f"{lang_pred_sql()} AS lang_pred, {quality_score_sql()} AS quality FROM {table}"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: the selection steps that sit between profiling and
+# training — per-language quality ranking and stratified downsampling.
+# ---------------------------------------------------------------------------
+
+
+def quality_topk_per_lang(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k docs per predicted language by quality (deterministic
+    ``(quality DESC, doc_id)`` tie-break).  One hash shuffle on lang_pred;
+    with AQE the handful of language partitions coalesce, and the window's
+    partial top-k never materializes a stratum (row_number streams)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang_pred").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        text_profile(docs)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("lang_pred", "doc_id", "quality", "rank")
+    )
+
+
+def quality_topk_per_lang_oracle(k: int = 10, table: str = "documents") -> str:
+    return (
+        f"SELECT lang_pred, doc_id, quality, rank FROM ("
+        f"SELECT lang_pred, doc_id, quality, "
+        f"ROW_NUMBER() OVER (PARTITION BY lang_pred ORDER BY quality DESC, doc_id) AS rank "
+        f"FROM ({text_profile_oracle(table)})) WHERE rank <= {k}"
+    )
+
+
+def _doc_hash_sql() -> str:
+    """Engine-neutral 60-bit doc hash: md5 hex parsed with the same
+    positional-nibble arithmetic the MinHash family uses.  doc_id is cast
+    to its decimal string first — identical rendering in both engines, and
+    both accept VARCHAR(32) as the cast target."""
+    from .dedup import _hex_to_long_sql
+
+    return _hex_to_long_sql("md5(CAST(doc_id AS VARCHAR(32)))", 1, 15)
+
+
+def stratified_sample_sql_pred(rates: dict[str, int], default_k: int = 1) -> str:
+    """``keep`` predicate: hash(doc_id) % k(lang) == 0 — a pure filter, no
+    shuffle, no ordering; exactly reproducible on any engine with md5."""
+    cases = " ".join(f"WHEN '{s}' THEN {k}" for s, k in sorted(rates.items()))
+    k_expr = f"(CASE lang {cases} ELSE {default_k} END)"
+    return f"(({_doc_hash_sql()}) % {k_expr} = 0)"
+
+
+def stratified_sample(
+    docs: DataFrame, rates: dict[str, int], default_k: int = 1
+) -> DataFrame:
+    """Deterministic stratified downsample over the ``lang`` column: keep
+    ~1/k of each stratum by content-addressed hash — the way an N-language
+    100 TB corpus is rebalanced without sorting anything (a codegen filter
+    that rides the scan; compare the window-based ``systematic_sample``,
+    which buys exact counts at the price of a per-stratum ordering)."""
+    return docs.filter(F.expr(stratified_sample_sql_pred(rates, default_k))).select(
+        "doc_id", "lang"
+    )
+
+
+def stratified_sample_oracle(
+    rates: dict[str, int], default_k: int = 1, table: str = "documents"
+) -> str:
+    return (
+        f"SELECT doc_id, lang FROM {table} "
+        f"WHERE {stratified_sample_sql_pred(rates, default_k)}"
+    )
