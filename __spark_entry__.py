@@ -24,7 +24,11 @@ from hilbert_curve_spark.operators import events as ev_ops
 from hilbert_curve_spark.operators import graph as graph_ops
 from hilbert_curve_spark.operators import islands as isl_ops
 from hilbert_curve_spark.operators import knn as knn_ops
-from hilbert_curve_spark.operators.media import media_features_oracle
+from hilbert_curve_spark.operators.media import (
+    media_features_oracle,
+    resize_media_oracle,
+    sample_frames_oracle,
+)
 from hilbert_curve_spark.operators import pip as pip_ops
 from hilbert_curve_spark.operators import range_query as rq
 from hilbert_curve_spark.operators import similarity as sim_ops
@@ -156,6 +160,21 @@ def _grq_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rq.grq_range_mode(dg, **W.R1).select("doc_id", "x", "y")
 
 
+ASOF_VERSION = 2
+
+
+def _updates_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-as-of read: the live set at version 2 (after the deletes,
+    before the re-adds) — Iceberg time travel over the delta log."""
+    return upd_ops.merge_as_of(
+        upd_ops.build_update_stream(spark, sf_dir), ASOF_VERSION
+    )
+
+
+def _updates_asof_oracle() -> str:
+    return upd_ops.merge_as_of_sql(upd_ops.update_stream_sql(), ASOF_VERSION)
+
+
 COMPACT_UPTO = 2
 
 
@@ -266,6 +285,18 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hilbert_curve_spark.operators.media import media_features_checked
 
     return media_features_checked(build_documents(spark, sf_dir))
+
+
+def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hilbert_curve_spark.operators.media import extract_media_features, resize_media
+
+    return resize_media(extract_media_features(build_documents(spark, sf_dir)))
+
+
+def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hilbert_curve_spark.operators.media import extract_media_features, sample_frames
+
+    return sample_frames(extract_media_features(build_documents(spark, sf_dir)))
 
 
 S2_LEVEL = 12
@@ -443,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": _pip,
         "grq_updates": _grq_updates,
         "updates_compacted": _updates_compacted,
+        "updates_asof": _updates_asof,
         "events_stream_tumbling": _events_stream_tumbling,
         "text_profile": _text_profile,
         "quality_topk": _quality_topk,
@@ -458,6 +490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _ann_topk,
         "ivf_topk": _ivf_topk,
         "media_features": _media_features,
+        "media_resize": _media_resize,
+        "media_frames": _media_frames,
         "s2_cells": _s2_cells,
         "events_tumbling": _events_tumbling,
         "events_sessions": _events_sessions,
@@ -589,6 +623,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cell_stats": _cell_stats_oracle(),
         "media_features": media_features_oracle(),
+        "media_resize": resize_media_oracle(),
+        "media_frames": sample_frames_oracle(),
         "s2_cells": _s2_cells_oracle(),
         "events_tumbling": ev_ops.tumbling_counts_oracle(),
         "events_stream_tumbling": ev_ops.tumbling_counts_oracle(),
@@ -598,6 +634,7 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_islands": _islands_oracle(),
         "grq_updates": _grq_updates_oracle(),
         "updates_compacted": _updates_compacted_oracle(),
+        "updates_asof": _updates_asof_oracle(),
         "text_profile": textops.text_profile_oracle(),
         "quality_topk": textops.quality_topk_per_lang_oracle(k=10),
         "stratified_sample": textops.stratified_sample_oracle(SAMPLE_RATES),

@@ -139,6 +139,83 @@ def media_features_checked(docs_with_spans: DataFrame) -> DataFrame:
     )
 
 
+def resize_media(feats: DataFrame, max_side: int = 256) -> DataFrame:
+    """Aspect-preserving resize *plan* over decoded media: output dims +
+    byte size for a longest-side = ``max_side`` downscale.  A codegen
+    projection on :func:`extract_media_features` output — the pixel
+    resample itself belongs in the (stubbed) codec; a real deployment runs
+    it in the same Arrow batch as the decode.  All dims < 2^21 so the
+    double division inside FLOOR is exact; FLOOR-then-CAST because DuckDB
+    CAST(double AS INT) rounds while Spark truncates."""
+    out_w = f"greatest(1, CAST(FLOOR(width * {max_side} / greatest(width, height)) AS INT))"
+    out_h = f"greatest(1, CAST(FLOOR(height * {max_side} / greatest(width, height)) AS INT))"
+    return feats.select(
+        "doc_id",
+        "media_ref",
+        "width",
+        "height",
+        F.expr(out_w).alias("out_w"),
+        F.expr(out_h).alias("out_h"),
+        F.expr(f"CAST({out_w} AS BIGINT) * {out_h} * 3").alias("out_bytes"),
+    )
+
+
+def sample_frames(feats: DataFrame, max_frames: int = 8) -> DataFrame:
+    """Frame sampling for video media: one row per sampled frame index,
+    every ``ceil(n_frames / max_frames)``-th frame.  The synthetic frame
+    count derives from the decoded dims (the stub codec's metadata
+    contract); the explode is a native ``sequence`` — frame fan-out never
+    touches Python, and at scale it rides the scan with no shuffle."""
+    nf = "(8 + ((width - 64) + (height - 64)) % 120)"
+    step = f"(1 + CAST(FLOOR({nf} / {float(max_frames)}) AS INT))"
+    return feats.select(
+        "doc_id",
+        "media_ref",
+        F.expr(nf).alias("n_frames"),
+        F.explode(F.expr(f"sequence(0, {nf} - 1, {step})")).alias("frame_idx"),
+    )
+
+
+def _media_dims_sql(table: str) -> str:
+    """DuckDB CTE body: (doc_id, media_ref, width, height) replaying the
+    stub decode arithmetic from the corpus sid stream."""
+    from ..sources import derive
+
+    corpus = derive.corpus_sql(table)
+    doc_key = derive.doc_key_sql()
+    return f"""
+  SELECT doc_id, media_ref,
+         CAST(64 + h % 1024 AS INT) AS width,
+         CAST(64 + (h // 1024) % 1024 AS INT) AS height
+  FROM (
+    SELECT {doc_key} AS doc_id,
+           ('m://' || {doc_key} || '/' || CAST(n AS STRING)) AS media_ref,
+           ((sid * {FEATURE_DIM} + n) * {_MIX_MULT} + {_MIX_ADD}) % {_MIX_MOD} AS h
+    FROM {corpus}, (SELECT unnest(range(0, {derive.MEDIA_MOD - 1})) AS n)
+    WHERE n < sid % {derive.MEDIA_MOD}
+  )"""
+
+
+def resize_media_oracle(table: str = "documents", max_side: int = 256) -> str:
+    out_w = f"greatest(1, CAST(FLOOR(width * {max_side} / greatest(width, height)) AS INT))"
+    out_h = f"greatest(1, CAST(FLOOR(height * {max_side} / greatest(width, height)) AS INT))"
+    return (
+        f"WITH dims AS ({_media_dims_sql(table)}) "
+        f"SELECT doc_id, media_ref, width, height, {out_w} AS out_w, {out_h} AS out_h, "
+        f"CAST({out_w} AS BIGINT) * {out_h} * 3 AS out_bytes FROM dims"
+    )
+
+
+def sample_frames_oracle(table: str = "documents", max_frames: int = 8) -> str:
+    nf = "(8 + ((width - 64) + (height - 64)) % 120)"
+    step = f"(1 + CAST(FLOOR({nf} / {float(max_frames)}) AS INT))"
+    return (
+        f"WITH dims AS ({_media_dims_sql(table)}) "
+        f"SELECT doc_id, media_ref, {nf} AS n_frames, "
+        f"CAST(unnest(range(0, {nf}, {step})) AS INT) AS frame_idx FROM dims"
+    )
+
+
 def media_features_oracle(table: str = "documents") -> str:
     """DuckDB oracle for :func:`media_features_checked`: rebuilds the media
     span set from the corpus sid stream and replays the stub arithmetic."""

@@ -135,3 +135,17 @@ def compact_log_sql(stream_sql: str, upto_version: int) -> str:
         f"UNION ALL SELECT doc_id, version, op FROM ({stream_sql}) "
         f"WHERE version > {upto_version}"
     )
+
+
+def merge_as_of(updates: DataFrame, version: int) -> DataFrame:
+    """Time travel: the live doc set *as of* ``version`` — fold only the
+    deltas at or below the horizon (the Iceberg snapshot-as-of read,
+    reference semantics: the chain walk stopping at an older version).
+    Same single window shuffle as :func:`merge_on_read`; the version
+    filter pushes to the log scan (at scale the log is also partitioned by
+    version batch, so old snapshots prune whole files)."""
+    return merge_on_read(updates.filter(F.col("version") <= version))
+
+
+def merge_as_of_sql(stream_sql: str, version: int) -> str:
+    return merge_on_read_sql(f"SELECT * FROM ({stream_sql}) WHERE version <= {version}")

@@ -43,3 +43,18 @@ def test_compacted_base_versions_at_horizon(spark, sf_dir):
     tail_after = compacted.filter(F.col("version") > 2)
     assert tail_before.exceptAll(tail_after).count() == 0
     assert tail_after.exceptAll(tail_before).count() == 0
+
+
+def test_as_of_semantics(spark, sf_dir):
+    log = upd.build_update_stream(spark, sf_dir)
+    # as-of the newest version == plain merge-on-read
+    latest = upd.merge_on_read(log)
+    asof3 = upd.merge_as_of(log, 3)
+    assert asof3.exceptAll(latest).count() == 0
+    assert latest.exceptAll(asof3).count() == 0
+    # as-of v1: everything is live (batch 1 adds all docs)
+    n_docs = log.filter(F.col("version") == 1).count()
+    assert upd.merge_as_of(log, 1).count() == n_docs
+    # as-of v2: the batch-2 deletes are gone, re-adds not yet applied
+    n_deleted = log.filter(F.col("version") == 2).select("doc_id").distinct().count()
+    assert upd.merge_as_of(log, 2).count() == n_docs - n_deleted
