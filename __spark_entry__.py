@@ -454,6 +454,32 @@ def _cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_cell_counts(_doc_geo(spark, sf_dir), DEFAULT)
 
 
+HEX_SIZE = 64
+
+
+def _hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal binning (from-scratch planar hex grid,
+    `functions/cells.py`): (hex_id, n_docs) histogram over the corpus —
+    one codegen projection + one hash aggregation."""
+    from hilbert_curve_spark.functions.cells import hex_cell_expr
+
+    return (
+        _doc_geo(spark, sf_dir)
+        .select(hex_cell_expr("x", "y", HEX_SIZE).alias("hex_id"))
+        .groupBy("hex_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _hex_cells_oracle() -> str:
+    from hilbert_curve_spark.functions.cells import hex_cell_sql
+
+    return (
+        f"{_doc_geo_cte()} SELECT {hex_cell_sql('x', 'y', HEX_SIZE)} AS hex_id, "
+        "COUNT(*) AS n_docs FROM doc_geo GROUP BY 1"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BRQ (rectangle AND any-of-keywords) on sf0.001."""
     return _brq_any(spark, "/root/testdata/sf0.001")
@@ -502,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_postings": _keyword_postings,
         "extent": _extent,
         "cell_stats": _cell_stats,
+        "hex_cells": _hex_cells,
     }
 
 
@@ -622,6 +649,7 @@ def oracle_sql() -> dict[str, str]:
             "MAX(y) AS max_y, COUNT(*) AS n_docs FROM doc_geo"
         ),
         "cell_stats": _cell_stats_oracle(),
+        "hex_cells": _hex_cells_oracle(),
         "media_features": media_features_oracle(),
         "media_resize": resize_media_oracle(),
         "media_frames": sample_frames_oracle(),

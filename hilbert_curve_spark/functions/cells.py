@@ -10,9 +10,12 @@ S2 cell ids are REAL: ``curve/s2.py`` implements the public S2 scheme
 (cube-face projection + quadratic ST + orientation-aware Hilbert curve)
 as vectorized numpy, exposed here as Arrow-batched pandas UDFs and
 oracle-checked bit-for-bit against a DuckDB rendering of the same kernel
-(``curve/s2_sql.py``).  H3 remains import-gated (hexagonal icosahedral
-projection; the ``h3`` package is absent in this container and the lattice
-and S2 cells cover the engine's bucketing needs).
+(``curve/s2_sql.py``).  Hexagonal cells are real too: ``hex_cell_expr``
+implements a from-scratch planar hex grid (interleaved-lattice
+nearest-center, exact integer arithmetic — see the block comment below)
+with an exact SQL oracle.  Only true *icosahedral* H3 remains import-gated
+(the ``h3`` package is absent in this container; the hex grid covers the
+hexagonal-bucketing semantics on the engine's plane).
 """
 
 from __future__ import annotations
@@ -82,3 +85,72 @@ def s2_cell_xyz_udf(level: int = 13):
         return pd.Series(ids)
 
     return _enc
+
+
+# ---------------------------------------------------------------------------
+# Hexagonal cells from scratch (the planar H3 analogue)
+#
+# A hexagonal grid is two interleaved rectangular center lattices
+# (A at (6s*i, 4s*j), B at (6s*i + 3s, 4s*j + 2s), in doubled lattice
+# coordinates X=2x, Y=2y) with nearest-center assignment under the
+# anisotropic metric d^2 = 4*dX^2 + 27*dY^2.  Under that metric the scaled
+# vertical/horizontal spacing ratio is (sqrt(27)/2 * 4s) / (2 * 6s) =
+# sqrt(3) — exactly the centered-rectangular parameter at which the
+# Voronoi cells of the combined lattice are REGULAR hexagons in the scaled
+# plane (the same move H3 makes: hexagons regular on its own projection
+# plane, distorted on the input plane).  Every step is nonnegative-integer
+# arithmetic (floor-div + small squares), identical in Spark and DuckDB,
+# so the operator carries an exact SQL oracle.
+#
+# Cell id packs (sub, j, i) into one int64: sub*2^60 + j*2^30 + i.
+# ---------------------------------------------------------------------------
+
+
+def _hex_terms(x_sql: str, y_sql: str, s: int, div: str) -> dict[str, str]:
+    """Shared SQL fragments; ``div`` is the engine's integer floor-division
+    operator ('DIV' for Spark, '//' for DuckDB) — operands are nonnegative
+    so truncation == floor in both."""
+    X, Y = f"(2 * {x_sql})", f"(2 * {y_sql})"
+    iA = f"(({X} + {3 * s}) {div} {6 * s})"
+    jA = f"(({Y} + {2 * s}) {div} {4 * s})"
+    iB = f"({X} {div} {6 * s})"
+    jB = f"({Y} {div} {4 * s})"
+    dA = (
+        f"(4 * ({X} - {6 * s} * {iA}) * ({X} - {6 * s} * {iA})"
+        f" + 27 * ({Y} - {4 * s} * {jA}) * ({Y} - {4 * s} * {jA}))"
+    )
+    dB = (
+        f"(4 * ({X} - ({6 * s} * {iB} + {3 * s})) * ({X} - ({6 * s} * {iB} + {3 * s}))"
+        f" + 27 * ({Y} - ({4 * s} * {jB} + {2 * s})) * ({Y} - ({4 * s} * {jB} + {2 * s})))"
+    )
+    return {"iA": iA, "jA": jA, "iB": iB, "jB": jB, "dA": dA, "dB": dB}
+
+
+def hex_cell_sql(x_sql: str, y_sql: str, size: int, div: str = "//") -> str:
+    """Engine-neutral hex cell id expression (pass ``div='DIV'`` for Spark
+    SQL, ``'//'`` for DuckDB).  Ties go to sub-lattice A (dB strictly
+    smaller wins) — deterministic on boundary points."""
+    t = _hex_terms(x_sql, y_sql, size, div)
+    sub = f"(CASE WHEN {t['dB']} < {t['dA']} THEN 1 ELSE 0 END)"
+    i = f"(CASE WHEN {t['dB']} < {t['dA']} THEN {t['iB']} ELSE {t['iA']} END)"
+    j = f"(CASE WHEN {t['dB']} < {t['dA']} THEN {t['jB']} ELSE {t['jA']} END)"
+    return (
+        f"(CAST({sub} AS BIGINT) * {1 << 60}"
+        f" + CAST({j} AS BIGINT) * {1 << 30} + {i})"
+    )
+
+
+def hex_cell_expr(x_name: str, y_name: str, size: int) -> Column:
+    """Spark Column for the hex cell id of columns ``x_name``/``y_name`` —
+    pure codegen, rides the scan like ``lattice_cell``."""
+    return F.expr(hex_cell_sql(x_name, y_name, size, div="DIV"))
+
+
+def hex_center(cell: int, size: int) -> tuple[float, float]:
+    """Driver-side: cell id -> center in (undoubled) lattice coords."""
+    sub = cell >> 60
+    j = (cell >> 30) & ((1 << 30) - 1)
+    i = cell & ((1 << 30) - 1)
+    X = 6 * size * i + 3 * size * sub
+    Y = 4 * size * j + 2 * size * sub
+    return X / 2.0, Y / 2.0
