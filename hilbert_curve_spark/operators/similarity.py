@@ -378,3 +378,41 @@ SELECT vec_id,
 FROM assigned WHERE cid IN (SELECT cid FROM probes)
 ORDER BY cos_e6 DESC, vec_id LIMIT {k}
 """
+
+
+def write_ivf_partitioned(assigned: DataFrame, path: str) -> None:
+    """Materialize the IVF assignment with ``cid`` as a PARTITION column —
+    the storage layout the 10^12-row deployment uses (on Iceberg: identity
+    partition on cid + a periodic re-cluster job).  After this write the
+    probe filter is partition PRUNING, not a scan+filter."""
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+
+
+def ivf_topk_stored(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF probe against the stored partitioned layout: rank the (tiny)
+    centroid list against the query, then read ONLY the nprobe nearest
+    inverted lists — ``cid isin(probe)`` on a cid-partitioned table is
+    partition pruning (asserted in test_physical_plans.py), so the query
+    touches ~nprobe/n_centroids of the bytes.  Exact cosine re-rank within."""
+    stored = spark.read.parquet(path)
+    # a real deployment keeps the k-means centroid dimension table; here
+    # centroids ARE strided member vectors (ivf_centroids), and a centroid
+    # is always assigned to itself, so the row with vec_id == cid is it
+    cents = stored.filter(F.col("vec_id") == F.col("cid")).select(
+        "cid", F.col("embedding").alias("cvec")
+    )
+    probe = [
+        int(r["cid"])
+        for r in cents.withColumn("qcos", _centroid_query_cos(query_vec))
+        .orderBy(F.col("qcos").desc(), F.col("cid"))
+        .limit(nprobe)
+        .collect()
+    ]
+    cand = stored.filter(F.col("cid").isin(probe))
+    return cosine_topk(cand.select("vec_id", "embedding"), query_vec, k)

@@ -107,3 +107,44 @@ def test_ivf_assign_broadcasts_centroids(spark, sf_dir):
     )
     # no per-row Python anywhere: cosine is a codegen aggregate fold
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_stored_probe_is_partition_pruning(spark, sf_dir, tmp_path_factory):
+    """The IVF scale claim, demonstrated: with the assignment stored as a
+    cid-partitioned table, the probe filter lands in PartitionFilters (file
+    pruning) — the query never scans the unprobed inverted lists — and the
+    pruned plan returns the same top-k as the inline join pipeline."""
+    from hilbert_curve_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_topk_stored,
+        write_ivf_partitioned,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path_factory.mktemp("ivf") / "assigned")
+    write_ivf_partitioned(ivf_assign(emb, n_centroids=8), path)
+    qv = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+
+    got = ivf_topk_stored(spark, path, qv, k=10, nprobe=2)
+    plan = _plan(got)
+    assert "PartitionFilters" in plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cid" in pf_line and "cid" in pf_line.split("PartitionFilters")[1]
+    inline = ivf_topk(emb, qv, k=10, nprobe=2)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in inline.collect()]
+
+
+def test_hex_cells_is_codegen_single_exchange(sorted_geo):
+    """Hex binning: the cell id is a pure codegen expression (no Python
+    eval anywhere) and the histogram pays exactly one Exchange (the agg)."""
+    from hilbert_curve_spark.functions.cells import hex_cell_expr
+
+    q = (
+        sorted_geo.select(hex_cell_expr("x", "y", 64).alias("hex_id"))
+        .groupBy("hex_id")
+        .count()
+    )
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # partial+final agg exchange (AQE may show one)
