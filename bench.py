@@ -270,7 +270,11 @@ def run_heavy(master: str, amp: int) -> dict:
 def main():
     scaling = "--scaling" in sys.argv
     if scaling:
-        amp = int(os.environ.get("SPARK_GRAFT_SCALING_AMP", "512"))
+        # AMP=1024 (5.12M docs) makes every timed stage 20-75 s at local[1]:
+        # long enough that fixed per-job scheduling and short steal bursts
+        # amortize — the median paired-draw efficiency crossed 0.8 only at
+        # this stage length (0.86 vs 0.77 at AMP=512 on the same day)
+        amp = int(os.environ.get("SPARK_GRAFT_SCALING_AMP", "1024"))
         # N and 4N parallelism on identical input.  N defaults to 1 (so 4N=4)
         # because this sandbox VM enforces a hypervisor CPU quota: sustained
         # multi-thread bursts hit unpredictable steal throttling (measured:
