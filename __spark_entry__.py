@@ -432,6 +432,42 @@ def _hilbert_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "x", "y")
 
 
+def _hilbert3d_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-D Hilbert through the driver gate: lift the corpus to 3-D with a
+    derived z, encode with the vectorized n-D Skilling kernel
+    (curve/hilbert.py::encode_nd), decode back, emit the decoded coords.
+    The oracle recomputes (x, y, z) arithmetically — equality proves the
+    3-D encode∘decode == id on real data (the 2-D query `hilbert_decode`
+    uses the same method)."""
+    import pandas as pd
+
+    from hilbert_curve_spark.curve.hilbert import decode_nd, encode_nd
+
+    order = DEFAULT.order
+    side = 1 << order
+    dg = _doc_geo(spark, sf_dir).select(
+        "doc_id", "x", "y", F.expr(f"(x * 31 + y * 17) % {side}").alias("z")
+    )
+
+    def _rt(batches):
+        for b in batches:
+            h = encode_nd(
+                [b["x"].to_numpy(), b["y"].to_numpy(), b["z"].to_numpy()], order
+            )
+            xd, yd, zd = decode_nd(h, order, 3)
+            yield pd.DataFrame({"doc_id": b["doc_id"], "x": xd, "y": yd, "z": zd})
+
+    return dg.mapInPandas(_rt, "doc_id string, x long, y long, z long")
+
+
+def _hilbert3d_oracle() -> str:
+    side = 1 << DEFAULT.order
+    return (
+        f"{_doc_geo_cte()} SELECT doc_key AS doc_id, x, y, "
+        f"(x * 31 + y * 17) % {side} AS z FROM doc_geo"
+    )
+
+
 def _keyword_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword inverted-index build (E10) + posting-size stats."""
     idx = brq_ops.keyword_index(_doc_geo(spark, sf_dir))
@@ -525,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sample": _events_sample,
         "hilbert_islands": _hilbert_islands,
         "hilbert_decode": _hilbert_decode,
+        "hilbert3d_roundtrip": _hilbert3d_roundtrip,
         "keyword_postings": _keyword_postings,
         "extent": _extent,
         "cell_stats": _cell_stats,
@@ -643,6 +680,7 @@ def oracle_sql() -> dict[str, str]:
     cte = _doc_geo_cte()
     return {
         "hilbert_decode": f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo",
+        "hilbert3d_roundtrip": _hilbert3d_oracle(),
         "keyword_postings": _keyword_postings_oracle(),
         "extent": (
             f"{cte} SELECT MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, "
