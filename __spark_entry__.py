@@ -392,7 +392,11 @@ def _events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # a partial complete-mode snapshot would silently feed the oracle
+        # gate a wrong-but-plausible result — fail loudly instead
+        q.stop()
+        raise TimeoutError("events_stream_tumbling: stream not finished after 300s")
     return spark.table(name)
 
 

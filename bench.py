@@ -43,9 +43,12 @@ AMP = int(os.environ.get("SPARK_GRAFT_AMP", "128"))
 WORK = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/hcs_bench")
 
 
-def _corpus_path() -> str:
+def _corpus_path(partitions: int = 16) -> str:
     tag = os.path.basename(SF_DIR.rstrip("/"))
-    return f"{WORK}/corpus_{tag}_amp{AMP}"
+    # the partition count is part of the cache key: a 16-file suite corpus
+    # must not satisfy the scaling pipeline's 64-file request (task-wave
+    # structure is the thing being measured there)
+    return f"{WORK}/corpus_{tag}_amp{AMP}_p{partitions}"
 
 
 def _materialize_corpus(spark, partitions: int = 16) -> str:
@@ -58,7 +61,7 @@ def _materialize_corpus(spark, partitions: int = 16) -> str:
     waves and a slow task cannot add a whole wave of idle time."""
     from hilbert_curve_spark.sources.interleave import build_documents
 
-    path = _corpus_path()
+    path = _corpus_path(partitions)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build_documents(spark, SF_DIR, amp=AMP, partitions=partitions).write.mode(
             "overwrite"

@@ -178,9 +178,15 @@ def cell_shift_for_budget(ranges: list[tuple[int, int]], budget: int = 4096) -> 
     ``hilbert >> s == cell`` with the BETWEEN kept as a residual is a
     broadcast *hash* join — O(1) per probe row regardless of N.  The budget
     bounds the broadcast table size; the shift only coarsens the hash key,
-    never the result (the residual stays exact)."""
+    never the result (the residual stays exact).
+
+    The sum is bounded below by ``len(ranges)`` (each range contributes at
+    least one cell at any shift), so when more ranges than budget exist no
+    shift can satisfy it — the loop caps at shift 64 (every cell collapses
+    to 0; the join degrades to the nested-loop residual check but stays
+    correct) instead of spinning forever."""
     s = 0
-    while sum((hi >> s) - (lo >> s) + 1 for lo, hi in ranges) > budget:
+    while s < 64 and sum((hi >> s) - (lo >> s) + 1 for lo, hi in ranges) > budget:
         s += 1
     return s
 

@@ -19,9 +19,10 @@ shuffle-bounded CC for data too large for any single machine:
   re-analyzes the whole history each action (on a cluster, point
   ``spark.sparkContext.setCheckpointDir`` at durable storage and swap in
   ``.checkpoint()`` for executor-loss tolerance);
-* convergence is detected by an edge-multiset fingerprint
-  (``count + sum(xxhash64(u, v))``) — one tiny action per round instead
-  of a full old-vs-new anti-join.
+* convergence is detected EXACTLY (count equality + anti-join emptiness
+  on the distinct edge sets) — a hash fingerprint could collide and stop
+  a round early with wrong labels; the anti-join runs on the
+  star-contracted (shrinking) edge set, so its cost falls per round.
 
 Labels are component-minimum node ids, so results are deterministic and
 engine-neutral: the DuckDB oracle recomputes the same labels with a
@@ -34,17 +35,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _fingerprint(edges: DataFrame) -> tuple[int, int]:
-    row = edges.agg(
-        F.count(F.lit(1)).alias("n"),
-        # pmod keeps each term < 2^31 so the ANSI-mode sum cannot overflow
-        # int64 below ~4e9 edges per partition-set; collisions only ever
-        # cost one extra (no-op) round, never a wrong result
-        F.coalesce(
-            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(2147483647))), F.lit(0)
-        ).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+def _converged(old: DataFrame, new: DataFrame) -> bool:
+    """EXACT set-equality convergence check (both frames are `.distinct()`
+    outputs): equal counts + empty one-sided difference ⇒ equal sets.  A
+    hash-sum fingerprint would be cheaper per round but a sum-preserving
+    collision could stop the loop before the fixpoint and emit wrong
+    component labels — the anti-join costs one extra shuffle of the
+    (star-contracted, shrinking) edge set per round and cannot lie."""
+    n_old, n_new = old.count(), new.count()
+    if n_old != n_new:
+        return False
+    return new.join(old, ["u", "v"], "anti").isEmpty()
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -90,13 +91,11 @@ def connected_components(
         .localCheckpoint()
     )
     nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
-    fp = _fingerprint(e)
     for _ in range(max_iter):
+        prev = e
         e = _small_star(_large_star(e)).localCheckpoint()
-        nfp = _fingerprint(e)
-        if nfp == fp:
+        if _converged(prev, e):
             break
-        fp = nfp
     # converged edges are stars (node -> component min); roots have no
     # outgoing edge and label themselves
     labels = e.groupBy("u").agg(F.min("v").alias("rep"))

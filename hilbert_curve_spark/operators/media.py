@@ -45,8 +45,12 @@ MEDIA_FEATURE_SCHEMA = StructType(
     ]
 )
 
-# LCG mixing constants (same family as sources/derive.py streams); all
-# intermediates stay < 2^63 for sid < 2^35, far above any test corpus.
+# LCG mixing constants (same family as sources/derive.py streams).  The
+# key is reduced mod _MIX_MOD BEFORE the multiply, so the largest
+# intermediate is (_MIX_MOD-1) * _MIX_MULT < 2^52 for ANY sid < 2^59 —
+# numpy int64 never wraps and the identical BIGINT expression in the
+# DuckDB oracles never overflows (an unreduced (sid*8+idx)*_MIX_MULT
+# would pass 2^63 at sid ~ 4.3e8, i.e. a flat corpus of only ~53k docs).
 _MIX_MULT = 2654435761
 _MIX_ADD = 1013904223
 _MIX_MOD = 1_000_003
@@ -60,7 +64,7 @@ def decode_stub(keys: np.ndarray, idx: np.ndarray) -> tuple[np.ndarray, np.ndarr
 
     Raises ``NotImplementedError`` if asked for real pixel decode.
     """
-    h = ((keys * FEATURE_DIM + idx) * _MIX_MULT + _MIX_ADD) % _MIX_MOD
+    h = (((keys * FEATURE_DIM + idx) % _MIX_MOD) * _MIX_MULT + _MIX_ADD) % _MIX_MOD
     width = (64 + h % 1024).astype(np.int32)
     height = (64 + (h // 1024) % 1024).astype(np.int32)
     feats = ((h[:, None] >> np.arange(FEATURE_DIM)[None, :]) % 251).astype(np.float32) / 251.0
@@ -167,7 +171,9 @@ def sample_frames(feats: DataFrame, max_frames: int = 8) -> DataFrame:
     contract); the explode is a native ``sequence`` — frame fan-out never
     touches Python, and at scale it rides the scan with no shuffle."""
     nf = "(8 + ((width - 64) + (height - 64)) % 120)"
-    step = f"(1 + CAST(FLOOR({nf} / {float(max_frames)}) AS INT))"
+    # true ceil(nf / max_frames) = floor((nf - 1) / max_frames) + 1 for nf >= 1:
+    # guarantees <= max_frames sampled frames and matches the stated contract
+    step = f"(1 + CAST(FLOOR(({nf} - 1) / {float(max_frames)}) AS INT))"
     return feats.select(
         "doc_id",
         "media_ref",
@@ -177,20 +183,22 @@ def sample_frames(feats: DataFrame, max_frames: int = 8) -> DataFrame:
 
 
 def _media_dims_sql(table: str) -> str:
-    """DuckDB CTE body: (doc_id, media_ref, width, height) replaying the
-    stub decode arithmetic from the corpus sid stream."""
+    """DuckDB CTE body: (doc_id, media_ref, h, width, height) replaying the
+    stub decode arithmetic from the corpus sid stream — the single source
+    of that arithmetic for ALL media oracles (features/resize/frames), so
+    a stub change cannot desynchronize them."""
     from ..sources import derive
 
     corpus = derive.corpus_sql(table)
     doc_key = derive.doc_key_sql()
     return f"""
-  SELECT doc_id, media_ref,
+  SELECT doc_id, media_ref, h,
          CAST(64 + h % 1024 AS INT) AS width,
          CAST(64 + (h // 1024) % 1024 AS INT) AS height
   FROM (
     SELECT {doc_key} AS doc_id,
            ('m://' || {doc_key} || '/' || CAST(n AS STRING)) AS media_ref,
-           ((sid * {FEATURE_DIM} + n) * {_MIX_MULT} + {_MIX_ADD}) % {_MIX_MOD} AS h
+           (((sid * {FEATURE_DIM} + n) % {_MIX_MOD}) * {_MIX_MULT} + {_MIX_ADD}) % {_MIX_MOD} AS h
     FROM {corpus}, (SELECT unnest(range(0, {derive.MEDIA_MOD - 1})) AS n)
     WHERE n < sid % {derive.MEDIA_MOD}
   )"""
@@ -208,7 +216,9 @@ def resize_media_oracle(table: str = "documents", max_side: int = 256) -> str:
 
 def sample_frames_oracle(table: str = "documents", max_frames: int = 8) -> str:
     nf = "(8 + ((width - 64) + (height - 64)) % 120)"
-    step = f"(1 + CAST(FLOOR({nf} / {float(max_frames)}) AS INT))"
+    # true ceil(nf / max_frames) = floor((nf - 1) / max_frames) + 1 for nf >= 1:
+    # guarantees <= max_frames sampled frames and matches the stated contract
+    step = f"(1 + CAST(FLOOR(({nf} - 1) / {float(max_frames)}) AS INT))"
     return (
         f"WITH dims AS ({_media_dims_sql(table)}) "
         f"SELECT doc_id, media_ref, {nf} AS n_frames, "
@@ -217,24 +227,15 @@ def sample_frames_oracle(table: str = "documents", max_frames: int = 8) -> str:
 
 
 def media_features_oracle(table: str = "documents") -> str:
-    """DuckDB oracle for :func:`media_features_checked`: rebuilds the media
-    span set from the corpus sid stream and replays the stub arithmetic."""
-    from ..sources import derive
-
-    corpus = derive.corpus_sql(table)
-    doc_key = derive.doc_key_sql()
+    """DuckDB oracle for :func:`media_features_checked`: the shared
+    media-dims CTE (single-sourced stub arithmetic) crossed with the
+    feature dimensions."""
     return f"""
-WITH m AS (
-  SELECT {doc_key} AS doc_id,
-         ('m://' || {doc_key} || '/' || CAST(n AS STRING)) AS media_ref,
-         ((sid * {FEATURE_DIM} + n) * {_MIX_MULT} + {_MIX_ADD}) % {_MIX_MOD} AS h
-  FROM {corpus}, (SELECT unnest(range(0, {derive.MEDIA_MOD - 1})) AS n)
-  WHERE n < sid % {derive.MEDIA_MOD}
-), dims AS (SELECT unnest(range(0, {FEATURE_DIM})) AS dim)
+WITH m AS ({_media_dims_sql(table)}),
+dims AS (SELECT unnest(range(0, {FEATURE_DIM})) AS dim)
 SELECT m.doc_id, m.media_ref, 'image' AS media_kind,
-       CAST(64 + h % 1024 AS INT) AS width,
-       CAST(64 + (h // 1024) % 1024 AS INT) AS height,
-       CAST((64 + h % 1024) * (64 + (h // 1024) % 1024) * 3 AS BIGINT) AS n_bytes,
+       m.width, m.height,
+       CAST(m.width AS BIGINT) * m.height * 3 AS n_bytes,
        CAST(d.dim AS INT) AS dim,
        CAST((h >> d.dim) % 251 AS INT) AS feat_u8
 FROM m, dims d

@@ -74,6 +74,12 @@ def pip_join(
 ) -> DataFrame:
     """(poly_id, doc_id, x, y) for every doc strictly inside each polygon."""
     spark = doc_geo.sparkSession
+    if not polygons:
+        return (
+            doc_geo.select(
+                F.lit("").alias("poly_id"), "doc_id", "x", "y"
+            ).limit(0)
+        )
     per_poly: list[tuple[str, int, list[tuple[int, int]]]] = []
     all_ranges: list[tuple[int, int]] = []
     for i, p in enumerate(polygons):

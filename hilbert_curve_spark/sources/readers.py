@@ -78,7 +78,12 @@ def read_osm_nodes(spark: SparkSession, path: str) -> DataFrame:
         F.regexp_extract("value", OSM_NODE_RE_ID, 1).alias("osm_id"),
         F.regexp_extract("value", OSM_NODE_RE_LAT, 1).alias("latitude"),
         F.regexp_extract("value", OSM_NODE_RE_LON, 1).alias("longitude"),
-        F.regexp_extract("value", OSM_NODE_RE_VER, 1).cast("int").alias("version"),
+        # nullif guards the no-match empty string: OSM XML may omit
+        # version=, and ANSI mode faults on CAST('' AS INT) — a missing
+        # version becomes NULL (sorts last in the max-version dedupe)
+        F.nullif(
+            F.regexp_extract("value", OSM_NODE_RE_VER, 1), F.lit("")
+        ).cast("int").alias("version"),
     )
     return nodes.filter(F.col("osm_id") != "")
 
