@@ -32,13 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
-from ..curve.cover import (
-    cell_shift_for_budget,
-    coalesce_ranges,
-    cover_box,
-    expand_ranges_to_cells,
-    merge_overlapping,
-)
+from ..curve.cover import cover_box
 
 Polygon = dict  # {poly_id: str, vertices: list[(x, y)]}
 
@@ -73,47 +67,27 @@ def pip_join(
     cell_budget: int = 1024,
 ) -> DataFrame:
     """(poly_id, doc_id, x, y) for every doc strictly inside each polygon."""
-    spark = doc_geo.sparkSession
     if not polygons:
         return (
             doc_geo.select(
                 F.lit("").alias("poly_id"), "doc_id", "x", "y"
             ).limit(0)
         )
-    per_poly: list[tuple[str, int, list[tuple[int, int]]]] = []
-    all_ranges: list[tuple[int, int]] = []
+    from .range_query import cover_cells_probe
+
+    per_poly: list[tuple[tuple, list[tuple[int, int]]]] = []
     for i, p in enumerate(polygons):
         xs = [v[0] for v in p["vertices"]]
         ys = [v[1] for v in p["vertices"]]
         x_lo, x_hi = max(0, min(xs)), min(config.edge - 1, max(xs))
         y_lo, y_hi = max(0, min(ys)), min(config.edge - 1, max(ys))
         cov = cover_box(x_lo, x_hi, y_lo, y_hi, config.order, config.max_ranges)
-        per_poly.append((p["poly_id"], i, cov.ranges))
-        all_ranges.extend(cov.ranges)
+        per_poly.append(((p["poly_id"], i), cov.ranges))
 
-    shift = cell_shift_for_budget(all_ranges, cell_budget)
-    rows = [
-        (poly_id, idx, cell, lo, hi)
-        for poly_id, idx, ranges in per_poly
-        for cell, lo, hi in expand_ranges_to_cells(ranges, shift)
-    ]
-    ranges_df = spark.createDataFrame(
-        rows, "poly_id string, poly_idx int, ck long, lo long, hi long"
-    )
-
-    # literal union-of-covers prefilter: pushed to the parquet scan
-    # (row-group pruning); the hash join below only sees survivors
-    from .range_query import range_predicate
-
-    union_cover = coalesce_ranges(merge_overlapping(all_ranges), 64)
-    cand = (
-        doc_geo.filter(range_predicate(union_cover))
-        .withColumn("_ck", F.shiftright(F.col("hilbert"), shift))
-        .join(
-            F.broadcast(ranges_df),
-            (F.col("_ck") == F.col("ck"))
-            & F.col("hilbert").between(F.col("lo"), F.col("hi")),
-        )
+    # equi-key broadcast HASH join (shared plumbing, see cover_cells_probe);
+    # the exact ray-cast is the post-join residual
+    cand = cover_cells_probe(
+        doc_geo, per_poly, "poly_id string, poly_idx int", cell_budget
     )
     # per-polygon covers are disjoint range lists, so each doc matches at
     # most one (ck, lo, hi) row per polygon — no distinct needed afterwards

@@ -50,6 +50,57 @@ def range_predicate(cover: "Cover | list[tuple[int, int]]") -> F.Column:
     return functools.reduce(operator.or_, terms)
 
 
+def cover_cells_probe(
+    doc_geo: "DataFrame",
+    per_shape: list[tuple[tuple, list[tuple[int, int]]]],
+    payload_schema: str,
+    cell_budget: int = 1024,
+) -> "DataFrame":
+    """Shared plumbing for the cover-driven broadcast HASH joins (tile
+    assignment, PIP — previously two hand-copies that had to evolve in
+    lockstep): expand each shape's cover to aligned ``hilbert>>s`` cells,
+    broadcast them, and probe with an equi-key join plus the BETWEEN
+    residual, after a literal union-of-covers prefilter that pushes to the
+    scan.  ``per_shape`` pairs each shape's payload tuple (described by
+    ``payload_schema``, e.g. ``"tile_id string, bx_lo long, ..."``) with
+    its cover ranges; the result carries the payload columns on every
+    candidate row and callers conjoin their exact residuals (box window,
+    ray-cast) as post-join filters — Catalyst pushes them into the join.
+
+    Why a hash join: a column-vs-column BETWEEN alone is a
+    BroadcastNestedLoopJoin — O(rows x ranges); the aligned-cell key makes
+    it O(1) per probe row regardless of range count (round-1 measured the
+    difference as 61.9 s -> ~1 s on pip_join)."""
+    from ..curve.cover import (
+        cell_shift_for_budget,
+        coalesce_ranges,
+        expand_ranges_to_cells,
+        merge_overlapping,
+    )
+
+    spark = doc_geo.sparkSession
+    all_ranges = [r for _, ranges in per_shape for r in ranges]
+    shift = cell_shift_for_budget(all_ranges, cell_budget)
+    rows = [
+        payload + (cell, lo, hi)
+        for payload, ranges in per_shape
+        for cell, lo, hi in expand_ranges_to_cells(ranges, shift)
+    ]
+    ranges_df = spark.createDataFrame(
+        rows, f"{payload_schema}, ck long, lo long, hi long"
+    )
+    union_cover = coalesce_ranges(merge_overlapping(all_ranges), 64)
+    return (
+        doc_geo.filter(range_predicate(union_cover))
+        .withColumn("_ck", F.shiftright(F.col("hilbert"), shift))
+        .join(
+            F.broadcast(ranges_df),
+            (F.col("_ck") == F.col("ck"))
+            & F.col("hilbert").between(F.col("lo"), F.col("hi")),
+        )
+    )
+
+
 def box_residual(cover: Cover) -> F.Column:
     return (
         F.col("x").between(cover.x_lo, cover.x_hi)

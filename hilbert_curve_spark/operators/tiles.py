@@ -61,50 +61,24 @@ def tile_assignment(
     cell key (hash-join equi key), the range bounds, and the exact window —
     the BETWEEN and box checks are residuals on the hash-matched rows.
     """
-    spark = doc_geo.sparkSession
-    from ..curve.cover import (
-        cell_shift_for_budget,
-        coalesce_ranges,
-        expand_ranges_to_cells,
-        merge_overlapping,
-    )
-    from .range_query import range_predicate
+    from .range_query import cover_cells_probe
 
-    per_tile = []
-    all_ranges: list[tuple[int, int]] = []
+    per_tile: list[tuple[tuple, list[tuple[int, int]]]] = []
     for t in tiles:
         x_lo, y_lo = t["x_start"], t["y_start"]
         x_hi, y_hi = x_lo + t["width"] - 1, y_lo + t["height"] - 1
         cov = cover_box(x_lo, x_hi, y_lo, y_hi, config.order, config.max_ranges)
-        per_tile.append((t["tile_id"], cov.ranges, x_lo, x_hi, y_lo, y_hi))
-        all_ranges.extend(cov.ranges)
+        per_tile.append(((t["tile_id"], x_lo, x_hi, y_lo, y_hi), cov.ranges))
 
-    # equi-key broadcast HASH join: ranges expand to aligned hilbert>>s
-    # cells (the hash key); BETWEEN + exact window stay as residuals.  A
-    # column-vs-column BETWEEN alone would be a BroadcastNestedLoopJoin —
-    # O(rows x ranges) — see pip.pip_join for the full rationale.
-    shift = cell_shift_for_budget(all_ranges, budget=1024)
-    rows = [
-        (tile_id, cell, lo, hi, x_lo, x_hi, y_lo, y_hi)
-        for tile_id, ranges, x_lo, x_hi, y_lo, y_hi in per_tile
-        for cell, lo, hi in expand_ranges_to_cells(ranges, shift)
-    ]
-    ranges_df = spark.createDataFrame(
-        rows,
-        "tile_id string, ck long, lo long, hi long, "
-        "bx_lo long, bx_hi long, by_lo long, by_hi long",
-    )
-    union_cover = coalesce_ranges(merge_overlapping(all_ranges), 64)
-    joined = (
-        doc_geo.filter(range_predicate(union_cover))
-        .withColumn("_ck", F.shiftright(F.col("hilbert"), shift))
-        .join(
-            F.broadcast(ranges_df),
-            (F.col("_ck") == F.col("ck"))
-            & F.col("hilbert").between(F.col("lo"), F.col("hi"))
-            & F.col("x").between(F.col("bx_lo"), F.col("bx_hi"))
-            & F.col("y").between(F.col("by_lo"), F.col("by_hi")),
-        )
+    # equi-key broadcast HASH join (shared plumbing, see cover_cells_probe);
+    # the exact tile window is the post-join residual
+    joined = cover_cells_probe(
+        doc_geo,
+        per_tile,
+        "tile_id string, bx_lo long, bx_hi long, by_lo long, by_hi long",
+    ).filter(
+        F.col("x").between(F.col("bx_lo"), F.col("bx_hi"))
+        & F.col("y").between(F.col("by_lo"), F.col("by_hi"))
     )
     # per-tile cover ranges are disjoint, so each (tile, doc) appears at
     # most once — the distinct only guards overlapping tile windows
