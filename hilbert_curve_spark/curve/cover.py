@@ -182,11 +182,18 @@ def cell_shift_for_budget(ranges: list[tuple[int, int]], budget: int = 4096) -> 
 
     The sum is bounded below by ``len(ranges)`` (each range contributes at
     least one cell at any shift), so when more ranges than budget exist no
-    shift can satisfy it — the loop caps at shift 64 (every cell collapses
-    to 0; the join degrades to the nested-loop residual check but stays
-    correct) instead of spinning forever."""
+    shift can satisfy it — the loop caps at shift **63** (every nonnegative
+    hilbert collapses to cell 0; the join degrades to the nested-loop
+    residual check but stays correct) instead of spinning forever.
+
+    The cap must be 63, not 64: Spark's ``shiftright`` is Java ``>>`` which
+    masks the shift amount mod 64, so ``shiftright(hilbert, 64)`` is a
+    NO-OP while Python ``h >> 64`` is 0 — at shift 64 the Spark-side cell
+    keys would never match the Python-expanded cell 0 and the hash join
+    would silently drop every row.  At 63 both engines agree (cell 0 for
+    all nonnegative values)."""
     s = 0
-    while s < 64 and sum((hi >> s) - (lo >> s) + 1 for lo, hi in ranges) > budget:
+    while s < 63 and sum((hi >> s) - (lo >> s) + 1 for lo, hi in ranges) > budget:
         s += 1
     return s
 

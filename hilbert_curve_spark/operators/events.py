@@ -45,9 +45,12 @@ def tumbling_counts_oracle(minutes: int = 60, table: str = "events") -> str:
     # bucket Spark's microsecond arithmetic assigns).
     secs = minutes * 60
     bucket = f"CAST(FLOOR(epoch(ts) / {secs}) AS BIGINT) * {secs}"
+    # DuckDB SUM(BIGINT) returns HUGEINT which lands in pandas as float64 and
+    # hash-mismatches Spark's int64 even when values are identical — the outer
+    # CAST keeps the aggregate BIGINT end to end.
     return (
         f"SELECT {bucket} AS window_start_s, event_type, COUNT(*) AS n_events, "
-        f"SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS sum_value_e6 "
+        f"CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_e6 "
         f"FROM {table} GROUP BY 1, 2"
     )
 
@@ -93,8 +96,10 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id, ts,
-         SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS UNBOUNDED PRECEDING) AS session_id
+         -- DuckDB SUM(BIGINT) -> HUGEINT -> pandas float64; CAST keeps the
+         -- session ids int64 so the driver's value hash matches Spark.
+         CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,

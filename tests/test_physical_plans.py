@@ -58,6 +58,19 @@ def test_pip_join_is_broadcast_hash_join_no_python(sorted_geo):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_cover_probe_exceeding_budget_still_matches(spark):
+    """Regression (ADVICE r2): with more cover ranges than the cell budget the
+    shift caps; at the old cap of 64 Spark's shiftright (Java >>, shift mod
+    64) was a no-op while the Python expansion emitted cell 0, so the hash
+    join silently matched nothing.  At cap 63 both sides agree on cell 0 and
+    every in-range row must survive."""
+    ranges = [(i * 100, i * 100 + 1) for i in range(40)]  # 40 ranges > budget 32
+    docs = spark.range(0, 4000).select(F.col("id").alias("hilbert"))
+    per_shape = [((f"s{i}",), [r]) for i, r in enumerate(ranges)]
+    out = rq.cover_cells_probe(docs, per_shape, "shape_id string", cell_budget=32)
+    assert out.count() == 80  # two hilbert values inside each of the 40 ranges
+
+
 def test_prefix_index_is_codegen(sorted_geo):
     idx = rq.prefix_index(sorted_geo, DEFAULT)
     plan = _plan(idx)
