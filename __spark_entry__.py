@@ -149,9 +149,9 @@ def _pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_ops.pip_join(_doc_geo(spark, sf_dir), W.POLYGONS, DEFAULT)
 
 
-JACCARD_T = 25
-ANN_QUERY = [float((i * 37 % 19) - 9) / 8.0 for i in range(64)]
-ANN_K = 15
+JACCARD_T = W.JACCARD_T
+ANN_QUERY = W.ANN_QUERY
+ANN_K = W.ANN_K
 
 
 def _grq_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,6 +268,28 @@ def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_STORE: dict[tuple[str, str], str] = {}
+
+
+def _ann_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN against the STORED bucket-partitioned layout (the scale
+    path `ann_topk`'s docstring promises): write embeddings once per
+    (app, sf_dir) partitioned by the LSH code, then probe with a
+    partition-pruning isin — the query never reads unprobed buckets
+    (plan-asserted in test_physical_plans.py).  Codes come from the same
+    ``lsh_bucket_expr``, so the inline oracle applies unchanged."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _LSH_STORE.get(key)
+    if path is None:
+        import tempfile
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        path = tempfile.mkdtemp(prefix="hcs_lsh_store_") + "/bucketed"
+        sim_ops.write_lsh_partitioned(emb, path, dim=len(ANN_QUERY), nbits=3)
+        _LSH_STORE[key] = path
+    return sim_ops.ann_topk_stored(spark, path, ANN_QUERY, ANN_K, nbits=3)
+
+
 def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN: probe the 2 nearest of 8 inverted lists,
     exact re-rank within (the partition-pruning scale path; sign-LSH
@@ -361,6 +383,46 @@ def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_SEQ = [0]
 
 
+def _run_stream_to_df(
+    spark: SparkSession, streamed: DataFrame, output_mode: str, name_prefix: str
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow + memory sink)
+    and return its final result as a plain local-backed DataFrame.
+
+    The checkpoint tempdir and the in-driver-memory sink table are both
+    dropped before returning (ADVICE r2: repeated invocations leaked one of
+    each) — the materialized rows are the *result* of an aggregation/
+    sessionization, i.e. driver-sized by construction, so re-wrapping them
+    in createDataFrame is the cleanup-enabling move, not a hot-path
+    collect."""
+    import shutil
+    import tempfile
+
+    _STREAM_SEQ[0] += 1
+    name = f"{name_prefix}_{_STREAM_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix="hcs_stream_ckpt_")
+    q = (
+        streamed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            # a partial snapshot would silently feed the oracle gate a
+            # wrong-but-plausible result — fail loudly instead
+            q.stop()
+            raise TimeoutError(f"{name_prefix}: stream not finished after 300s")
+        sunk = spark.table(name)
+        rows, schema = sunk.collect(), sunk.schema
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def _events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming, driver-checkable end-to-end: the events table
     replayed through a file-source stream -> watermarked tumbling window
@@ -368,12 +430,8 @@ def _events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream to completion).  The finished result equals the batch aggregation
     bit-for-bit, so the batch SQL oracle applies unchanged — the same
     batch-is-the-oracle method as tests/test_streaming_events.py."""
-    import tempfile
-
     from hilbert_curve_spark.streaming import event_streams as es
 
-    _STREAM_SEQ[0] += 1
-    name = f"drv_tumbling_{_STREAM_SEQ[0]}"
     stream = (
         spark.readStream.schema(es.EVENTS_SCHEMA)
         # events.parquet is a single file in the fixture dirs; FileStreamSource
@@ -383,21 +441,63 @@ def _events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{sf_dir}/events.parque?")
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
-    q = (
-        es.tumbling_counts_stream(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="hcs_stream_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    return _run_stream_to_df(
+        spark, es.tumbling_counts_stream(stream), "complete", "drv_tumbling"
     )
-    if not q.awaitTermination(300):
-        # a partial complete-mode snapshot would silently feed the oracle
-        # gate a wrong-but-plausible result — fail loudly instead
-        q.stop()
-        raise TimeoutError("events_stream_tumbling: stream not finished after 300s")
-    return spark.table(name)
+
+
+def _events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (``applyInPandasWithState``),
+    driver-checkable end-to-end.
+
+    The stream can only emit *closed* sessions, and each user's tail
+    session closes nondeterministically (event-time timeout vs final
+    watermark), so the replay appends one sentinel "flush" event per user,
+    placed past every real event by more than the session gap: every real
+    session then deterministically closes when its user's sentinel arrives,
+    and the sentinel's own one-event session (the only still-open state) is
+    filtered out by its known timestamp.  Emitted rows therefore equal ALL
+    batch sessions over the real events — the batch gap-and-island SQL is
+    the exact oracle."""
+    from hilbert_curve_spark.streaming import event_streams as es
+
+    events = _events(spark, sf_dir)
+    max_s = events.agg(
+        F.max(F.col("ts").cast("timestamp").cast("long")).alias("m")
+    ).first()["m"]
+    gap_s = 30 * 60
+    sentinel_s = max_s + gap_s + 3600  # > gap past every real event
+    sentinels = (
+        events.select("user_id")
+        .distinct()
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.timestamp_seconds(F.lit(sentinel_s)).alias("ts"),
+            F.col("user_id"),
+            F.lit("flush").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+    )
+    replay = events.withColumn("ts", F.col("ts").cast("timestamp")).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).unionByName(sentinels)
+    # one part file -> one micro-batch -> the watermark stays at its initial
+    # value while every group processes, so no row is late-dropped and the
+    # emission set is deterministic (multi-file replays exercise the
+    # late-data guard instead — covered in tests/test_streaming_events.py)
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="hcs_stream_src_")
+    replay.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(es.EVENTS_SCHEMA).parquet(src)
+    out = _run_stream_to_df(
+        spark, es.sessionize_stream(stream), "append", "drv_sessions"
+    )
+    import shutil
+
+    shutil.rmtree(src, ignore_errors=True)
+    return out.filter(F.col("session_start_s") < sentinel_s)
 
 
 def _events_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,6 +572,76 @@ def _hilbert3d_oracle() -> str:
     )
 
 
+_WIDE_ORDER, _WIDE_DIMS = 34, 3  # 102-bit indices — far past the int64 kernel
+
+
+def _wide_coord_exprs() -> list[str]:
+    """Deterministic 34-bit 3-D coords derived from the corpus lattice with
+    BIGINT-safe integer arithmetic both engines evaluate identically
+    (x, y < 2^12 so every product stays < 2^32)."""
+    side = 1 << _WIDE_ORDER
+    return [
+        f"(x * 131071 + y * 8191) % {side}",
+        f"(x * 524287 + y * 127 + 5) % {side}",
+        f"(x * 31 + y * 262139 + 11) % {side}",
+    ]
+
+
+def _hilbert_wide_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide (>63-bit) Hilbert through the driver gate: order-34 3-D coords
+    (102-bit indices — the reference's BigInteger domain,
+    `HilbertCurve.java:79-109`) encode to fixed-width hex strings via the
+    arbitrary-precision kernel (curve/hilbert_wide.py), decode back, and
+    emit the decoded coords + the constant hex width.  The oracle recomputes
+    the derived coords arithmetically — equality proves encode∘decode == id
+    on real data beyond int64, mirroring `hilbert3d_roundtrip` (the encode
+    side itself is pinned against the int64 kernel and reference goldens in
+    tests/test_hilbert_wide.py)."""
+    import pandas as pd
+
+    from hilbert_curve_spark.curve.hilbert_wide import (
+        decode_index_wide,
+        encode_point_wide,
+        hex_to_index,
+        index_to_hex,
+    )
+
+    order, dims = _WIDE_ORDER, _WIDE_DIMS
+    ex, ey, ez = _wide_coord_exprs()
+    dg = _doc_geo(spark, sf_dir).select(
+        "doc_id",
+        F.expr(ex).alias("xw"), F.expr(ey).alias("yw"), F.expr(ez).alias("zw"),
+    )
+
+    def _rt(batches):
+        for b in batches:
+            hexes = [
+                index_to_hex(encode_point_wide((xa, ya, za), order), order, dims)
+                for xa, ya, za in zip(b["xw"], b["yw"], b["zw"])
+            ]
+            dec = [decode_index_wide(hex_to_index(h), order, dims) for h in hexes]
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "xw": [d[0] for d in dec],
+                    "yw": [d[1] for d in dec],
+                    "zw": [d[2] for d in dec],
+                    "hex_width": [len(h) for h in hexes],
+                }
+            )
+
+    return dg.mapInPandas(_rt, "doc_id string, xw long, yw long, zw long, hex_width int")
+
+
+def _hilbert_wide_oracle() -> str:
+    ex, ey, ez = _wide_coord_exprs()
+    width = (_WIDE_ORDER * _WIDE_DIMS + 3) // 4
+    return (
+        f"{_doc_geo_cte()} SELECT doc_key AS doc_id, {ex} AS xw, {ey} AS yw, "
+        f"{ez} AS zw, CAST({width} AS INT) AS hex_width FROM doc_geo"
+    )
+
+
 def _keyword_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword inverted-index build (E10) + posting-size stats."""
     idx = brq_ops.keyword_index(_doc_geo(spark, sf_dir))
@@ -542,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "updates_compacted": _updates_compacted,
         "updates_asof": _updates_asof,
         "events_stream_tumbling": _events_stream_tumbling,
+        "events_stream_sessions": _events_stream_sessions,
         "text_profile": _text_profile,
         "quality_topk": _quality_topk,
         "stratified_sample": _stratified_sample,
@@ -554,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _cosine_topk,
         "embed_dup_pairs": _embed_dup_pairs,
         "ann_topk": _ann_topk,
+        "ann_stored_topk": _ann_stored_topk,
         "ivf_topk": _ivf_topk,
         "media_features": _media_features,
         "media_resize": _media_resize,
@@ -566,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_islands": _hilbert_islands,
         "hilbert_decode": _hilbert_decode,
         "hilbert3d_roundtrip": _hilbert3d_roundtrip,
+        "hilbert_wide_roundtrip": _hilbert_wide_roundtrip,
         "keyword_postings": _keyword_postings,
         "extent": _extent,
         "cell_stats": _cell_stats,
@@ -685,6 +858,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "hilbert_decode": f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo",
         "hilbert3d_roundtrip": _hilbert3d_oracle(),
+        "hilbert_wide_roundtrip": _hilbert_wide_oracle(),
         "keyword_postings": _keyword_postings_oracle(),
         "extent": (
             f"{cte} SELECT MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, "
@@ -698,6 +872,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_cells": _s2_cells_oracle(),
         "events_tumbling": ev_ops.tumbling_counts_oracle(),
         "events_stream_tumbling": ev_ops.tumbling_counts_oracle(),
+        "events_stream_sessions": ev_ops.sessionize_epoch_oracle(),
         "events_sessions": ev_ops.sessionize_oracle(),
         "events_latest": ev_ops.latest_event_oracle(),
         "events_sample": ev_ops.systematic_sample_oracle(),
@@ -720,6 +895,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": dedup_ops.simhash_pairs_oracle(max_hamming=3),
         "cosine_topk": sim_ops.cosine_topk_oracle(ANN_QUERY, ANN_K),
         "ann_topk": sim_ops.ann_topk_oracle(ANN_QUERY, ANN_K, nbits=3),
+        "ann_stored_topk": sim_ops.ann_topk_oracle(ANN_QUERY, ANN_K, nbits=3),
         "ivf_topk": sim_ops.ivf_topk_oracle(ANN_QUERY, ANN_K, n_centroids=8, nprobe=2),
         "embed_dup_pairs": sim_ops.embed_dup_pairs_oracle(),
         "tile_cells": _tile_cells_oracle(),

@@ -72,14 +72,18 @@ def jaccard_pairs(
     """Exact n-gram Jaccard similarity join: pairs (doc_a, doc_b, jac_pct)
     with jaccard >= threshold (integer percent — no float compare).
 
-    Blocking is a HEURISTIC, not a similarity bound: docs join only within
-    the same fixed-width word-count band (``floor(wc / band)``) AND sharing
-    the same first token, so near-duplicate pairs straddling a band edge or
-    differing in token 0 are missed by design (the oracle replays the same
-    blocking, so parity holds).  This family is the *exact-rescoring* path;
-    MinHash-LSH (below) is the recall-complete candidate generator — run
-    LSH for candidates, this join's scoring for the final decision.
-    Self-join shuffles on the block key; AQE splits skewed blocks.
+    Blocking: word-count bands (``floor(wc / band)``) probed with the
+    ±1 NEIGHBOR bands (side b explodes to {lband-1, lband, lband+1}, so
+    the join stays a hash equi-join — 3x one side, never a nested loop),
+    AND a shared first token.  The neighbor probe closes the band-edge
+    recall gap (ADVICE r2: 31- vs 33-word twins never paired): since
+    jaccard >= t bounds the word-count difference by ~(1-t)*wc_max, the
+    band blocking is recall-COMPLETE whenever (1-t)*wc_max < band width
+    (true for the fixture corpus at t=0.8, band=32); the tok0 block stays
+    a heuristic, with MinHash-LSH (below) as the recall-complete candidate
+    generator at scale — run LSH for candidates, this join's scoring for
+    the final decision.  Self-join shuffles on the block key; AQE splits
+    skewed blocks.
     """
     g = docs.select(
         "doc_id",
@@ -88,14 +92,18 @@ def jaccard_pairs(
         F.expr("split(text, ' ')[0]").alias("tok0"),
     )
     a = g.alias("a")
-    b = g.alias("b")
+    b = g.withColumn(
+        "jband",
+        F.explode(F.array(F.col("lband") - 1, F.col("lband"), F.col("lband") + 1)),
+    ).alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
     jac_pct = F.floor(F.lit(100) * inter / union).cast("long")
     return (
         a.join(
             b,
-            (F.col("a.lband") == F.col("b.lband"))
+            # exactly one of b's 3 probe keys can equal a.lband -> no dup pairs
+            (F.col("a.lband") == F.col("b.jband"))
             & (F.col("a.tok0") == F.col("b.tok0"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -123,7 +131,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(FLOOR(100.0 * len(list_intersect(a.grams, b.grams)) /
             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))) AS BIGINT) AS jac_pct
 FROM g a JOIN g b
-  ON a.lband = b.lband AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id
+  ON abs(a.lband - b.lband) <= 1 AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id
 WHERE CAST(FLOOR(100.0 * len(list_intersect(a.grams, b.grams)) /
       (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))) AS BIGINT) >= {threshold_pct}
 """

@@ -108,6 +108,34 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def sessionize_epoch_oracle(gap_minutes: int = 30, table: str = "events") -> str:
+    """Same gap-and-island sessions as ``sessionize_oracle`` but rendered in
+    the streaming sessionizer's output shape — (user_id, session_start_s,
+    session_end_s, n_events) with bounds as floored epoch seconds (the
+    integer arithmetic ``streaming.event_streams.sessionize_stream`` uses).
+    MIN/MAX over BIGINT stay BIGINT in DuckDB; only the running SUM needs
+    the HUGEINT-avoiding cast."""
+    gap = gap_minutes * 60
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w > {gap}
+              THEN 1 ELSE 0 END AS b
+  FROM {table}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts_s) AS session_start_s, MAX(ts_s) AS session_end_s,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 def latest_event_per_user(events: DataFrame) -> DataFrame:
     """Versioned dedup (reference E3 OSM semantics — keep max version per id,
     `SpatialDataProcessor/BirminghanData/OsmToCsvConverter.java:57-59`):

@@ -96,6 +96,16 @@ def connected_components(
         e = _small_star(_large_star(e)).localCheckpoint()
         if _converged(prev, e):
             break
+    else:
+        # an unconverged star graph yields WRONG component labels (chains
+        # not yet collapsed to their minimum) — never let that silently
+        # feed dedup_survivors' victim list (ADVICE r2).  Alternating
+        # large/small-star converges in O(log^2 n) rounds, so hitting this
+        # means max_iter was set far too low for the graph's diameter.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large/small-star rounds; raise max_iter"
+        )
     # converged edges are stars (node -> component min); roots have no
     # outgoing edge and label themselves
     labels = e.groupBy("u").agg(F.min("v").alias("rep"))

@@ -21,11 +21,28 @@ probe); every heavy step is a pruned scan + a top-k (Spark
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
 from .range_query import box_residual, compile_box, range_predicate
+
+_COUNT_CACHE: "weakref.WeakKeyDictionary[DataFrame, int]" = weakref.WeakKeyDictionary()
+
+
+def _corpus_count(doc_geo: DataFrame) -> int:
+    """Corpus cardinality for the density seed, memoized per DataFrame
+    object: the driver/bench corpus is session-cached (one object per
+    (app, sf_dir)), so only the first kNN query pays the count action —
+    repeat queries seed for free.  A real deployment reads this from table
+    statistics (Iceberg snapshot summary) instead of counting at all."""
+    n = _COUNT_CACHE.get(doc_geo)
+    if n is None:
+        n = doc_geo.count()
+        _COUNT_CACHE[doc_geo] = n
+    return n
 
 
 def _candidates(doc_geo: DataFrame, qx: int, qy: int, r: int, config: EngineConfig) -> DataFrame:
@@ -55,16 +72,16 @@ def knn(
     """Exact k nearest docs to (qx, qy): (doc_id, x, y, dist2).
 
     ``initial_radius=None`` estimates the first band from corpus density
-    (one cheap count on the maintained/cached table): the uniform-density
-    radius for k points, doubled.  Query points land on the gaussian hot
-    spots in practice, so local density >= uniform and the first probe
-    almost always holds >= k candidates — the growing loop then runs a
-    single round instead of 3-4."""
+    (a memoized count on the maintained/cached table — free after the first
+    query): the uniform-density radius for k points, doubled.  Query points
+    land on the gaussian hot spots in practice, so local density >= uniform
+    and the first probe almost always holds >= k candidates — the growing
+    loop then runs a single round instead of 3-4."""
     edge = config.edge
     if initial_radius is None:
         import math
 
-        n = max(doc_geo.count(), 1)
+        n = max(_corpus_count(doc_geo), 1)
         initial_radius = max(8, min(edge, 2 * math.isqrt(k * edge * edge // n) + 1))
     r = initial_radius
     while True:

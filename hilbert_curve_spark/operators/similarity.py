@@ -232,6 +232,41 @@ def ann_topk_oracle(
     )
 
 
+def write_lsh_partitioned(
+    embeddings: DataFrame, path: str, dim: int, nbits: int = 16
+) -> None:
+    """Materialize embeddings with the sign-LSH ``bucket`` code as a
+    PARTITION column — the write-path layout the ``ann_topk`` docstring
+    promises (on Iceberg: identity partition on bucket).  After this write
+    a probe's ``bucket isin(...)`` is partition PRUNING: the query reads
+    ~(probes)/2^nbits of the bytes instead of recomputing codes over the
+    full table.  ``nbits`` sizes the directory fan-out (2^nbits partitions
+    at most); a 10^12-row deployment uses 2^12-2^16 buckets so each holds
+    file-sized inverted lists."""
+    bucketed = embeddings.withColumn("bucket", lsh_bucket_expr(dim, nbits))
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def ann_topk_stored(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nbits: int = 16,
+    hamming_probe: int = 1,
+) -> DataFrame:
+    """Sign-LSH probe against the stored bucket-partitioned layout: compute
+    the query's code + hamming-1 neighbours driver-side (pure Python over
+    the literal planes — no data touched), then read ONLY those partitions
+    (``PartitionFilters`` asserted in test_physical_plans.py) and exact
+    cosine re-rank within.  Result-identical to the inline ``ann_topk``
+    because the stored codes come from the same ``lsh_bucket_expr``."""
+    stored = spark.read.parquet(path)
+    probes = _probe_codes(query_vec, nbits, hamming_probe)
+    cand = stored.filter(F.col("bucket").isin(probes))
+    return cosine_topk(cand.select("vec_id", "embedding"), query_vec, k)
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — coarse-quantizer variant
 # ---------------------------------------------------------------------------

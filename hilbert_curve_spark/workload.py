@@ -42,6 +42,12 @@ POLYGONS = [
 KNN_Q = (1030, 1015)
 KNN_K = 25
 
+# Pipeline-family workload (dedup / ANN), shared by the driver entry and
+# bench so both measure the identical query shapes.
+JACCARD_T = 25
+ANN_QUERY = [float((i * 37 % 19) - 9) / 8.0 for i in range(64)]
+ANN_K = 15
+
 
 def box_sql(r: dict, x: str = "x", y: str = "y") -> str:
     return (

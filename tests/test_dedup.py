@@ -85,3 +85,21 @@ def test_jaccard_blocking_no_false_positives(spark, corpus):
     }
     unblocked = _true_pairs(corpus, 70)
     assert blocked <= unblocked
+
+
+def test_jaccard_band_edge_recall(spark):
+    """Regression (ADVICE/VERDICT r2): near-dup twins of 31 vs 33 words land
+    in adjacent word-count bands at band=32 (floor(31/32)=0, floor(33/32)=1);
+    the old same-band-only blocking never paired them at ANY similarity.
+    The ±1 neighbor probe must surface the pair exactly once."""
+    common = [f"c{j}" for j in range(31)]
+    rows = [
+        ("doc31", " ".join(common)),
+        ("doc33", " ".join(common + ["x1", "x2"])),
+        ("far", " ".join(f"z{j}" for j in range(40))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = dedup.jaccard_pairs(docs, threshold_pct=80, band=32).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [("doc31", "doc33")]
+    # jaccard in gram space: 29 shared 3-grams / 31 total = 93%
+    assert pairs[0]["jac_pct"] == 93

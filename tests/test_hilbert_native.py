@@ -36,15 +36,20 @@ def test_native_encode_exhaustive_order3(spark):
 
 
 def test_native_encode_random_order12_and_31(spark):
+    # compare per-(x, y) pairing, not sorted multisets: a permutation bug at
+    # high orders would survive a multiset compare (ADVICE r2)
     rng = np.random.default_rng(7)
     for order in (12, 31):
         edge = 1 << order
         xs = rng.integers(0, edge, 500, dtype=np.int64)
         ys = rng.integers(0, edge, 500, dtype=np.int64)
-        want = sorted(encode2d(xs, ys, order).tolist())
+        want = {
+            (int(x), int(y)): int(h)
+            for x, y, h in zip(xs, ys, encode2d(xs, ys, order))
+        }
         got = with_hilbert_native(_mk_points(spark, xs, ys), order=order)
-        vals = sorted(r.hilbert for r in got.collect())
-        assert vals == want, f"order {order} mismatch"
+        for r in got.collect():
+            assert r.hilbert == want[(r.x, r.y)], f"order {order} mismatch at ({r.x},{r.y})"
 
 
 def test_native_decode_roundtrip(spark):

@@ -148,6 +148,32 @@ def test_ivf_stored_probe_is_partition_pruning(spark, sf_dir, tmp_path_factory):
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in inline.collect()]
 
 
+def test_lsh_stored_probe_is_partition_pruning(spark, sf_dir, tmp_path_factory):
+    """The sign-LSH scale claim, demonstrated the way IVF's is: with the
+    embeddings stored bucket-partitioned, the probe's isin lands in
+    PartitionFilters (file pruning — unprobed buckets are never read) and
+    the pruned plan returns the same top-k as the inline code-compute path."""
+    from hilbert_curve_spark.operators.similarity import (
+        ann_topk,
+        ann_topk_stored,
+        write_lsh_partitioned,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+    nbits = 8  # 256 partitions max — file-sized inverted lists at test scale
+    path = str(tmp_path_factory.mktemp("lsh") / "bucketed")
+    write_lsh_partitioned(emb, path, dim=len(qv), nbits=nbits)
+
+    got = ann_topk_stored(spark, path, qv, k=10, nbits=nbits, hamming_probe=1)
+    plan = _plan(got)
+    assert "PartitionFilters" in plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "bucket" in pf_line.split("PartitionFilters")[1]
+    inline = ann_topk(emb, qv, k=10, nbits=nbits, hamming_probe=1)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in inline.collect()]
+
+
 def test_hex_cells_is_codegen_single_exchange(sorted_geo):
     """Hex binning: the cell id is a pure codegen expression (no Python
     eval anywhere) and the histogram pays exactly one Exchange (the agg)."""
