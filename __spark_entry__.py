@@ -154,6 +154,98 @@ ANN_QUERY = W.ANN_QUERY
 ANN_K = W.ANN_K
 
 
+def _distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-radius near-neighbor pair join (grid-blocked plane sweep)."""
+    from hilbert_curve_spark.operators.spatial_join import distance_self_join
+
+    return distance_self_join(_doc_geo(spark, sf_dir), W.DIST_RADIUS, DEFAULT)
+
+
+def _distance_pairs_oracle() -> str:
+    from hilbert_curve_spark.operators.spatial_join import distance_self_join_oracle
+
+    return f"{_doc_geo_cte()}, {distance_self_join_oracle(W.DIST_RADIUS)}"
+
+
+def _knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact kNN join: top-k docs for every query point in one
+    cover-probe plan (the set-at-a-time form of `knn`)."""
+    from hilbert_curve_spark.operators.spatial_join import knn_join
+
+    return knn_join(_doc_geo(spark, sf_dir), W.KNN_JOIN_QUERIES, W.KNN_JOIN_K, DEFAULT)
+
+
+def _knn_join_oracle() -> str:
+    from hilbert_curve_spark.operators.spatial_join import knn_join_oracle
+
+    return f"{_doc_geo_cte()}, {knn_join_oracle(W.KNN_JOIN_QUERIES, W.KNN_JOIN_K)}"
+
+
+def _zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster/vector zonal aggregation over the PIP join's polygons."""
+    from hilbert_curve_spark.operators.spatial_join import zonal_stats
+
+    return zonal_stats(_doc_geo(spark, sf_dir), W.POLYGONS, DEFAULT)
+
+
+def _zonal_stats_oracle() -> str:
+    from hilbert_curve_spark.operators.spatial_join import zonal_stats_oracle
+
+    return f"{_doc_geo_cte()}, {zonal_stats_oracle(W.POLYGONS)}"
+
+
+def _cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution cell histogram: scan once, roll up 4x per level."""
+    from hilbert_curve_spark.operators.rollup import cell_pyramid
+
+    return cell_pyramid(_doc_geo(spark, sf_dir), W.PYRAMID_LEVELS, DEFAULT)
+
+
+def _cell_pyramid_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import cell_pyramid_oracle_select
+
+    hcte = tiles_ops.hilbert_sql_cte(
+        DEFAULT.order,
+        "SELECT x AS cx, y AS cy FROM doc_geo",
+        pre_ctes=f"doc_geo AS ({derive.doc_geo_select_sql('documents')}), ",
+    )
+    return f"{hcte}{cell_pyramid_oracle_select(W.PYRAMID_LEVELS, DEFAULT)}"
+
+
+_SORTED_STORE: dict[tuple[str, str], str] = {}
+
+
+def _grq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRQ against the STORED Hilbert-sorted layout (E2 sink through the
+    driver gate): doc_geo is written once per (app, sf_dir) via
+    ``write_sorted`` — range-partitioned + sorted by hilbert, so the cover's
+    OR-of-BETWEEN prunes files and row groups — then the same range-mode
+    query runs on the re-read table.  Oracle: the plain R2 box."""
+    from hilbert_curve_spark.sources.layout import read_sorted, write_sorted
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _SORTED_STORE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="hcs_sorted_store_") + "/doc_geo"
+        write_sorted(_doc_geo(spark, sf_dir), path)
+        _SORTED_STORE[key] = path
+    out = rq.grq_range_mode(read_sorted(spark, path), **W.R2)
+    return out.select("doc_id", "x", "y")
+
+
+def _events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the user's most recent prior click."""
+    return ev_ops.asof_attach(_events(spark, sf_dir))
+
+
+def _top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.top_ngrams(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=W.NGRAM_K
+    )
+
+
 def _grq_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     live = upd_ops.merge_on_read(upd_ops.build_update_stream(spark, sf_dir))
     dg = _doc_geo(spark, sf_dir).join(live, "doc_id", "semi")
@@ -707,7 +799,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_cells": _tile_cells,
         "tile_assign": _tile_assign,
         "knn": _knn,
+        "knn_join": _knn_join,
         "pip_join": _pip,
+        "distance_pairs": _distance_pairs,
+        "zonal_stats": _zonal_stats,
+        "cell_pyramid": _cell_pyramid,
+        "grq_stored": _grq_stored,
+        "events_asof": _events_asof,
+        "top_ngrams": _top_ngrams,
         "grq_updates": _grq_updates,
         "updates_compacted": _updates_compacted,
         "updates_asof": _updates_asof,
@@ -901,7 +1000,16 @@ def oracle_sql() -> dict[str, str]:
         "tile_cells": _tile_cells_oracle(),
         "tile_assign": _tile_assign_oracle(),
         "knn": _knn_oracle(),
+        "knn_join": _knn_join_oracle(),
         "pip_join": _pip_oracle(),
+        "distance_pairs": _distance_pairs_oracle(),
+        "zonal_stats": _zonal_stats_oracle(),
+        "cell_pyramid": _cell_pyramid_oracle(),
+        "grq_stored": (
+            f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R2)}"
+        ),
+        "events_asof": ev_ops.asof_attach_oracle(),
+        "top_ngrams": textops.top_ngrams_oracle(k=W.NGRAM_K),
         "grq_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

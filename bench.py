@@ -189,6 +189,39 @@ def _pipeline_queries(spark):
     }
 
 
+def _spatial_join_queries(geo):
+    """Round-3 spatial-join family over the same amplified corpus: batched
+    kNN join, within-radius pair join, zonal stats, pyramid rollup — timed
+    as its own subtotal (the headline total stays the 8-query suite for
+    comparability with BENCH_r01/r02)."""
+    from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators.rollup import cell_pyramid
+    from hilbert_curve_spark.operators.spatial_join import (
+        distance_self_join,
+        knn_join,
+        zonal_stats,
+    )
+
+    def q_knn_join():
+        return knn_join(geo, W.KNN_JOIN_QUERIES, W.KNN_JOIN_K).count()
+
+    def q_distance_pairs():
+        return distance_self_join(geo, W.DIST_RADIUS).count()
+
+    def q_zonal_stats():
+        return zonal_stats(geo, W.POLYGONS).count()
+
+    def q_cell_pyramid():
+        return cell_pyramid(geo, W.PYRAMID_LEVELS).count()
+
+    return {
+        "knn_join": q_knn_join,
+        "distance_pairs": q_distance_pairs,
+        "zonal_stats": q_zonal_stats,
+        "cell_pyramid": q_cell_pyramid,
+    }
+
+
 def run_suite(master: str) -> dict:
     from hilbert_curve_spark.session import get_spark
 
@@ -199,7 +232,8 @@ def run_suite(master: str) -> dict:
         build_sec = time.time() - t_build0
         qs = _queries(geo, pidx)
         pipeline = _pipeline_queries(spark)
-        all_qs = {**qs, **pipeline}
+        sjoins = _spatial_join_queries(geo)
+        all_qs = {**qs, **pipeline, **sjoins}
         for f in all_qs.values():  # warm-up (JIT/codegen/cache), reference protocol
             f()
         times = {}
@@ -215,12 +249,14 @@ def run_suite(master: str) -> dict:
         # reported alongside as its own subtotal
         spatial_sec = round(sum(times[k] for k in qs), 3)
         pipeline_sec = round(sum(times[k] for k in pipeline), 3)
+        spatial_join_sec = round(sum(times[k] for k in sjoins), 3)
         return {
             "master": master,
             "build_sec": round(build_sec, 3),
             "queries": times,
             "total_sec": spatial_sec,
             "pipeline_sec": pipeline_sec,
+            "spatial_join_sec": spatial_join_sec,
             "docs": n_docs,
             "docs_per_sec": round(n_docs * len(qs) / spatial_sec, 1),
         }
@@ -397,6 +433,7 @@ def main():
             "docs_per_sec": r["docs_per_sec"],
             "build_sec": r["build_sec"],
             "pipeline_sec": r["pipeline_sec"],
+            "spatial_join_sec": r["spatial_join_sec"],
         }
     print(json.dumps(out))
 

@@ -161,6 +161,83 @@ SELECT user_id, event_type, event_id, ts FROM (
 """
 
 
+_ASOF_KEY_BASE = 1 << 24  # event_id < 2^24 assumed (fixture max ~10^5)
+
+
+def asof_attach(
+    events: DataFrame, base_type: str = "purchase", ref_type: str = "click"
+) -> DataFrame:
+    """As-of join within the event stream: every ``base_type`` event gets the
+    most recent strictly-prior ``ref_type`` event of the same user —
+    (event_id, user_id, ts_s, ref_ts_s, ref_value_e6), NULL refs when no
+    prior reference event exists.
+
+    Physical shape (the scale-sound as-of pattern): ONE window pass over the
+    stream partitioned by user — the reference event's identity is packed
+    into a single int64 key ``ts_s * 2^24 + event_id`` whose running MAX over
+    the strictly-preceding frame IS the as-of pointer (monotone packing:
+    later second, then higher event_id, wins) — followed by an equi-join back
+    to the reference rows to fetch their payload.  No per-row Python, no
+    range join, one shuffle on user_id (shuffle-free when the events table
+    is bucketed by user_id).  Tie-break within a second is by event_id, and
+    the *preceding frame* itself is ordered by the raw timestamp, so both
+    engines resolve sub-second orderings identically."""
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    v6 = F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)")
+    ref_key = F.when(
+        F.col("event_type") == ref_type, ts_s * _ASOF_KEY_BASE + F.col("event_id")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = (
+        events.withColumn("rk", ref_key)
+        .withColumn("last_rk", F.max("rk").over(w))
+        .filter(F.col("event_type") == base_type)
+        .select("event_id", "user_id", ts_s.alias("ts_s"), "last_rk")
+    )
+    refs = events.filter(F.col("event_type") == ref_type).select(
+        "user_id",
+        (ts_s * _ASOF_KEY_BASE + F.col("event_id")).alias("last_rk"),
+        ts_s.alias("ref_ts_s"),
+        v6.alias("ref_value_e6"),
+    )
+    return base.join(refs, ["user_id", "last_rk"], "left").select(
+        "event_id", "user_id", "ts_s", "ref_ts_s", "ref_value_e6"
+    )
+
+
+def asof_attach_oracle(
+    base_type: str = "purchase", ref_type: str = "click", table: str = "events"
+) -> str:
+    return f"""
+WITH keyed AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = '{ref_type}'
+              THEN CAST(FLOOR(epoch(ts)) AS BIGINT) * {_ASOF_KEY_BASE} + event_id
+         END AS rk
+  FROM {table}
+), ptr AS (
+  SELECT user_id, ts, event_id, event_type,
+         MAX(rk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_rk
+  FROM keyed
+), refs AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * {_ASOF_KEY_BASE} + event_id AS last_rk,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS ref_ts_s,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS ref_value_e6
+  FROM {table} WHERE event_type = '{ref_type}'
+)
+SELECT p.event_id, p.user_id, CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS ts_s,
+       r.ref_ts_s, r.ref_value_e6
+FROM ptr p LEFT JOIN refs r ON p.user_id = r.user_id AND p.last_rk = r.last_rk
+WHERE p.event_type = '{base_type}'
+"""
+
+
 def systematic_sample(events: DataFrame, k: int = 10) -> DataFrame:
     """Deterministic 1-in-k systematic sample (reference E8's fixed-size
     sampling made reproducible: id-keyed, not RNG-keyed)."""

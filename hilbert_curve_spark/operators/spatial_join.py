@@ -1,0 +1,265 @@
+"""Distributed spatial joins beyond the single-query operators: within-radius
+self-join (near-neighbor pairs), kNN *join* (top-k per query point, batched),
+and zonal statistics (per-polygon aggregation).
+
+The reference computes these shapes one query at a time on the driver
+(`hilbert/HilbertComponent/GetPointIndex.java:59-93` sorts the whole point
+set to answer one proximity lookup; `Box.contains:144-152` tests one point);
+these are the set-at-a-time Spark equivalents a 100 TB corpus needs.
+
+Scale design notes:
+
+* ``distance_self_join`` — the textbook grid-blocked plane-sweep: each point
+  keys to a ``c x c`` cell with ``c >= radius``, so every qualifying pair is
+  co-located in the same or an adjacent cell.  The probe side explodes to
+  only FIVE offsets (self + E/NE/N/NW): the four directional offsets cover
+  exactly half of the 8-neighborhood, their negations the other half, so
+  every cross-cell pair is generated exactly once and only same-cell pairs
+  need the ``id_a < id_b`` dedup — 5x shuffle amplification instead of the
+  naive 9x.  The join is a plain shuffled hash equi-join on the cell key
+  (AQE skew-split backstops the gaussian hot cells); no distinct pass is
+  needed because each unordered pair is emitted exactly once by
+  construction.
+
+* ``knn_join`` — the batched form of ``operators/knn.py``: every query point
+  compiles to a Hilbert cover of its L-inf candidate box, all covers ride
+  ONE ``cover_cells_probe`` broadcast hash join (one pruned scan for the
+  whole batch, not one scan per query), and a per-query window computes the
+  partial top-k.  The same L-inf completeness argument applies per query:
+  if the k-th candidate distance <= the box radius the top-k is proven
+  exact, else that query's box grows geometrically and the batch re-probes
+  (queries already proven complete keep their radius — the re-probe is
+  still one scan).
+
+* ``zonal_stats`` — raster/vector zonal aggregation: the PIP join's
+  candidates (cell-bucketed broadcast hash join + codegen ray-cast,
+  `operators/pip.py`) feed a hash aggregation on ``poly_id``.  All
+  aggregates are algebraic (count/sum) so map-side partial aggregation
+  bounds the shuffle at one row per (task, polygon).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, EngineConfig
+from .knn import _corpus_count
+from .pip import Polygon, pip_join, pip_oracle_sql
+from .range_query import cover_cells_probe, compile_box
+
+# self + E/NE/N/NW: half the 8-neighborhood (negations cover the other half)
+_HALF_OFFSETS = [(0, 0), (1, 0), (1, 1), (0, 1), (-1, 1)]
+
+
+def _cell_shift(radius: int) -> int:
+    """Smallest s with 2**s >= radius (cell edge >= radius guarantees any
+    pair within ``radius`` spans at most one cell step per axis)."""
+    return max(1, int(radius - 1).bit_length())
+
+
+def distance_self_join(
+    doc_geo: DataFrame, radius: int, config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """All unordered doc pairs within L2 distance ``radius``:
+    (doc_a, doc_b, dist2) with doc_a < doc_b and dist2 <= radius**2.
+
+    Exact (the cell blocking is lossless for c >= radius); one shuffled hash
+    join on the composite cell key; no post-join dedup needed.
+    """
+    s = _cell_shift(radius)
+    edge = config.edge
+    r2 = radius * radius
+
+    def keyed(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(f"id_{tag}"),
+            F.col("x").alias(f"x_{tag}"),
+            F.col("y").alias(f"y_{tag}"),
+            F.shiftright("x", s).alias(f"cx_{tag}"),
+            F.shiftright("y", s).alias(f"cy_{tag}"),
+        )
+
+    offs = ", ".join(
+        f"named_struct('dx', {dx}L, 'dy', {dy}L)" for dx, dy in _HALF_OFFSETS
+    )
+    probe = (
+        keyed(doc_geo, "a")
+        .withColumn("o", F.explode(F.expr(f"array({offs})")))
+        .withColumn("ck", (F.col("cx_a") + F.col("o.dx")) * edge + F.col("cy_a") + F.col("o.dy"))
+    )
+    home = keyed(doc_geo, "b").withColumn(
+        "ck", F.col("cx_b") * edge + F.col("cy_b")
+    )
+    dist2 = (F.col("x_a") - F.col("x_b")) ** 2 + (F.col("y_a") - F.col("y_b")) ** 2
+    same_cell = (F.col("o.dx") == 0) & (F.col("o.dy") == 0)
+    pairs = (
+        probe.join(home, "ck")
+        .filter(~same_cell | (F.col("id_a") < F.col("id_b")))
+        .withColumn("dist2", dist2.cast("long"))
+        .filter(F.col("dist2") <= r2)
+    )
+    return pairs.select(
+        F.least("id_a", "id_b").alias("doc_a"),
+        F.greatest("id_a", "id_b").alias("doc_b"),
+        "dist2",
+    )
+
+
+def distance_self_join_oracle(radius: int, doc_geo_table: str = "doc_geo") -> str:
+    """DuckDB oracle: the same lossless cell blocking (9-offset form — the
+    oracle favors obviousness over shuffle volume) with ``doc_key <`` dedup
+    and the identical integer distance predicate."""
+    s = _cell_shift(radius)
+    r2 = radius * radius
+    nine = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""prb AS (
+  SELECT doc_key, x, y, (x >> {s}) + dx AS cx, (y >> {s}) + dy AS cy
+  FROM {doc_geo_table}, (VALUES {nine}) o(dx, dy)
+), hom AS (
+  SELECT doc_key, x, y, x >> {s} AS cx, y >> {s} AS cy FROM {doc_geo_table}
+)
+SELECT p.doc_key AS doc_a, h.doc_key AS doc_b,
+       (p.x - h.x) * (p.x - h.x) + (p.y - h.y) * (p.y - h.y) AS dist2
+FROM prb p JOIN hom h ON p.cx = h.cx AND p.cy = h.cy AND p.doc_key < h.doc_key
+WHERE (p.x - h.x) * (p.x - h.x) + (p.y - h.y) * (p.y - h.y) <= {r2}"""
+
+
+# ---------------------------------------------------------------------------
+# kNN join
+# ---------------------------------------------------------------------------
+
+
+def _knn_join_candidates(
+    doc_geo: DataFrame,
+    qspecs: list[tuple[str, int, int]],
+    radii: dict[str, int],
+    config: EngineConfig,
+) -> DataFrame:
+    """One batched cover probe for all query boxes; payload carries the
+    query point and its exact residual box."""
+    edge = config.edge
+    per_q = []
+    for qid, qx, qy in qspecs:
+        r = radii[qid]
+        x_lo, x_hi = max(0, qx - r), min(edge - 1, qx + r)
+        y_lo, y_hi = max(0, qy - r), min(edge - 1, qy + r)
+        cov = compile_box(x_lo, x_hi, y_lo, y_hi, config)
+        per_q.append(((qid, qx, qy, x_lo, x_hi, y_lo, y_hi), cov.ranges))
+    cand = cover_cells_probe(
+        doc_geo,
+        per_q,
+        "qid string, qx long, qy long, bx_lo long, bx_hi long, by_lo long, by_hi long",
+    )
+    return cand.filter(
+        F.col("x").between(F.col("bx_lo"), F.col("bx_hi"))
+        & F.col("y").between(F.col("by_lo"), F.col("by_hi"))
+    )
+
+
+def _ranked(cand: DataFrame, k: int) -> DataFrame:
+    d2 = (F.col("x") - F.col("qx")) ** 2 + (F.col("y") - F.col("qy")) ** 2
+    w = Window.partitionBy("qid").orderBy("dist2", "doc_id")
+    return (
+        cand.withColumn("dist2", d2.cast("long"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_join(
+    doc_geo: DataFrame,
+    qspecs: list[tuple[str, int, int]],
+    k: int,
+    config: EngineConfig = DEFAULT,
+    initial_radius: int | None = None,
+) -> DataFrame:
+    """Exact k nearest docs for EVERY query point in one batched plan:
+    (qid, doc_id, dist2, rank).
+
+    Control loop mirrors ``knn()`` but batched: each round is one pruned
+    scan + one window top-k; the <= len(qspecs)*k collected rows decide per
+    query whether its L-inf box provably contains its true top-k (k-th
+    distance <= box radius), growing only the unproven boxes.
+    """
+    edge = config.edge
+    if initial_radius is None:
+        n = max(_corpus_count(doc_geo), 1)
+        initial_radius = max(8, min(edge, 2 * math.isqrt(k * edge * edge // n) + 1))
+    radii = {qid: initial_radius for qid, _, _ in qspecs}
+    while True:
+        rows = _ranked(_knn_join_candidates(doc_geo, qspecs, radii, config), k).collect()
+        by_q: dict[str, list] = {qid: [] for qid, _, _ in qspecs}
+        for r in rows:
+            by_q[r.qid].append(r)
+        grew = False
+        for qid, _, _ in qspecs:
+            got, r = by_q[qid], radii[qid]
+            if r >= edge:
+                continue
+            # collect() order is arbitrary — the k-th distance is the max
+            kth = max((row.dist2 for row in got), default=0)
+            if len(got) < k:
+                radii[qid] = min(edge, r * 4)
+                grew = True
+            elif kth > r * r:
+                # candidates outside the box could still beat the k-th:
+                # widen to the proven-complete radius
+                radii[qid] = min(edge, math.isqrt(int(kth)) + 1)
+                grew = True
+        if not grew:
+            break
+    final = _ranked(_knn_join_candidates(doc_geo, qspecs, radii, config), k)
+    return final.select("qid", "doc_id", "dist2", "rank")
+
+
+def knn_join_oracle(
+    qspecs: list[tuple[str, int, int]], k: int, doc_geo_table: str = "doc_geo"
+) -> str:
+    vals = ", ".join(f"('{qid}', {qx}, {qy})" for qid, qx, qy in qspecs)
+    return f"""q(qid, qx, qy) AS (VALUES {vals}),
+rk AS (
+  SELECT q.qid, d.doc_key AS doc_id,
+         (d.x - q.qx) * (d.x - q.qx) + (d.y - q.qy) * (d.y - q.qy) AS dist2,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.qid
+           ORDER BY (d.x - q.qx) * (d.x - q.qx) + (d.y - q.qy) * (d.y - q.qy), d.doc_key
+         ) AS rank
+  FROM {doc_geo_table} d, q
+)
+SELECT qid, doc_id, dist2, CAST(rank AS BIGINT) AS rank FROM rk WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# zonal statistics
+# ---------------------------------------------------------------------------
+
+
+def zonal_stats(
+    doc_geo: DataFrame, polygons: list[Polygon], config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """Per-polygon aggregates over the docs strictly inside it:
+    (poly_id, n_docs, sum_x, sum_y) — count and integer coordinate sums
+    (exact; a centroid is sum/count, left to the caller to keep the oracle
+    integer-only)."""
+    pts = pip_join(doc_geo, polygons, config)
+    return pts.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+    )
+
+
+def zonal_stats_oracle(polygons: list[Polygon]) -> str:
+    """Appends to a CTE chain that already defines ``doc_geo`` (caller wraps
+    with the corpus CTE, matching ``pip_oracle_sql`` conventions).  SUM over
+    BIGINT is HUGEINT in DuckDB — cast back so the driver's value hash sees
+    int64 on both engines."""
+    return (
+        f"{pip_oracle_sql(polygons)} "
+        "SELECT poly_id, COUNT(*) AS n_docs, CAST(SUM(x) AS BIGINT) AS sum_x, "
+        "CAST(SUM(y) AS BIGINT) AS sum_y FROM pip WHERE crossings % 2 = 1 "
+        "GROUP BY poly_id"
+    )

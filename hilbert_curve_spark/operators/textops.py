@@ -158,6 +158,47 @@ def stratified_sample(
     )
 
 
+def top_ngrams(docs: DataFrame, k: int = 20, col: str = "text") -> DataFrame:
+    """Corpus-wide top-k word bigrams by occurrence count: (ngram, n) —
+    the vocabulary/n-gram-statistics pass of a pretraining pipeline.
+
+    Tokenization is a literal single-space split (regex tokenizers differ
+    across engines; the space split is bit-identical — the same contract as
+    ``word_count_sql``).  Physical plan: codegen split/transform/explode
+    (native ``transform(sequence(...))`` builds the bigram list — no Python
+    in the fan-out), hash aggregation with map-side partial combine (the
+    zipf head of the ngram distribution is absorbed by the combiner — every
+    task emits each hot ngram once), then a distributed partial top-k
+    (``orderBy().limit()`` = TakeOrdered, nothing global is sorted).
+    Deterministic tie-break ``(n DESC, ngram)`` in both engines (Spark
+    UTF8_BINARY ≡ DuckDB binary collation)."""
+    toks = f"split({col}, ' ')"
+    bigrams = (
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> element_at({toks}, i) || ' ' || element_at({toks}, i + 1))"
+    )
+    return (
+        docs.filter(F.expr(f"size({toks}) >= 2"))
+        .select(F.explode(F.expr(bigrams)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "ngram")
+        .limit(k)
+    )
+
+
+def top_ngrams_oracle(k: int = 20, table: str = "documents", col: str = "text") -> str:
+    return f"""
+WITH toks AS (SELECT string_split({col}, ' ') AS t FROM {table}),
+grams AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS ngram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT ngram, COUNT(*) AS n FROM grams GROUP BY ngram
+ORDER BY n DESC, ngram LIMIT {k}
+"""
+
+
 def stratified_sample_oracle(
     rates: dict[str, int], default_k: int = 1, table: str = "documents"
 ) -> str:

@@ -42,6 +42,13 @@ POLYGONS = [
 KNN_Q = (1030, 1015)
 KNN_K = 25
 
+# Spatial-join family: within-radius pair join + batched kNN join.
+DIST_RADIUS = 12
+KNN_JOIN_QUERIES = [("j1", 1030, 1015), ("j2", 3105, 3088), ("j3", 2050, 2061)]
+KNN_JOIN_K = 10
+PYRAMID_LEVELS = 5
+NGRAM_K = 20
+
 # Pipeline-family workload (dedup / ANN), shared by the driver entry and
 # bench so both measure the identical query shapes.
 JACCARD_T = 25

@@ -1,0 +1,161 @@
+"""Unit tests for the spatial-join family: distance self-join (brute-force
+parity, cell-border pairs, radius boundary), batched kNN join (brute-force
+parity, growth loop), zonal stats (vs per-polygon PIP counts), and the
+cell-pyramid rollup invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hilbert_curve_spark.config import DEFAULT, EngineConfig
+from hilbert_curve_spark.operators.encode import encode_documents  # noqa: F401 (import check)
+from hilbert_curve_spark.operators.spatial_join import (
+    distance_self_join,
+    knn_join,
+    zonal_stats,
+)
+from hilbert_curve_spark.operators.rollup import cell_pyramid
+
+
+def _geo(spark, pts):
+    rows = [(f"d{i:04d}", x, y) for i, (x, y) in enumerate(pts)]
+    return spark.createDataFrame(rows, "doc_id string, x long, y long")
+
+
+def _brute_pairs(pts, radius):
+    out = set()
+    ids = [f"d{i:04d}" for i in range(len(pts))]
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            d2 = (pts[i][0] - pts[j][0]) ** 2 + (pts[i][1] - pts[j][1]) ** 2
+            if d2 <= radius * radius:
+                out.add((min(ids[i], ids[j]), max(ids[i], ids[j]), d2))
+    return out
+
+
+def _lcg_points(n, seed=7, edge=4096):
+    pts, s = [], seed
+    for _ in range(n):
+        s = (s * 1103515245 + 12345) % (1 << 31)
+        x = s % edge
+        s = (s * 1103515245 + 12345) % (1 << 31)
+        pts.append((x, s % edge))
+    return pts
+
+
+def test_distance_join_matches_brute_force(spark):
+    pts = _lcg_points(300, edge=256)  # dense enough for many pairs
+    got = {
+        (r.doc_a, r.doc_b, r.dist2)
+        for r in distance_self_join(_geo(spark, pts), 20, DEFAULT).collect()
+    }
+    assert got == _brute_pairs(pts, 20)
+    assert len(got) > 50  # non-vacuous
+
+
+def test_distance_join_cell_border_and_boundary(spark):
+    # pairs straddling cell borders (cell size 16 for radius 12) and a pair
+    # at EXACTLY the radius (dist2 == r*r must be included)
+    pts = [(15, 15), (16, 16), (0, 0), (12, 0), (100, 100), (100, 113)]
+    got = {
+        (r.doc_a, r.doc_b, r.dist2)
+        for r in distance_self_join(_geo(spark, pts), 12, DEFAULT).collect()
+    }
+    assert got == _brute_pairs(pts, 12)
+    assert ("d0002", "d0003", 144) in got  # exact-radius pair kept
+
+
+def test_distance_join_no_nested_loop(spark):
+    plan = distance_self_join(
+        _geo(spark, [(1, 1), (2, 2)]), 12, DEFAULT
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def _brute_knn(pts, q, k):
+    ids = [f"d{i:04d}" for i in range(len(pts))]
+    scored = sorted(
+        ((p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2, ids[i]) for i, p in enumerate(pts)
+    )
+    return {(doc, d2, r + 1) for r, (d2, doc) in enumerate(scored[:k])}
+
+
+@pytest.mark.parametrize("initial_radius", [None, 1])
+def test_knn_join_matches_brute_force(spark, initial_radius):
+    # initial_radius=1 forces the growth loop through several rounds
+    pts = _lcg_points(400)
+    geo = _geo(spark, pts)
+    from hilbert_curve_spark.functions.udfs import hilbert_encode_udf
+
+    geo = geo.withColumn("hilbert", hilbert_encode_udf(DEFAULT.order)("x", "y"))
+    qspecs = [("a", 100, 100), ("b", 4000, 4000), ("c", 2048, 17)]
+    out = knn_join(geo, qspecs, 7, DEFAULT, initial_radius=initial_radius)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.qid, set()).add((r.doc_id, r.dist2, r.rank))
+    for qid, qx, qy in qspecs:
+        assert got[qid] == _brute_knn(pts, (qx, qy), 7), qid
+
+
+def test_knn_join_k_larger_than_corpus(spark):
+    pts = _lcg_points(5)
+    from hilbert_curve_spark.functions.udfs import hilbert_encode_udf
+
+    geo = _geo(spark, pts).withColumn(
+        "hilbert", hilbert_encode_udf(DEFAULT.order)("x", "y")
+    )
+    out = knn_join(geo, [("a", 10, 10)], 25, DEFAULT).collect()
+    assert len(out) == 5  # whole corpus returned, no infinite loop
+
+
+def test_zonal_stats_equals_pip_groupby(spark, sf_dir):
+    import __spark_entry__ as em
+    from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators.pip import pip_join
+
+    dg = em._doc_geo(spark, sf_dir)
+    got = {
+        r.poly_id: (r.n_docs, r.sum_x, r.sum_y)
+        for r in zonal_stats(dg, W.POLYGONS, DEFAULT).collect()
+    }
+    exp = {
+        r.poly_id: (r.n_docs, r.sum_x, r.sum_y)
+        for r in pip_join(dg, W.POLYGONS, DEFAULT)
+        .groupBy("poly_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("x").alias("sum_x"),
+            F.sum("y").alias("sum_y"),
+        )
+        .collect()
+    }
+    assert got == exp and got
+
+
+def test_cell_pyramid_invariants(spark, sf_dir):
+    import __spark_entry__ as em
+
+    dg = em._doc_geo(spark, sf_dir)
+    n = dg.count()
+    pyr = cell_pyramid(dg, levels=4, config=DEFAULT).collect()
+    by_level = {}
+    for r in pyr:
+        by_level.setdefault(r.level, {})[r.cell] = r.n_docs
+    # every level is a complete partition of the corpus
+    for lvl, cells in by_level.items():
+        assert sum(cells.values()) == n, f"level {lvl}"
+    # parent count == sum of its children
+    for lvl in range(1, 4):
+        for cell, cnt in by_level[lvl].items():
+            kids = sum(
+                v for c, v in by_level[lvl - 1].items() if (c >> 2) == cell
+            )
+            assert kids == cnt
+
+
+def test_distance_join_custom_config_shift():
+    # cell size must always be >= radius (lossless blocking)
+    from hilbert_curve_spark.operators.spatial_join import _cell_shift
+
+    for r in (1, 2, 3, 12, 16, 17, 100):
+        assert (1 << _cell_shift(r)) >= r
