@@ -100,6 +100,22 @@ def _brq_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "x", "y")
 
 
+def _radius_brq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular "nearby" search with keyword filter (circle = box cover +
+    exact integer dist2 residual)."""
+    qx, qy = W.RADIUS_Q
+    return brq_ops.radius_search(
+        _doc_geo(spark, sf_dir), qx, qy, W.RADIUS_R, keywords=W.KW_ANY, mode="any"
+    )
+
+
+def _radius_brq_oracle() -> str:
+    qx, qy = W.RADIUS_Q
+    return f"{_doc_geo_cte()} " + brq_ops.radius_search_oracle(
+        qx, qy, W.RADIUS_R, kw_pred_sql=_kw_any_sql(W.KW_ANY)
+    )
+
+
 def _construction_grq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S16 per-axis tree-cover baseline (ConstructionOne.java:330-384):
     result set must equal the plain box — same oracle as a Hilbert GRQ."""
@@ -165,6 +181,20 @@ def _distance_pairs_oracle() -> str:
     from hilbert_curve_spark.operators.spatial_join import distance_self_join_oracle
 
     return f"{_doc_geo_cte()}, {distance_self_join_oracle(W.DIST_RADIUS)}"
+
+
+def _poi_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric within-radius join vs a broadcast POI table (the broadcast
+    twin of distance_pairs: no shuffle of the doc side)."""
+    from hilbert_curve_spark.operators.spatial_join import distance_join
+
+    return distance_join(_doc_geo(spark, sf_dir), W.POIS, W.POI_RADIUS, DEFAULT)
+
+
+def _poi_distance_join_oracle() -> str:
+    from hilbert_curve_spark.operators.spatial_join import distance_join_oracle
+
+    return f"{_doc_geo_cte()}, {distance_join_oracle(W.POIS, W.POI_RADIUS)}"
 
 
 def _knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -796,12 +826,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": _csv_roundtrip,
         "brq_any": _brq_any,
         "brq_all": _brq_all,
+        "radius_brq": _radius_brq,
         "tile_cells": _tile_cells,
         "tile_assign": _tile_assign,
         "knn": _knn,
         "knn_join": _knn_join,
         "pip_join": _pip,
         "distance_pairs": _distance_pairs,
+        "poi_distance_join": _poi_distance_join,
         "zonal_stats": _zonal_stats,
         "cell_pyramid": _cell_pyramid,
         "grq_stored": _grq_stored,
@@ -1001,8 +1033,10 @@ def oracle_sql() -> dict[str, str]:
         "tile_assign": _tile_assign_oracle(),
         "knn": _knn_oracle(),
         "knn_join": _knn_join_oracle(),
+        "radius_brq": _radius_brq_oracle(),
         "pip_join": _pip_oracle(),
         "distance_pairs": _distance_pairs_oracle(),
+        "poi_distance_join": _poi_distance_join_oracle(),
         "zonal_stats": _zonal_stats_oracle(),
         "cell_pyramid": _cell_pyramid_oracle(),
         "grq_stored": (

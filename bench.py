@@ -195,8 +195,10 @@ def _spatial_join_queries(geo):
     as its own subtotal (the headline total stays the 8-query suite for
     comparability with BENCH_r01/r02)."""
     from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators.brq import radius_search
     from hilbert_curve_spark.operators.rollup import cell_pyramid
     from hilbert_curve_spark.operators.spatial_join import (
+        distance_join,
         distance_self_join,
         knn_join,
         zonal_stats,
@@ -208,6 +210,13 @@ def _spatial_join_queries(geo):
     def q_distance_pairs():
         return distance_self_join(geo, W.DIST_RADIUS).count()
 
+    def q_poi_distance_join():
+        return distance_join(geo, W.POIS, W.POI_RADIUS).count()
+
+    def q_radius_brq():
+        qx, qy = W.RADIUS_Q
+        return radius_search(geo, qx, qy, W.RADIUS_R, keywords=W.KW_ANY).count()
+
     def q_zonal_stats():
         return zonal_stats(geo, W.POLYGONS).count()
 
@@ -217,6 +226,8 @@ def _spatial_join_queries(geo):
     return {
         "knn_join": q_knn_join,
         "distance_pairs": q_distance_pairs,
+        "poi_distance_join": q_poi_distance_join,
+        "radius_brq": q_radius_brq,
         "zonal_stats": q_zonal_stats,
         "cell_pyramid": q_cell_pyramid,
     }

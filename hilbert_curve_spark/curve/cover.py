@@ -37,7 +37,7 @@ import numpy as np
 from .hilbert import decode2d, encode2d
 
 __all__ = [
-    "Cover", "cover_box", "coalesce_ranges", "dense_cover",
+    "Cover", "cover_box", "cover_polygon", "coalesce_ranges", "dense_cover",
     "ranges_to_sql_predicate", "cell_shift_for_budget", "expand_ranges_to_cells",
 ]
 
@@ -109,6 +109,139 @@ def cover_box(
         ranges = coalesce_ranges(ranges, max_ranges)
         exact = False
     return Cover(ranges, x_lo, x_hi, y_lo, y_hi, order, exact)
+
+
+# ---------------------------------------------------------------------------
+# polygon cover: rasterize the polygon onto a coarse aligned-cell grid and
+# cover only the cells it actually touches — a strictly tighter prefilter
+# than the bounding box for thin/diagonal polygons (the reference only ever
+# covers rectangles, `Box.java:43-104`; this extends the same
+# over-approximate-then-refine contract to the general polygons the PIP join
+# supports).  Losslessness: every aligned quad at shift s is the contiguous
+# Hilbert interval [H<<2s, (H+1)<<2s) (the curve's recursive structure), and
+# the rect/polygon overlap test below is inclusive — a cell is kept if ANY
+# of (a) a cell corner is inside the polygon, (b) a polygon vertex is inside
+# the cell, (c) a polygon edge intersects a cell edge holds; if the polygon
+# interior meets a cell none of whose corners are inside and which contains
+# no vertex, the polygon boundary must cross the cell boundary (Jordan), so
+# (c) fires.  All arithmetic is exact int64.
+# ---------------------------------------------------------------------------
+
+
+def _orient(ax: int, ay: int, bx: int, by: int, cx: int, cy: int) -> int:
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def _on_seg(ax: int, ay: int, bx: int, by: int, px: int, py: int) -> bool:
+    return min(ax, bx) <= px <= max(ax, bx) and min(ay, by) <= py <= max(ay, by)
+
+
+def _seg_intersect(p1, p2, p3, p4) -> bool:
+    """Closed-segment intersection (touching counts), integer-exact."""
+    d1 = _orient(*p3, *p4, *p1)
+    d2 = _orient(*p3, *p4, *p2)
+    d3 = _orient(*p1, *p2, *p3)
+    d4 = _orient(*p1, *p2, *p4)
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)) and d1 and d2 and d3 and d4:
+        return True
+    if d1 == 0 and _on_seg(*p3, *p4, *p1):
+        return True
+    if d2 == 0 and _on_seg(*p3, *p4, *p2):
+        return True
+    if d3 == 0 and _on_seg(*p1, *p2, *p3):
+        return True
+    if d4 == 0 and _on_seg(*p1, *p2, *p4):
+        return True
+    return False
+
+
+def _point_in_polygon(px: int, py: int, verts: list[tuple[int, int]]) -> bool:
+    """Even-odd ray cast (same integer crossing rule as operators/pip.py)."""
+    inside = False
+    n = len(verts)
+    for i in range(n):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % n]
+        if (y1 > py) != (y2 > py):
+            dy = y2 - y1
+            lhs, rhs = px * dy, x1 * dy + (py - y1) * (x2 - x1)
+            if (lhs < rhs) if dy > 0 else (lhs > rhs):
+                inside = not inside
+    return inside
+
+
+def _rect_overlaps_polygon(
+    x0: int, y0: int, x1: int, y1: int, verts: list[tuple[int, int]]
+) -> bool:
+    for vx, vy in verts:  # (b) polygon vertex inside the cell
+        if x0 <= vx <= x1 and y0 <= vy <= y1:
+            return True
+    for cx, cy in ((x0, y0), (x0, y1), (x1, y0), (x1, y1)):  # (a)
+        if _point_in_polygon(cx, cy, verts):
+            return True
+    rect_edges = (
+        ((x0, y0), (x1, y0)), ((x1, y0), (x1, y1)),
+        ((x1, y1), (x0, y1)), ((x0, y1), (x0, y0)),
+    )
+    n = len(verts)
+    for i in range(n):  # (c) polygon edge crosses a cell edge
+        a, b = verts[i], verts[(i + 1) % n]
+        for r1, r2 in rect_edges:
+            if _seg_intersect(a, b, r1, r2):
+                return True
+    return False
+
+
+def cover_polygon(
+    vertices: list[tuple[int, int]],
+    order: int,
+    max_ranges: int = 0,
+    cell_budget: int = 1024,
+) -> Cover:
+    """Hilbert range cover of the cells a polygon touches.
+
+    Picks the finest aligned-cell shift whose bbox holds <= ``cell_budget``
+    coarse cells, keeps only cells overlapping the polygon (lossless test
+    above), maps each kept coarse cell to its contiguous Hilbert interval,
+    merges adjacent intervals, then budget-coalesces.  ``exact`` is always
+    False: the cover over-approximates the *polygon* (cell granularity), so
+    consumers must conjoin their exact containment residual — which the PIP
+    join does anyway."""
+    edge = 1 << order
+    xs = [v[0] for v in vertices]
+    ys = [v[1] for v in vertices]
+    x_lo, x_hi = max(0, min(xs)), min(edge - 1, max(xs))
+    y_lo, y_hi = max(0, min(ys)), min(edge - 1, max(ys))
+    s = 0
+    while s < order and ((x_hi >> s) - (x_lo >> s) + 1) * (
+        (y_hi >> s) - (y_lo >> s) + 1
+    ) > cell_budget:
+        s += 1
+    kept_x, kept_y = [], []
+    for cx in range(x_lo >> s, (x_hi >> s) + 1):
+        for cy in range(y_lo >> s, (y_hi >> s) + 1):
+            if _rect_overlaps_polygon(
+                cx << s, cy << s, ((cx + 1) << s) - 1, ((cy + 1) << s) - 1, vertices
+            ):
+                kept_x.append(cx)
+                kept_y.append(cy)
+    h = np.sort(
+        encode2d(
+            np.asarray(kept_x, dtype=np.int64),
+            np.asarray(kept_y, dtype=np.int64),
+            order - s,
+        )
+    )
+    breaks = np.nonzero(np.diff(h) > 1)[0]
+    starts = np.concatenate(([0], breaks + 1))
+    ends = np.concatenate((breaks, [h.size - 1]))
+    ranges = [
+        (int(h[a]) << (2 * s), ((int(h[b]) + 1) << (2 * s)) - 1)
+        for a, b in zip(starts, ends)
+    ]
+    if max_ranges and len(ranges) > max_ranges:
+        ranges = coalesce_ranges(ranges, max_ranges)
+    return Cover(ranges, x_lo, x_hi, y_lo, y_hi, order, exact=False)
 
 
 def coalesce_ranges(ranges: list[tuple[int, int]], max_ranges: int) -> list[tuple[int, int]]:

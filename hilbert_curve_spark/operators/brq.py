@@ -44,6 +44,64 @@ def brq(
     return out
 
 
+def radius_search(
+    doc_geo: DataFrame,
+    qx: int,
+    qy: int,
+    radius: int,
+    keywords: list[str] | None = None,
+    mode: str = "any",
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Circular range (+ optional keyword) query — the "nearby" form of BRQ:
+    (doc_id, x, y, dist2) for docs with L2 distance <= radius of (qx, qy),
+    optionally keyword-filtered with the BRQ any/all semantics.
+
+    The reference only supports rectangles (`Box.java:144-152`); a circle is
+    its circumscribing box's Hilbert cover (pruned scan, exactly the GRQ
+    path) with the exact integer ``dist2 <= radius^2`` residual conjoined —
+    the same over-approximate-then-refine contract as the budgeted covers
+    (`SmallHilbertCurve.java:156-162`)."""
+    edge = config.edge
+    x_lo, x_hi = max(0, qx - radius), min(edge - 1, qx + radius)
+    y_lo, y_hi = max(0, qy - radius), min(edge - 1, qy + radius)
+    cover = compile_box(x_lo, x_hi, y_lo, y_hi, config)
+    out = doc_geo.filter(range_predicate(cover))
+    d2 = (F.col("x") - F.lit(qx)) ** 2 + (F.col("y") - F.lit(qy)) ** 2
+    out = out.withColumn("dist2", d2.cast("long")).filter(
+        F.col("dist2") <= radius * radius
+    )
+    if keywords:
+        kw = F.array(*[F.lit(k) for k in keywords])
+        if mode == "any":
+            out = out.filter(F.arrays_overlap(F.col("keywords"), kw))
+        elif mode == "all":
+            out = out.filter(
+                F.size(F.array_intersect(F.array_distinct(F.col("keywords")), kw))
+                == len(keywords)
+            )
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+    return out.select("doc_id", "x", "y", "dist2")
+
+
+def radius_search_oracle(
+    qx: int,
+    qy: int,
+    radius: int,
+    kw_pred_sql: str | None = None,
+    doc_geo_table: str = "doc_geo",
+) -> str:
+    """DuckDB oracle: plain integer circle test (+ caller-rendered keyword
+    predicate over the kw0..kwN columns)."""
+    d2 = f"(x - {qx}) * (x - {qx}) + (y - {qy}) * (y - {qy})"
+    kw = f" AND {kw_pred_sql}" if kw_pred_sql else ""
+    return (
+        f"SELECT doc_key AS doc_id, x, y, {d2} AS dist2 FROM {doc_geo_table} "
+        f"WHERE {d2} <= {radius * radius}{kw}"
+    )
+
+
 def keyword_index(doc_geo: DataFrame, keywords: list[str] | None = None) -> DataFrame:
     """Keyword inverted index (reference KDB, E10): (keyword, doc_id).
 

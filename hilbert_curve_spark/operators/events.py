@@ -204,8 +204,15 @@ def asof_attach(
         ts_s.alias("ref_ts_s"),
         v6.alias("ref_value_e6"),
     )
+    # -1 sentinel instead of NULL for "no prior reference event": a nullable
+    # int64 lands in pandas as float64, and the driver's value hash is
+    # dtype-sensitive — the sentinel keeps both engines int64 end to end
     return base.join(refs, ["user_id", "last_rk"], "left").select(
-        "event_id", "user_id", "ts_s", "ref_ts_s", "ref_value_e6"
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.coalesce("ref_ts_s", F.lit(-1)).alias("ref_ts_s"),
+        F.coalesce("ref_value_e6", F.lit(-1)).alias("ref_value_e6"),
     )
 
 
@@ -232,7 +239,8 @@ WITH keyed AS (
   FROM {table} WHERE event_type = '{ref_type}'
 )
 SELECT p.event_id, p.user_id, CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS ts_s,
-       r.ref_ts_s, r.ref_value_e6
+       COALESCE(r.ref_ts_s, -1) AS ref_ts_s,
+       COALESCE(r.ref_value_e6, -1) AS ref_value_e6
 FROM ptr p LEFT JOIN refs r ON p.user_id = r.user_id AND p.last_rk = r.last_rk
 WHERE p.event_type = '{base_type}'
 """

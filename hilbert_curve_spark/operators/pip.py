@@ -32,7 +32,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
-from ..curve.cover import cover_box
 
 Polygon = dict  # {poly_id: str, vertices: list[(x, y)]}
 
@@ -73,15 +72,16 @@ def pip_join(
                 F.lit("").alias("poly_id"), "doc_id", "x", "y"
             ).limit(0)
         )
+    from ..curve.cover import cover_polygon
     from .range_query import cover_cells_probe
 
     per_poly: list[tuple[tuple, list[tuple[int, int]]]] = []
     for i, p in enumerate(polygons):
-        xs = [v[0] for v in p["vertices"]]
-        ys = [v[1] for v in p["vertices"]]
-        x_lo, x_hi = max(0, min(xs)), min(config.edge - 1, max(xs))
-        y_lo, y_hi = max(0, min(ys)), min(config.edge - 1, max(ys))
-        cov = cover_box(x_lo, x_hi, y_lo, y_hi, config.order, config.max_ranges)
+        # rasterized polygon cover (curve/cover.py::cover_polygon): only the
+        # aligned cells the polygon touches, not its whole bounding box — a
+        # strictly tighter prefilter for thin/diagonal shapes; the exact
+        # ray-cast residual below keeps the result identical either way
+        cov = cover_polygon(p["vertices"], config.order, config.max_ranges)
         per_poly.append(((p["poly_id"], i), cov.ranges))
 
     # equi-key broadcast HASH join (shared plumbing, see cover_cells_probe);

@@ -10,15 +10,17 @@ level is ``cell >> 2`` — integer arithmetic, no re-encoding.
 
 Physical plan: the corpus is scanned ONCE for the base histogram
 (two-phase salted aggregation — the gaussian hot cells would otherwise pin
-single reducers); every coarser level re-aggregates the *previous level's*
-histogram, whose size shrinks 4x per step, so levels 1..L cost a geometric
-tail of tiny hash aggregations rather than L corpus scans.  Algebraic
-(sum-of-counts) rollup is exactly what makes partial aggregation legal.
+single reducers); the multi-level rollup is then a native
+``transform(sequence(...))`` explode of the (tiny) histogram — each base
+cell emits its ``(level, cell >> 2*level)`` ancestors — followed by one
+hash aggregation.  Structurally one corpus pass: a union-of-per-level-
+aggregations formulation would re-execute the base lineage once per level
+unless runtime exchange reuse happens to kick in; the explode form cannot.
+Algebraic (sum-of-counts) rollup is exactly what makes the partial
+aggregation legal at every step.
 """
 
 from __future__ import annotations
-
-from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -34,14 +36,16 @@ def cell_pyramid(
     base cell grid (``hilbert >> 2*cell_shift``), each level up merges quads
     (``cell >> 2``)."""
     base = salted_cell_counts(doc_geo, config)
-    frames = [base.select(F.lit(0).alias("level"), "cell", "n_docs")]
-    prev = base
-    for lvl in range(1, levels):
-        prev = prev.groupBy(F.shiftright("cell", 2).alias("cell")).agg(
-            F.sum("n_docs").alias("n_docs")
-        )
-        frames.append(prev.select(F.lit(lvl).alias("level"), "cell", "n_docs"))
-    return reduce(DataFrame.unionByName, frames)
+    ancestors = (
+        f"transform(sequence(0, {levels - 1}), "
+        f"l -> named_struct('level', CAST(l AS INT), 'cell', shiftright(cell, 2 * l)))"
+    )
+    return (
+        base.select(F.explode(F.expr(ancestors)).alias("e"), "n_docs")
+        .select(F.col("e.level").alias("level"), F.col("e.cell").alias("cell"), "n_docs")
+        .groupBy("level", "cell")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
 
 
 def cell_pyramid_oracle_select(levels: int, config: EngineConfig = DEFAULT) -> str:

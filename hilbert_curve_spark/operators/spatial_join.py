@@ -127,6 +127,67 @@ FROM prb p JOIN hom h ON p.cx = h.cx AND p.cy = h.cy AND p.doc_key < h.doc_key
 WHERE (p.x - h.x) * (p.x - h.x) + (p.y - h.y) * (p.y - h.y) <= {r2}"""
 
 
+def distance_join(
+    doc_geo: DataFrame,
+    pois: list[tuple[str, int, int]],
+    radius: int,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Asymmetric within-radius join against a small reference table
+    (points of interest): (poi_id, doc_id, dist2) for every doc within
+    ``radius`` of each POI — the broadcast twin of ``distance_self_join``.
+
+    The POI side is expanded to its 3x3 neighbor cells DRIVER-side (tiny:
+    9 rows per POI) and broadcast; the corpus probes it with a hash join on
+    its home cell — no shuffle of the doc side at all.  A literal
+    union-of-covers prefilter (each POI's circumscribing box) additionally
+    pushes to the scan, so on Hilbert-sorted storage only the row groups
+    near any POI are read."""
+    from ..curve.cover import coalesce_ranges, merge_overlapping
+    from .range_query import range_predicate
+
+    s = _cell_shift(radius)
+    edge = config.edge
+    r2 = radius * radius
+    spark = doc_geo.sparkSession
+    rows = [
+        (pid, px, py, ((px >> s) + dx) * edge + ((py >> s) + dy))
+        for pid, px, py in pois
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ]
+    poi_df = spark.createDataFrame(rows, "poi_id string, px long, py long, ck long")
+    covers = []
+    for _, px, py in pois:
+        x_lo, x_hi = max(0, px - radius), min(edge - 1, px + radius)
+        y_lo, y_hi = max(0, py - radius), min(edge - 1, py + radius)
+        covers.extend(compile_box(x_lo, x_hi, y_lo, y_hi, config).ranges)
+    prefilter = coalesce_ranges(merge_overlapping(covers), 64)
+    dist2 = (F.col("x") - F.col("px")) ** 2 + (F.col("y") - F.col("py")) ** 2
+    return (
+        doc_geo.filter(range_predicate(prefilter))
+        .withColumn(
+            "ck", F.shiftright("x", s) * edge + F.shiftright("y", s)
+        )
+        .join(F.broadcast(poi_df), "ck")
+        .withColumn("dist2", dist2.cast("long"))
+        .filter(F.col("dist2") <= r2)
+        .select("poi_id", "doc_id", "dist2")
+    )
+
+
+def distance_join_oracle(
+    pois: list[tuple[str, int, int]], radius: int, doc_geo_table: str = "doc_geo"
+) -> str:
+    vals = ", ".join(f"('{pid}', {px}, {py})" for pid, px, py in pois)
+    d2 = "(d.x - p.px) * (d.x - p.px) + (d.y - p.py) * (d.y - p.py)"
+    return (
+        f"poi(poi_id, px, py) AS (VALUES {vals}) "
+        f"SELECT p.poi_id, d.doc_key AS doc_id, {d2} AS dist2 "
+        f"FROM {doc_geo_table} d, poi p WHERE {d2} <= {radius * radius}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # kNN join
 # ---------------------------------------------------------------------------

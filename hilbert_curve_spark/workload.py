@@ -42,10 +42,19 @@ POLYGONS = [
 KNN_Q = (1030, 1015)
 KNN_K = 25
 
+# Radius ("nearby") search: circle over the cluster-1 hot spot + keywords.
+RADIUS_Q = (1030, 1015)
+RADIUS_R = 180
+
 # Spatial-join family: within-radius pair join + batched kNN join.
 DIST_RADIUS = 12
 KNN_JOIN_QUERIES = [("j1", 1030, 1015), ("j2", 3105, 3088), ("j3", 2050, 2061)]
 KNN_JOIN_K = 10
+POIS = [
+    ("poi1", 1024, 1024), ("poi2", 3072, 3072), ("poi3", 2048, 2048),
+    ("poi4", 1100, 950), ("poi5", 2990, 3180), ("poi6", 128, 4000),
+]
+POI_RADIUS = 64
 PYRAMID_LEVELS = 5
 NGRAM_K = 20
 

@@ -125,3 +125,86 @@ def test_orientation_matches_reference():
         _, order, n, std, expected = line.split()
         got = hilbert_orientation(int(order), int(n), std == "true")
         assert got == expected, (order, n, std, got, expected)
+
+
+# ---------------------------------------------------------------------------
+# polygon cover (curve/cover.py::cover_polygon)
+# ---------------------------------------------------------------------------
+
+
+def _poly_cover_tools():
+    from hilbert_curve_spark.curve.cover import _point_in_polygon, cover_polygon
+
+    return _point_in_polygon, cover_polygon
+
+
+def _in_ranges(h, ranges):
+    return any(lo <= h <= hi for lo, hi in ranges)
+
+
+@pytest.mark.parametrize(
+    "verts",
+    [
+        [(10, 10), (200, 30), (120, 220)],                      # thin triangle
+        [(0, 0), (255, 0), (255, 255), (0, 255)],               # full square
+        [(5, 120), (120, 5), (250, 120), (120, 250)],           # diamond
+        [(30, 30), (220, 40), (200, 200), (100, 150), (40, 210)],  # concave
+    ],
+)
+def test_polygon_cover_is_lossless_superset(verts):
+    """Every lattice point strictly inside the polygon must fall in the
+    cover's ranges (the PIP join relies on this: candidates outside the
+    cover are never tested)."""
+    _pip, cover_polygon = _poly_cover_tools()
+    order = 8
+    cov = cover_polygon(verts, order)
+    xs = [v[0] for v in verts]
+    ys = [v[1] for v in verts]
+    inside_pts = [
+        (x, y)
+        for x in range(min(xs), max(xs) + 1, 3)
+        for y in range(min(ys), max(ys) + 1, 3)
+        if _pip(x, y, verts)
+    ]
+    assert inside_pts
+    hs = encode2d(
+        np.array([p[0] for p in inside_pts], dtype=np.int64),
+        np.array([p[1] for p in inside_pts], dtype=np.int64),
+        order,
+    )
+    for (x, y), h in zip(inside_pts, hs):
+        assert _in_ranges(int(h), cov.ranges), (x, y)
+
+
+def test_polygon_cover_tighter_than_bbox_for_thin_triangle():
+    _pip, cover_polygon = _poly_cover_tools()
+    order = 10
+    verts = [(0, 0), (1000, 40), (60, 1000)]  # thin diagonal triangle
+    cov = cover_polygon(verts, order)
+    covered = sum(hi - lo + 1 for lo, hi in cov.ranges)
+    bbox_cells = 1001 * 1001
+    # the rasterized cover should skip most of the empty bbox half
+    assert covered < bbox_cells * 0.75
+    assert not cov.exact  # residual contract: consumers must re-filter
+
+
+def test_polygon_cover_budget_coalescing():
+    _pip, cover_polygon = _poly_cover_tools()
+    verts = [(10, 10), (200, 30), (120, 220)]
+    cov = cover_polygon(verts, 8, max_ranges=4)
+    assert len(cov.ranges) <= 4
+    full = cover_polygon(verts, 8)
+    # budgeted cover is a superset of the exact-raster cover
+    for lo, hi in full.ranges:
+        assert any(blo <= lo and hi <= bhi for blo, bhi in cov.ranges)
+
+
+def test_rect_overlaps_polygon_cases():
+    from hilbert_curve_spark.curve.cover import _rect_overlaps_polygon
+
+    tri = [(0, 0), (100, 0), (0, 100)]
+    assert _rect_overlaps_polygon(10, 10, 20, 20, tri)       # rect inside
+    assert _rect_overlaps_polygon(-10, -10, 200, 200, tri)   # poly inside rect
+    assert _rect_overlaps_polygon(40, 40, 80, 80, tri)       # edge crosses rect
+    assert not _rect_overlaps_polygon(90, 90, 120, 120, tri) # disjoint
+    assert _rect_overlaps_polygon(50, 50, 60, 60, tri)       # boundary touch

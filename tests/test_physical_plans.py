@@ -187,3 +187,46 @@ def test_hex_cells_is_codegen_single_exchange(sorted_geo):
     plan = _plan(q)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange") <= 2  # partial+final agg exchange (AQE may show one)
+
+
+def test_distance_join_is_single_shuffled_hash_join(sorted_geo):
+    from hilbert_curve_spark.operators.spatial_join import distance_self_join
+
+    plan = _plan(distance_self_join(sorted_geo, 12))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # an equi-join on the cell key (shuffled or, at fixture scale where the
+    # exploded side fits the broadcast threshold, broadcast — never a loop)
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_knn_join_probe_is_broadcast_hash(sorted_geo):
+    from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators.spatial_join import knn_join
+
+    plan = _plan(knn_join(sorted_geo, W.KNN_JOIN_QUERIES, 5))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # cover prefilter pushed to the scan
+    assert "PushedFilters" in plan
+    assert "hilbert" in plan.split("PushedFilters", 1)[1][:400]
+
+
+def test_cell_pyramid_scans_corpus_once(sorted_geo):
+    """The rollup must be structurally one corpus pass: the explode-of-
+    ancestors form has exactly one scan node regardless of level count."""
+    from hilbert_curve_spark.operators.rollup import cell_pyramid
+
+    plan = _plan(cell_pyramid(sorted_geo, levels=6))
+    assert plan.count("Scan parquet") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_pip_polygon_cover_prefilter_pushed(sorted_geo):
+    """With the rasterized polygon cover the PIP probe must still push the
+    union-of-covers literal prefilter to the scan and stay a broadcast hash
+    join (no nested loop)."""
+    plan = _plan(pip_ops.pip_join(sorted_geo, W.POLYGONS))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters" in plan

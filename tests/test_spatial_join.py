@@ -159,3 +159,27 @@ def test_distance_join_custom_config_shift():
 
     for r in (1, 2, 3, 12, 16, 17, 100):
         assert (1 << _cell_shift(r)) >= r
+
+
+def test_poi_distance_join_matches_brute_force(spark):
+    from hilbert_curve_spark.functions.udfs import hilbert_encode_udf
+    from hilbert_curve_spark.operators.spatial_join import distance_join
+
+    pts = _lcg_points(500)
+    geo = _geo(spark, pts).withColumn(
+        "hilbert", hilbert_encode_udf(DEFAULT.order)("x", "y")
+    )
+    pois = [("a", 100, 100), ("b", 4090, 4090), ("c", 2048, 5)]
+    r = 700
+    got = {
+        (row.poi_id, row.doc_id, row.dist2)
+        for row in distance_join(geo, pois, r, DEFAULT).collect()
+    }
+    exp = set()
+    for pid, px, py in pois:
+        for i, (x, y) in enumerate(pts):
+            d2 = (x - px) ** 2 + (y - py) ** 2
+            if d2 <= r * r:
+                exp.add((pid, f"d{i:04d}", d2))
+    assert got == exp
+    assert exp  # non-vacuous
