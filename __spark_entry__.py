@@ -32,6 +32,7 @@ from hilbert_curve_spark.operators.media import (
 from hilbert_curve_spark.operators import pip as pip_ops
 from hilbert_curve_spark.operators import range_query as rq
 from hilbert_curve_spark.operators import similarity as sim_ops
+from hilbert_curve_spark.operators import spans as spans_ops
 from hilbert_curve_spark.operators import textops
 from hilbert_curve_spark.operators import tiles as tiles_ops
 from hilbert_curve_spark.operators import updates as upd_ops
@@ -181,6 +182,23 @@ def _distance_pairs_oracle() -> str:
     from hilbert_curve_spark.operators.spatial_join import distance_self_join_oracle
 
     return f"{_doc_geo_cte()}, {distance_self_join_oracle(W.DIST_RADIUS)}"
+
+
+def _rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region x region join (PBSM): intersecting pairs among md5-derived
+    rectangles — the reference-point rule emits each pair exactly once, no
+    dedup pass."""
+    from hilbert_curve_spark.operators.spatial_join import rect_self_join
+
+    return rect_self_join(
+        _doc_geo(spark, sf_dir), W.RECT_SAMPLE_MOD, W.RECT_MAX_EXTENT
+    )
+
+
+def _rect_join_oracle() -> str:
+    from hilbert_curve_spark.operators.spatial_join import rect_self_join_oracle
+
+    return f"{_doc_geo_cte()}, {rect_self_join_oracle(W.RECT_SAMPLE_MOD, W.RECT_MAX_EXTENT)}"
 
 
 def _poi_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -812,6 +830,16 @@ def _hex_cells_oracle() -> str:
     )
 
 
+def _span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-sequence integrity, driver-checked (input_hint invariant): the
+    interleaved arrays ride a real hash shuffle, then every span's content +
+    position folds into per-kind aggregates the oracle recomputes without
+    arrays.  ``n_order_breaks`` must be 0 and ``fingerprint`` must match the
+    analytic rebuild — any reorder/drop/corruption in the shuffle path flips
+    one of them."""
+    return spans_ops.span_stats(build_documents(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BRQ (rectangle AND any-of-keywords) on sf0.001."""
     return _brq_any(spark, "/root/testdata/sf0.001")
@@ -833,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _knn_join,
         "pip_join": _pip,
         "distance_pairs": _distance_pairs,
+        "rect_join": _rect_join,
         "poi_distance_join": _poi_distance_join,
         "zonal_stats": _zonal_stats,
         "cell_pyramid": _cell_pyramid,
@@ -874,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extent": _extent,
         "cell_stats": _cell_stats,
         "hex_cells": _hex_cells,
+        "span_stats": _span_stats,
     }
 
 
@@ -997,6 +1027,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cell_stats": _cell_stats_oracle(),
         "hex_cells": _hex_cells_oracle(),
+        "span_stats": spans_ops.span_stats_oracle(),
         "media_features": media_features_oracle(),
         "media_resize": resize_media_oracle(),
         "media_frames": sample_frames_oracle(),
@@ -1036,6 +1067,7 @@ def oracle_sql() -> dict[str, str]:
         "radius_brq": _radius_brq_oracle(),
         "pip_join": _pip_oracle(),
         "distance_pairs": _distance_pairs_oracle(),
+        "rect_join": _rect_join_oracle(),
         "poi_distance_join": _poi_distance_join_oracle(),
         "zonal_stats": _zonal_stats_oracle(),
         "cell_pyramid": _cell_pyramid_oracle(),

@@ -1,0 +1,121 @@
+"""Span-sequence integrity + span-level analytics over the interleaved corpus.
+
+The authoritative input shape (`BASELINE.json input_hint`) is
+``documents(doc_id, spans: array<struct<kind,text,media_ref,offset>>)`` with a
+per-row invariant: the ``(kind, text, media_ref, order)`` sequence must be
+preserved through every shuffle.  ``tests/test_spans_invariant.py`` pins that
+behaviorally; ``span_stats`` makes it *driver-visible*: it routes the
+interleaved arrays through a real hash shuffle, ``posexplode``s them, and
+folds every span's full content into per-kind aggregates that the DuckDB
+oracle recomputes analytically (from :mod:`..sources.derive` snippets) without
+ever building an array.  Any reorder (``n_order_breaks``), drop/duplicate
+(``n_spans``/``n_docs``), or byte flip anywhere in the shuffle path
+(``fingerprint`` — a sum of 40-bit md5 folds of each span's canonical string,
+doc_id included) changes the result.
+
+Reference parity: the reference carries its object payloads opaquely through
+the index (`Scheme/RSKQ/RSKQ_Biginteger.java:120-161` stores/retrieves
+serialized objects byte-identically); this operator is the Spark-shuffle
+restatement of that round-trip guarantee.
+
+100 TB design: one narrow projection + native ``posexplode`` (no Python),
+then a single hash aggregation with map-side combine down to 3 rows.  The
+40-bit per-span fold keeps the int64 sum overflow-free up to ~2^22 spans per
+final group per engine word — at larger scales widen to a per-bucket
+two-level fold (sum by ``fingerprint % B`` first); the oracle stays the same
+shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources import derive
+from .dedup import _hex_to_long_sql
+
+#: canonical per-span string — identical text in Spark SQL and DuckDB
+_CANON = "(doc_id || '|' || kind || '|' || text || '|' || media_ref || '|' || CAST(off AS STRING))"
+
+
+def _fp_sql(md5_var: str) -> str:
+    """40-bit fold of an md5 hex string (first 10 hex chars) — small enough
+    that a corpus-wide BIGINT sum cannot overflow at test/bench scales."""
+    return _hex_to_long_sql(md5_var, 1, 10)
+
+
+def span_stats(docs: DataFrame, partitions: int = 32) -> DataFrame:
+    """Per-kind span aggregates AFTER a genuine array-carrying shuffle.
+
+    Output (one row per kind, ordered): ``kind, n_spans, n_docs, sum_offset,
+    sum_text_len, sum_ref_len, n_order_breaks, fingerprint``.
+
+    ``n_order_breaks`` counts spans whose array position disagrees with the
+    stored ``offset`` — 0 iff the sequence order survived the shuffle intact.
+    """
+    shuffled = docs.repartition(partitions, "doc_id")
+    flat = shuffled.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("off"),
+    )
+    hashed = flat.withColumn("m", F.expr(f"md5({_CANON})"))
+    return (
+        hashed.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("off").cast("long").alias("sum_offset"),
+            F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+            F.sum(F.length("media_ref")).cast("long").alias("sum_ref_len"),
+            F.sum(F.when(F.col("pos") != F.col("off"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_order_breaks"),
+            F.sum(F.expr(_fp_sql("m"))).cast("long").alias("fingerprint"),
+        )
+        .orderBy("kind")
+    )
+
+
+def span_stats_oracle(table: str = "documents", amp: int = derive.AMP) -> str:
+    """DuckDB oracle: rebuild every span as a flat row (geo arm + one arm per
+    keyword slot + a range-joined media arm — no arrays anywhere) and fold the
+    identical canonical strings."""
+    doc_id = derive.doc_key_sql()
+    geo_text = (
+        f"('x=' || CAST({derive.x_sql()} AS STRING) || ' y=' || "
+        f"CAST({derive.y_sql()} AS STRING))"
+    )
+    arms = [
+        f"SELECT {doc_id} AS doc_id, 'geo' AS kind, {geo_text} AS text, "
+        f"'' AS media_ref, 0 AS off FROM ids"
+    ]
+    for j in range(derive.KW_PER_DOC):
+        arms.append(
+            f"SELECT {doc_id}, 'text', {derive.keyword_sql(j)}, '', {j + 1} FROM ids"
+        )
+    base = derive.KW_PER_DOC + 1
+    arms.append(
+        f"SELECT {doc_id}, 'media', '', "
+        f"('m://' || {doc_id} || '/' || CAST(n AS STRING)), {base} + n "
+        f"FROM ids, (SELECT unnest(range(0, {derive.MEDIA_MOD - 1})) AS n) g "
+        f"WHERE n < {derive.n_media_sql()}"
+    )
+    union = " UNION ALL ".join(arms)
+    return (
+        f"WITH ids AS {derive.corpus_sql(table, amp)}, "
+        f"spans AS ({union}), "
+        f"hashed AS (SELECT *, md5({_CANON}) AS m FROM spans) "
+        f"SELECT kind, COUNT(*) AS n_spans, COUNT(DISTINCT doc_id) AS n_docs, "
+        f"CAST(SUM(off) AS BIGINT) AS sum_offset, "
+        f"CAST(SUM(length(text)) AS BIGINT) AS sum_text_len, "
+        f"CAST(SUM(length(media_ref)) AS BIGINT) AS sum_ref_len, "
+        f"CAST(0 AS BIGINT) AS n_order_breaks, "
+        f"CAST(SUM({_fp_sql('m')}) AS BIGINT) AS fingerprint "
+        f"FROM hashed GROUP BY kind ORDER BY kind"
+    )

@@ -324,3 +324,129 @@ def zonal_stats_oracle(polygons: list[Polygon]) -> str:
         "CAST(SUM(y) AS BIGINT) AS sum_y FROM pip WHERE crossings % 2 = 1 "
         "GROUP BY poly_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# rectangle-intersection self-join (region x region)
+# ---------------------------------------------------------------------------
+#
+# The missing quadrant of the join family: point x point
+# (distance_self_join), point x region (pip_join / zonal_stats), point x
+# small-reference (distance_join) — and here region x region, the shape of
+# footprint-overlap joins (building footprints, image tiles, bounding-box
+# pre-joins for exact geometry).  Partition-Based Spatial Merge join: each
+# rectangle replicates to every grid cell it overlaps (native ``sequence``
+# explode — at most 2x2 cells when the cell edge >= the max rectangle
+# extent), pairs hash-join on the cell key, and the classic PBSM
+# reference-point rule (report a pair only in the cell that contains the
+# intersection's lower-left corner) makes every intersecting pair appear
+# EXACTLY once with no distinct/dedup pass.
+
+
+def _rect_exprs(m_var: str, max_extent: int) -> tuple[str, str, str]:
+    """Engine-neutral rectangle derivation off an md5 hex column: a 1-in-N
+    sample selector (first 8 hex chars) and width/height in
+    ``[1, max_extent]`` (hex chars 9-12 / 13-16).  Deterministic, exact, and
+    identically computable by DuckDB — no external rectangle data needed."""
+    from .dedup import _hex_to_long_sql
+
+    sel = _hex_to_long_sql(m_var, 1, 8)
+    w = f"(1 + ({_hex_to_long_sql(m_var, 9, 4)} % {max_extent}))"
+    h = f"(1 + ({_hex_to_long_sql(m_var, 13, 4)} % {max_extent}))"
+    return sel, w, h
+
+
+def rect_self_join(
+    doc_geo: DataFrame,
+    sample_mod: int = 64,
+    max_extent: int = 40,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """All intersecting pairs among the derived rectangle set:
+    (rect_a, rect_b, ix_area) with rect_a < rect_b, ix_area the exact
+    integer intersection area.
+
+    Rectangles derive deterministically from a 1-in-``sample_mod`` md5
+    sample of the corpus (lower-left = the doc's lattice point, extents
+    md5-derived in [1, max_extent]).  Exact: the grid blocking is lossless
+    for any cell size, and the reference-point rule needs no dedup shuffle.
+    100 TB shape: one narrow derivation scan, <= 4x replication, one
+    shuffled hash equi-join on the composite cell key (AQE skew-split
+    backstops hot cells); set ``sample_mod=1`` to join the full corpus.
+    """
+    edge = config.edge
+    s = int(max_extent).bit_length()  # cell edge 2**s >= max_extent: <=2x2 cells
+    m = "md5(CAST(doc_id AS BINARY))"
+    sel, w, h = _rect_exprs("m", max_extent)
+    rects = (
+        doc_geo.withColumn("m", F.expr(m))
+        .filter(F.expr(f"({sel} % {sample_mod}) = 0"))
+        .select(
+            "doc_id",
+            F.col("x").alias("x_lo"),
+            F.col("y").alias("y_lo"),
+            F.expr(f"LEAST(x + {w}, {edge - 1})").alias("x_hi"),
+            F.expr(f"LEAST(y + {h}, {edge - 1})").alias("y_hi"),
+        )
+    )
+
+    def replicated(tag: str) -> DataFrame:
+        side = rects.select(
+            *[F.col(c).alias(f"{c}_{tag}") for c in ("doc_id", "x_lo", "y_lo", "x_hi", "y_hi")]
+        )
+        return (
+            side.withColumn(
+                "cx", F.expr(f"explode(sequence(x_lo_{tag} >> {s}, x_hi_{tag} >> {s}))")
+            )
+            .withColumn(
+                "cy", F.expr(f"explode(sequence(y_lo_{tag} >> {s}, y_hi_{tag} >> {s}))")
+            )
+            .withColumn("ck", F.col("cx") * edge + F.col("cy"))
+        )
+    a = replicated("a")
+    b = replicated("b").drop("cx", "cy")
+    ix_w = F.least("x_hi_a", "x_hi_b") - F.greatest("x_lo_a", "x_lo_b") + 1
+    ix_h = F.least("y_hi_a", "y_hi_b") - F.greatest("y_lo_a", "y_lo_b") + 1
+    pairs = (
+        a.join(b, "ck")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .filter((ix_w > 0) & (ix_h > 0))
+        # PBSM reference point: only the cell holding the intersection's
+        # lower-left corner reports the pair
+        .filter(
+            (F.shiftright(F.greatest("x_lo_a", "x_lo_b"), s) == F.col("cx"))
+            & (F.shiftright(F.greatest("y_lo_a", "y_lo_b"), s) == F.col("cy"))
+        )
+    )
+    return pairs.select(
+        F.col("doc_id_a").alias("rect_a"),
+        F.col("doc_id_b").alias("rect_b"),
+        (ix_w * ix_h).cast("long").alias("ix_area"),
+    )
+
+
+def rect_self_join_oracle(
+    sample_mod: int = 64,
+    max_extent: int = 40,
+    edge: int = DEFAULT.edge,
+    doc_geo_table: str = "doc_geo",
+) -> str:
+    """DuckDB oracle: identical rectangle derivation, plain quadratic
+    self-join (the sampled set is small at oracle scale) with the same
+    intersection predicate and tie-break."""
+    sel, w, h = _rect_exprs("m", max_extent)
+    ix_w = "(LEAST(a.x_hi, b.x_hi) - GREATEST(a.x_lo, b.x_lo) + 1)"
+    ix_h = "(LEAST(a.y_hi, b.y_hi) - GREATEST(a.y_lo, b.y_lo) + 1)"
+    return f"""mr AS (
+  SELECT doc_key, x, y, md5(doc_key) AS m FROM {doc_geo_table}
+), rects AS (
+  SELECT doc_key, x AS x_lo, y AS y_lo,
+         LEAST(x + {w}, {edge - 1}) AS x_hi, LEAST(y + {h}, {edge - 1}) AS y_hi
+  FROM mr WHERE ({sel} % {sample_mod}) = 0
+)
+SELECT a.doc_key AS rect_a, b.doc_key AS rect_b,
+       CAST({ix_w} * {ix_h} AS BIGINT) AS ix_area
+FROM rects a, rects b
+WHERE a.doc_key < b.doc_key
+  AND a.x_lo <= b.x_hi AND b.x_lo <= a.x_hi
+  AND a.y_lo <= b.y_hi AND b.y_lo <= a.y_hi"""

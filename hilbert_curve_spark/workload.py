@@ -48,6 +48,9 @@ RADIUS_R = 180
 
 # Spatial-join family: within-radius pair join + batched kNN join.
 DIST_RADIUS = 12
+# Rectangle-intersection self-join: 1-in-N md5 sample, extents in [1, 40].
+RECT_SAMPLE_MOD = 64
+RECT_MAX_EXTENT = 40
 KNN_JOIN_QUERIES = [("j1", 1030, 1015), ("j2", 3105, 3088), ("j3", 2050, 2061)]
 KNN_JOIN_K = 10
 POIS = [

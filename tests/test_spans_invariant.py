@@ -53,3 +53,28 @@ def test_media_spans_well_formed(spark, sf_dir):
                 assert s["text"] == ""
             else:
                 assert s["media_ref"] == ""
+
+
+def test_span_stats_aggregates(spark, sf_dir):
+    """Driver-visible form of the invariant: per-kind aggregates after a real
+    shuffle obey the construction exactly (offsets 0..n-1, geo first, 4 text
+    spans, sid%3 media spans)."""
+    from hilbert_curve_spark.operators.spans import span_stats
+
+    docs = build_documents(spark, sf_dir, amp=4)
+    n = docs.count()
+    rows = {r.kind: r for r in span_stats(docs).collect()}
+    assert set(rows) == {"geo", "text", "media"}
+    for r in rows.values():
+        assert r.n_order_breaks == 0
+    assert rows["geo"].n_spans == n == rows["geo"].n_docs
+    assert rows["geo"].sum_offset == 0
+    assert rows["text"].n_spans == 4 * n and rows["text"].n_docs == n
+    assert rows["text"].sum_offset == (1 + 2 + 3 + 4) * n
+    # media: sid % 3 spans per doc at offsets 5 (and 6)
+    n_media = rows["media"].n_spans
+    assert rows["media"].sum_offset == 5 * n_media + (
+        rows["media"].n_spans - rows["media"].n_docs
+    ) * 1  # docs with 2 spans contribute offsets 5+6
+    assert rows["media"].sum_text_len == 0
+    assert rows["geo"].sum_ref_len == 0 == rows["text"].sum_ref_len

@@ -11,6 +11,7 @@ from hilbert_curve_spark.operators.encode import encode_documents  # noqa: F401 
 from hilbert_curve_spark.operators.spatial_join import (
     distance_self_join,
     knn_join,
+    rect_self_join,
     zonal_stats,
 )
 from hilbert_curve_spark.operators.rollup import cell_pyramid
@@ -183,3 +184,76 @@ def test_poi_distance_join_matches_brute_force(spark):
                 exp.add((pid, f"d{i:04d}", d2))
     assert got == exp
     assert exp  # non-vacuous
+
+
+# ---------------------------------------------------------------------------
+# rectangle-intersection self-join
+# ---------------------------------------------------------------------------
+
+
+def _brute_rects(pts, sample_mod, max_extent, edge=4096):
+    import hashlib
+
+    rects = {}
+    for i, (x, y) in enumerate(pts):
+        did = f"d{i:04d}"
+        m = hashlib.md5(did.encode()).hexdigest()
+        if int(m[0:8], 16) % sample_mod != 0:
+            continue
+        w = 1 + (int(m[8:12], 16) % max_extent)
+        h = 1 + (int(m[12:16], 16) % max_extent)
+        rects[did] = (x, y, min(x + w, edge - 1), min(y + h, edge - 1))
+    return rects
+
+
+def _brute_rect_pairs(rects):
+    out = set()
+    ids = sorted(rects)
+    for i, a in enumerate(ids):
+        ax0, ay0, ax1, ay1 = rects[a]
+        for b in ids[i + 1 :]:
+            bx0, by0, bx1, by1 = rects[b]
+            iw = min(ax1, bx1) - max(ax0, bx0) + 1
+            ih = min(ay1, by1) - max(ay0, by0) + 1
+            if iw > 0 and ih > 0:
+                out.add((a, b, iw * ih))
+    return out
+
+
+def test_rect_join_matches_brute_force(spark):
+    # dense cloud straddling cell borders (cell size 64 for max_extent 40):
+    # points deliberately placed around multiples of 64 plus an LCG cloud
+    pts = _lcg_points(250, edge=200) + [
+        (60, 60), (63, 63), (64, 64), (65, 65), (127, 60), (128, 68),
+        (190, 191), (192, 190), (40, 126), (44, 130),
+    ]
+    got = [
+        (r.rect_a, r.rect_b, r.ix_area)
+        for r in rect_self_join(_geo(spark, pts), sample_mod=1, max_extent=40).collect()
+    ]
+    exp = _brute_rect_pairs(_brute_rects(pts, 1, 40))
+    # exactly-once emission: no duplicates even for pairs whose intersection
+    # spans multiple grid cells
+    assert len(got) == len(set(got))
+    assert set(got) == exp
+    assert len(exp) > 100  # non-vacuous
+
+
+def test_rect_join_sampling_and_determinism(spark):
+    pts = _lcg_points(400, edge=300)
+    full = _brute_rects(pts, 1, 40)
+    sampled = _brute_rects(pts, 4, 40)
+    assert 0 < len(sampled) < len(full)
+    got = {
+        (r.rect_a, r.rect_b, r.ix_area)
+        for r in rect_self_join(_geo(spark, pts), sample_mod=4, max_extent=40).collect()
+    }
+    assert got == _brute_rect_pairs(sampled)
+
+
+def test_rect_join_no_nested_loop(spark):
+    plan = rect_self_join(
+        _geo(spark, _lcg_points(50, edge=256)), sample_mod=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
