@@ -184,6 +184,20 @@ def _distance_pairs_oracle() -> str:
     return f"{_doc_geo_cte()}, {distance_self_join_oracle(W.DIST_RADIUS)}"
 
 
+def _nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-docs nearest-POI enrichment: one codegen projection (literal POI
+    struct array + transform/array_min argmin), zero shuffle."""
+    from hilbert_curve_spark.operators.spatial_join import nearest_join
+
+    return nearest_join(_doc_geo(spark, sf_dir), W.POIS)
+
+
+def _nearest_poi_oracle() -> str:
+    from hilbert_curve_spark.operators.spatial_join import nearest_join_oracle
+
+    return f"{_doc_geo_cte()}, {nearest_join_oracle(W.POIS)}"
+
+
 def _rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Region x region join (PBSM): intersecting pairs among md5-derived
     rectangles — the reference-point rule emits each pair exactly once, no
@@ -586,6 +600,34 @@ def _events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch geofence: derived event coords -> codegen ray-cast tag ->
+    per-(window, polygon) counts (S15 x events)."""
+    return ev_ops.geofence_counts(_events(spark, sf_dir), W.POLYGONS)
+
+
+def _events_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming geofence end-to-end: the same file-source replay as
+    ``events_stream_tumbling`` through the IDENTICAL geofence plan (plus a
+    watermark bounding window state), run to completion via availableNow +
+    complete-mode memory sink.  Oracle: the batch geofence SQL — the
+    finished stream must equal the batch aggregation bit-for-bit."""
+    from hilbert_curve_spark.streaming import event_streams as es
+
+    stream = (
+        spark.readStream.schema(es.EVENTS_SCHEMA)
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/events.parque?")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    return _run_stream_to_df(
+        spark,
+        ev_ops.geofence_counts(stream, W.POLYGONS, watermark="2 hours"),
+        "complete",
+        "drv_geofence",
+    )
+
+
 def _events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming sessionization (``applyInPandasWithState``),
     driver-checkable end-to-end.
@@ -862,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": _pip,
         "distance_pairs": _distance_pairs,
         "rect_join": _rect_join,
+        "nearest_poi": _nearest_poi,
         "poi_distance_join": _poi_distance_join,
         "zonal_stats": _zonal_stats,
         "cell_pyramid": _cell_pyramid,
@@ -873,6 +916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "updates_asof": _updates_asof,
         "events_stream_tumbling": _events_stream_tumbling,
         "events_stream_sessions": _events_stream_sessions,
+        "events_geofence": _events_geofence,
+        "events_stream_geofence": _events_stream_geofence,
         "text_profile": _text_profile,
         "quality_topk": _quality_topk,
         "stratified_sample": _stratified_sample,
@@ -1034,6 +1079,8 @@ def oracle_sql() -> dict[str, str]:
         "s2_cells": _s2_cells_oracle(),
         "events_tumbling": ev_ops.tumbling_counts_oracle(),
         "events_stream_tumbling": ev_ops.tumbling_counts_oracle(),
+        "events_geofence": ev_ops.geofence_counts_oracle(W.POLYGONS),
+        "events_stream_geofence": ev_ops.geofence_counts_oracle(W.POLYGONS),
         "events_stream_sessions": ev_ops.sessionize_epoch_oracle(),
         "events_sessions": ev_ops.sessionize_oracle(),
         "events_latest": ev_ops.latest_event_oracle(),
@@ -1068,6 +1115,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": _pip_oracle(),
         "distance_pairs": _distance_pairs_oracle(),
         "rect_join": _rect_join_oracle(),
+        "nearest_poi": _nearest_poi_oracle(),
         "poi_distance_join": _poi_distance_join_oracle(),
         "zonal_stats": _zonal_stats_oracle(),
         "cell_pyramid": _cell_pyramid_oracle(),

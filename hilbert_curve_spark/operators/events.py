@@ -254,3 +254,104 @@ def systematic_sample(events: DataFrame, k: int = 10) -> DataFrame:
 
 def systematic_sample_oracle(k: int = 10, table: str = "events") -> str:
     return f"SELECT * FROM {table} WHERE event_id % {k} = 0"
+
+
+# ---------------------------------------------------------------------------
+# geofence (S15 x event streams)
+# ---------------------------------------------------------------------------
+
+
+def geofence_counts(
+    events: DataFrame,
+    polygons: list[dict],
+    minutes: int = 60,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Geofence aggregation: entries per (tumbling window, polygon) —
+    (window_start_s, poly_id, n_events, sum_value_e6).
+
+    The fixture events carry no geometry, so each event gets deterministic
+    derived lattice coordinates (the exact-LCG snippets of
+    :mod:`..sources.derive` keyed on ``event_id`` — both engines recompute
+    them bit-identically), then the codegen integer ray-cast of
+    :func:`..operators.pip.inside_polygon_expr` tags the FIRST listed
+    polygon containing the point; tagged events aggregate per epoch-aligned
+    window.
+
+    Streaming-compatible by construction: every transformation here is
+    source-agnostic, so passing a ``readStream`` source plus
+    ``watermark="2 hours"`` runs the identical plan incrementally with
+    bounded state (the driver query ``events_stream_geofence`` does exactly
+    that and must equal this batch form bit-for-bit).  100 TB shape: one
+    narrow codegen projection (coords + ray-casts against literal edge
+    arrays, no join at all for a small fence set) + one hash aggregation
+    with map-side combine."""
+    from ..sources import derive
+    from .pip import inside_polygon_expr
+
+    pts = events.withColumn(
+        "ex", F.expr(derive.x_sql("event_id"))
+    ).withColumn("ey", F.expr(derive.y_sql("event_id")))
+    chain = None
+    for p in polygons:
+        cond = inside_polygon_expr(p["vertices"], "ex", "ey")
+        branch = F.when(cond, F.lit(p["poly_id"]))
+        chain = branch if chain is None else chain.when(cond, F.lit(p["poly_id"]))
+    tagged = pts.withColumn("poly_id", chain).filter(F.col("poly_id").isNotNull())
+    if watermark is not None:
+        tagged = tagged.withWatermark("ts", watermark)
+    start = (
+        F.window("ts", f"{minutes} minutes")
+        .getField("start")
+        .cast("timestamp")
+        .cast("long")
+    )
+    v6 = F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)")
+    return (
+        tagged.withColumn("v6", v6)
+        .groupBy(start.alias("window_start_s"), "poly_id")
+        .agg(F.count("*").alias("n_events"), F.sum("v6").alias("sum_value_e6"))
+    )
+
+
+def geofence_counts_oracle(
+    polygons: list[dict], minutes: int = 60, table: str = "events"
+) -> str:
+    """DuckDB oracle: identical coordinate derivation + the pip crossing SQL
+    (``operators/pip.py::pip_oracle_sql`` form) with a listed-order
+    first-match tie-break, then the same epoch bucketing as
+    ``tumbling_counts_oracle``."""
+    from ..sources import derive
+    from .pip import _edges
+
+    edge_rows = []
+    for i, p in enumerate(polygons):
+        for x1, y1, x2, y2 in _edges(p["vertices"]):
+            edge_rows.append(f"('{p['poly_id']}', {i}, {x1}, {y1}, {x2}, {y2})")
+    values = ", ".join(edge_rows)
+    secs = minutes * 60
+    bucket = f"CAST(FLOOR(epoch(v.ts) / {secs}) AS BIGINT) * {secs}"
+    return f"""WITH ev AS (
+  SELECT event_id, ts, value,
+         {derive.x_sql('event_id')} AS ex, {derive.y_sql('event_id')} AS ey
+  FROM {table}
+), edges(poly_id, ord, x1, y1, x2, y2) AS (VALUES {values}),
+pip AS (
+  SELECT e.poly_id, e.ord, v.event_id,
+         SUM(CASE WHEN ((e.y1 > v.ey) <> (e.y2 > v.ey)) AND
+                  (CASE WHEN e.y2 - e.y1 > 0
+                        THEN v.ex * (e.y2 - e.y1) < e.x1 * (e.y2 - e.y1) + (v.ey - e.y1) * (e.x2 - e.x1)
+                        ELSE v.ex * (e.y2 - e.y1) > e.x1 * (e.y2 - e.y1) + (v.ey - e.y1) * (e.x2 - e.x1)
+                   END)
+             THEN 1 ELSE 0 END) AS crossings
+  FROM ev v, edges e
+  GROUP BY e.poly_id, e.ord, v.event_id
+), tagged AS (
+  SELECT event_id, poly_id,
+         ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ord) AS rn
+  FROM pip WHERE crossings % 2 = 1
+)
+SELECT {bucket} AS window_start_s, t.poly_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(v.value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_e6
+FROM ev v JOIN tagged t ON v.event_id = t.event_id AND t.rn = 1
+GROUP BY 1, 2"""

@@ -326,6 +326,49 @@ def zonal_stats_oracle(polygons: list[Polygon]) -> str:
     )
 
 
+def nearest_join(
+    doc_geo: DataFrame, pois: list[tuple[str, int, int]], config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """Nearest-reference enrichment: every doc annotated with its closest POI
+    — (doc_id, poi_id, dist2), deterministic tie-break on poi_id.
+
+    The all-k-nearest-1 join against a small reference set.  The POI set is
+    folded into a LITERAL struct array, so the whole operator is one codegen
+    projection per row (``transform`` + ``array_min`` — struct ordering gives
+    argmin with tie-break): zero shuffle, zero join, scales linearly with the
+    corpus and is embarrassingly partition-parallel at 100 TB.  For large POI
+    sets swap the literal for a broadcast + cell-bucketed candidate probe
+    (``distance_join``) and an argmin aggregation."""
+    structs = ", ".join(
+        f"named_struct('px', {px}L, 'py', {py}L, 'poi_id', '{pid}')"
+        for pid, px, py in pois
+    )
+    best = F.expr(
+        f"array_min(transform(array({structs}), p -> named_struct("
+        f"'dist2', (x - p.px) * (x - p.px) + (y - p.py) * (y - p.py), "
+        f"'poi_id', p.poi_id)))"
+    )
+    return doc_geo.withColumn("b", best).select(
+        "doc_id",
+        F.col("b.poi_id").alias("poi_id"),
+        F.col("b.dist2").alias("dist2"),
+    )
+
+
+def nearest_join_oracle(
+    pois: list[tuple[str, int, int]], doc_geo_table: str = "doc_geo"
+) -> str:
+    vals = ", ".join(f"('{pid}', {px}, {py})" for pid, px, py in pois)
+    d2 = "(d.x - p.px) * (d.x - p.px) + (d.y - p.py) * (d.y - p.py)"
+    return f"""poi(poi_id, px, py) AS (VALUES {vals}),
+rk AS (
+  SELECT d.doc_key AS doc_id, p.poi_id, {d2} AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY d.doc_key ORDER BY {d2}, p.poi_id) AS rn
+  FROM {doc_geo_table} d, poi p
+)
+SELECT doc_id, poi_id, dist2 FROM rk WHERE rn = 1"""
+
+
 # ---------------------------------------------------------------------------
 # rectangle-intersection self-join (region x region)
 # ---------------------------------------------------------------------------

@@ -257,3 +257,41 @@ def test_rect_join_no_nested_loop(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# nearest-POI enrichment join
+# ---------------------------------------------------------------------------
+
+
+def test_nearest_join_matches_brute_force(spark):
+    from hilbert_curve_spark.operators.spatial_join import nearest_join
+
+    pts = _lcg_points(400)
+    pois = [("a", 100, 100), ("b", 4000, 4000), ("c", 2048, 17), ("d", 100, 100)]
+    got = {
+        (r.doc_id, r.poi_id, r.dist2)
+        for r in nearest_join(_geo(spark, pts), pois).collect()
+    }
+    exp = set()
+    for i, (x, y) in enumerate(pts):
+        best = min(
+            ((x - px) ** 2 + (y - py) ** 2, pid) for pid, px, py in pois
+        )  # ties break on poi_id — 'a' and 'd' are co-located to exercise it
+        exp.add((f"d{i:04d}", best[1], best[0]))
+    assert got == exp
+    assert len(got) == len(pts)
+
+
+def test_nearest_join_zero_shuffle(spark):
+    from hilbert_curve_spark.operators.spatial_join import nearest_join
+
+    plan = (
+        nearest_join(_geo(spark, _lcg_points(10)), [("a", 1, 1), ("b", 9, 9)])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # pure codegen projection: no exchange, no join operator at all
+    assert "Exchange" not in plan
+    assert "Join" not in plan
