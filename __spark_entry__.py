@@ -184,6 +184,36 @@ def _distance_pairs_oracle() -> str:
     return f"{_doc_geo_cte()}, {distance_self_join_oracle(W.DIST_RADIUS)}"
 
 
+def _dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact DBSCAN: grid-blocked eps-neighbor join + core
+    classification + large/small-star CC over the core-core subgraph +
+    MIN-rule border assignment."""
+    return graph_ops.dbscan(
+        _doc_geo(spark, sf_dir), W.DBSCAN_EPS, W.DBSCAN_MIN_PTS, W.DBSCAN_SAMPLE_MOD
+    )
+
+
+def _dbscan_oracle() -> str:
+    return (
+        f"WITH RECURSIVE doc_geo AS ({derive.doc_geo_select_sql('documents')}), "
+        f"{graph_ops.dbscan_oracle(W.DBSCAN_EPS, W.DBSCAN_MIN_PTS, W.DBSCAN_SAMPLE_MOD)}"
+    )
+
+
+def _corridor_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route-corridor search: union-of-segment-covers scan prefilter + exact
+    division-free point-to-segment residual, pure codegen."""
+    from hilbert_curve_spark.operators.spatial_join import corridor_search
+
+    return corridor_search(_doc_geo(spark, sf_dir), W.ROUTE, W.CORRIDOR_R)
+
+
+def _corridor_search_oracle() -> str:
+    from hilbert_curve_spark.operators.spatial_join import corridor_search_oracle
+
+    return f"{_doc_geo_cte()}, {corridor_search_oracle(W.ROUTE, W.CORRIDOR_R)}"
+
+
 def _nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-docs nearest-POI enrichment: one codegen projection (literal POI
     struct array + transform/array_min argmin), zero shuffle."""
@@ -905,6 +935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_pairs": _distance_pairs,
         "rect_join": _rect_join,
         "nearest_poi": _nearest_poi,
+        "corridor_search": _corridor_search,
+        "dbscan_clusters": _dbscan,
         "poi_distance_join": _poi_distance_join,
         "zonal_stats": _zonal_stats,
         "cell_pyramid": _cell_pyramid,
@@ -1116,6 +1148,8 @@ def oracle_sql() -> dict[str, str]:
         "distance_pairs": _distance_pairs_oracle(),
         "rect_join": _rect_join_oracle(),
         "nearest_poi": _nearest_poi_oracle(),
+        "corridor_search": _corridor_search_oracle(),
+        "dbscan_clusters": _dbscan_oracle(),
         "poi_distance_join": _poi_distance_join_oracle(),
         "zonal_stats": _zonal_stats_oracle(),
         "cell_pyramid": _cell_pyramid_oracle(),

@@ -181,11 +181,24 @@ def _pipeline_queries(spark):
     def q_media_frames():
         return sample_frames(extract_media_features(corpus)).count()
 
+    def q_span_stats():
+        from hilbert_curve_spark.operators.spans import span_stats
+
+        return span_stats(corpus).count()
+
+    def q_events_geofence():
+        from hilbert_curve_spark.operators.events import geofence_counts
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return geofence_counts(events, W.POLYGONS).count()
+
     return {
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "ivf_topk": q_ivf_topk,
         "media_frames": q_media_frames,
+        "span_stats": q_span_stats,
+        "events_geofence": q_events_geofence,
     }
 
 
@@ -198,9 +211,12 @@ def _spatial_join_queries(geo):
     from hilbert_curve_spark.operators.brq import radius_search
     from hilbert_curve_spark.operators.rollup import cell_pyramid
     from hilbert_curve_spark.operators.spatial_join import (
+        corridor_search,
         distance_join,
         distance_self_join,
         knn_join,
+        nearest_join,
+        rect_self_join,
         zonal_stats,
     )
 
@@ -223,9 +239,21 @@ def _spatial_join_queries(geo):
     def q_cell_pyramid():
         return cell_pyramid(geo, W.PYRAMID_LEVELS).count()
 
+    def q_rect_join():
+        return rect_self_join(geo, W.RECT_SAMPLE_MOD, W.RECT_MAX_EXTENT).count()
+
+    def q_nearest_poi():
+        return nearest_join(geo, W.POIS).count()
+
+    def q_corridor_search():
+        return corridor_search(geo, W.ROUTE, W.CORRIDOR_R).count()
+
     return {
+        "corridor_search": q_corridor_search,
         "knn_join": q_knn_join,
         "distance_pairs": q_distance_pairs,
+        "rect_join": q_rect_join,
+        "nearest_poi": q_nearest_poi,
         "poi_distance_join": q_poi_distance_join,
         "radius_brq": q_radius_brq,
         "zonal_stats": q_zonal_stats,

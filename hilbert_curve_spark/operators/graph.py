@@ -136,6 +136,130 @@ def dedup_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DBSCAN — density-based spatial clustering
+# ---------------------------------------------------------------------------
+
+
+def dbscan(
+    doc_geo: DataFrame,
+    eps: int,
+    min_pts: int,
+    sample_mod: int = 1,
+    config=None,
+) -> DataFrame:
+    """Distributed exact DBSCAN over the lattice points:
+    (doc_id, cluster, is_core) for every core and border point (noise is
+    excluded; ``is_core`` is 1/0 for engine-neutral hashing).  ``cluster``
+    is the minimum core doc_id of the density-connected component —
+    deterministic, and border points take the MIN cluster among their core
+    neighbors (textbook DBSCAN leaves border assignment order-dependent;
+    the min rule makes it a pure function of the data).
+
+    Composition of two already-scale-proven operators — the grid-blocked
+    eps-neighbor self-join (`spatial_join.distance_self_join`: one hash
+    shuffle, every qualifying pair exactly once) and large/small-star
+    connected components over the *core-core* subgraph (min-aggregate form,
+    no neighbor-set materialization).  This is exactly the MR-DBSCAN /
+    "DBSCAN on Spark" decomposition from the literature; with
+    ``doc_geo`` bucketed by cell the neighbor join is shuffle-free.
+
+    ``sample_mod`` > 1 runs on the deterministic 1-in-N md5 sample (same
+    selector as ``rect_self_join``) — at fixture densities the full
+    gaussian corpus percolates into one giant cluster, which is both
+    uninteresting and quadratic for the oracle's closure."""
+    from ..config import DEFAULT
+    from .dedup import _hex_to_long_sql
+    from .spatial_join import distance_self_join
+
+    cfg = config or DEFAULT
+    pts = doc_geo
+    if sample_mod > 1:
+        sel = _hex_to_long_sql("md5(CAST(doc_id AS BINARY))", 1, 8)
+        pts = doc_geo.filter(F.expr(f"({sel} % {sample_mod}) = 0"))
+    pairs = distance_self_join(pts, eps, cfg).select("doc_a", "doc_b").localCheckpoint()
+    nbrs = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("doc_id", "nbr")
+    deg = nbrs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_nbrs"))
+    core = deg.filter(F.col("n_nbrs") + 1 >= min_pts).select("doc_id").localCheckpoint()
+    cedges = (
+        pairs.join(core.select(F.col("doc_id").alias("doc_a")), "doc_a", "semi")
+        .join(core.select(F.col("doc_id").alias("doc_b")), "doc_b", "semi")
+    )
+    labels = connected_components(cedges, "doc_a", "doc_b")
+    core_lab = (
+        core.join(labels.select(F.col("node").alias("doc_id"), "rep"), "doc_id", "left")
+        .select("doc_id", F.coalesce("rep", F.col("doc_id")).alias("cluster"))
+    )
+    border = (
+        nbrs.join(
+            core_lab.select(F.col("doc_id").alias("nbr"), "cluster"), "nbr"
+        )
+        .join(core, "doc_id", "anti")
+        .groupBy("doc_id")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
+    return core_lab.withColumn("is_core", one).unionByName(
+        border.withColumn("is_core", zero)
+    )
+
+
+def dbscan_oracle(
+    eps: int, min_pts: int, sample_mod: int = 1, doc_geo_table: str = "doc_geo"
+) -> str:
+    """DuckDB oracle: the same lossless 9-offset cell blocking for the
+    eps-neighbor pairs, degree/core classification, recursive-CTE min-label
+    closure over the core-core subgraph, and the same MIN border rule.
+    The caller prepends ``WITH RECURSIVE doc_geo AS (...)``."""
+    from .dedup import _hex_to_long_sql
+    from .spatial_join import _cell_shift
+
+    s = _cell_shift(eps)
+    r2 = eps * eps
+    nine = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    sel = _hex_to_long_sql("md5(doc_key)", 1, 8)
+    return f"""pts AS (
+  SELECT doc_key, x, y FROM {doc_geo_table} WHERE ({sel} % {sample_mod}) = 0
+), prb AS (
+  SELECT doc_key, x, y, (x >> {s}) + dx AS cx, (y >> {s}) + dy AS cy
+  FROM pts, (VALUES {nine}) o(dx, dy)
+), hom AS (
+  SELECT doc_key, x, y, x >> {s} AS cx, y >> {s} AS cy FROM pts
+), pairs AS (
+  SELECT p.doc_key AS doc_a, h.doc_key AS doc_b
+  FROM prb p JOIN hom h ON p.cx = h.cx AND p.cy = h.cy AND p.doc_key < h.doc_key
+  WHERE (p.x - h.x) * (p.x - h.x) + (p.y - h.y) * (p.y - h.y) <= {r2}
+), nbrs AS (
+  SELECT doc_a AS doc_id, doc_b AS nbr FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), core AS (
+  SELECT doc_id FROM nbrs GROUP BY doc_id HAVING COUNT(*) + 1 >= {min_pts}
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  WHERE doc_a IN (SELECT doc_id FROM core) AND doc_b IN (SELECT doc_id FROM core)
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+  WHERE doc_a IN (SELECT doc_id FROM core) AND doc_b IN (SELECT doc_id FROM core)
+), cc(node, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, c.label FROM cc c JOIN edges e ON e.u = c.node
+), corelab AS (
+  SELECT co.doc_id,
+         COALESCE((SELECT MIN(label) FROM cc WHERE node = co.doc_id), co.doc_id)
+           AS cluster
+  FROM core co
+)
+SELECT doc_id, cluster, CAST(1 AS BIGINT) AS is_core FROM corelab
+UNION ALL
+SELECT n.doc_id, MIN(cl.cluster) AS cluster, CAST(0 AS BIGINT) AS is_core
+FROM nbrs n JOIN corelab cl ON n.nbr = cl.doc_id
+WHERE n.doc_id NOT IN (SELECT doc_id FROM core)
+GROUP BY n.doc_id"""
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles: recursive-CTE min-label closure.  The closure enumerates,
 # per node, every reachable node (symmetric edges => the whole component),
 # and MIN over it is exactly the large/small-star fixpoint label.  State

@@ -326,6 +326,88 @@ def zonal_stats_oracle(polygons: list[Polygon]) -> str:
     )
 
 
+def _corridor_pred_sql(r2: int, x: str = "x", y: str = "y") -> str:
+    """Exact integer point-to-segment distance test (<= sqrt(r2)) against a
+    segment row/struct ``s(ax, ay, bx, by)`` — IDENTICAL text in Spark SQL
+    (lambda over a literal struct array) and DuckDB (EXISTS over a VALUES
+    table).  Three cases on the projection parameter, division-free: the
+    perpendicular case compares ``cross^2 <= r2 * len2``.  Overflow audit at
+    order 12 (coords < 2^12): cross <= 2^25, cross^2 <= 2^50; r2 * len2 <=
+    2^16 * 2^26 = 2^42 — all safely inside int64 under ANSI mode."""
+    dot = f"(({x} - s.ax) * (s.bx - s.ax) + ({y} - s.ay) * (s.by - s.ay))"
+    len2 = "((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))"
+    cross = f"((s.bx - s.ax) * ({y} - s.ay) - (s.by - s.ay) * ({x} - s.ax))"
+    return (
+        f"CASE WHEN {dot} <= 0 "
+        f"THEN ({x} - s.ax) * ({x} - s.ax) + ({y} - s.ay) * ({y} - s.ay) <= {r2} "
+        f"WHEN {dot} >= {len2} "
+        f"THEN ({x} - s.bx) * ({x} - s.bx) + ({y} - s.by) * ({y} - s.by) <= {r2} "
+        f"ELSE {cross} * {cross} <= {r2} * {len2} END"
+    )
+
+
+def corridor_search(
+    doc_geo: DataFrame,
+    vertices: list[tuple[int, int]],
+    radius: int,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Route-corridor search: every doc within L2 distance ``radius`` of the
+    polyline through ``vertices`` — (doc_id, x, y).
+
+    Physical plan (the radius_search pattern generalized to a route): each
+    segment's inflated bounding box compiles driver-side to a Hilbert range
+    cover; the merged literal union prefilters the scan (row-group pruning
+    on sorted storage — only the curve intervals along the route are read),
+    then the exact division-free point-to-segment test runs as one codegen
+    ``exists`` fold over the literal segment array.  No join, no shuffle,
+    no Python — scales linearly in docs-near-route, not corpus size."""
+    from ..curve.cover import coalesce_ranges, merge_overlapping
+    from .range_query import range_predicate
+
+    edge = config.edge
+    r2 = radius * radius
+    segs = list(zip(vertices, vertices[1:]))
+    covers = []
+    for (ax, ay), (bx, by) in segs:
+        x_lo = max(0, min(ax, bx) - radius)
+        x_hi = min(edge - 1, max(ax, bx) + radius)
+        y_lo = max(0, min(ay, by) - radius)
+        y_hi = min(edge - 1, max(ay, by) + radius)
+        covers.extend(compile_box(x_lo, x_hi, y_lo, y_hi, config).ranges)
+    prefilter = coalesce_ranges(merge_overlapping(covers), 64)
+    seg_lits = ", ".join(
+        f"named_struct('ax', {ax}L, 'ay', {ay}L, 'bx', {bx}L, 'by', {by}L)"
+        for (ax, ay), (bx, by) in segs
+    )
+    residual = F.expr(f"exists(array({seg_lits}), s -> ({_corridor_pred_sql(r2)}))")
+    return (
+        doc_geo.filter(range_predicate(prefilter))
+        .filter(residual)
+        .select("doc_id", "x", "y")
+    )
+
+
+def corridor_search_oracle(
+    vertices: list[tuple[int, int]], radius: int, doc_geo_table: str = "doc_geo"
+) -> str:
+    """DuckDB oracle: the identical predicate text via EXISTS over a
+    segment VALUES table (no prefilter — plain full evaluation).  The
+    literals are CAST to BIGINT: DuckDB types bare VALUES as INT32 and the
+    ``r2 * len2`` product overflows it (Spark's ``L`` struct literals are
+    already int64)."""
+    vals = ", ".join(
+        "(" + ", ".join(f"CAST({v} AS BIGINT)" for v in (ax, ay, bx, by)) + ")"
+        for (ax, ay), (bx, by) in zip(vertices, vertices[1:])
+    )
+    pred = _corridor_pred_sql(radius * radius, "d.x", "d.y")
+    return (
+        f"segs(ax, ay, bx, by) AS (VALUES {vals}) "
+        f"SELECT d.doc_key AS doc_id, d.x, d.y FROM {doc_geo_table} d "
+        f"WHERE EXISTS (SELECT 1 FROM segs s WHERE {pred})"
+    )
+
+
 def nearest_join(
     doc_geo: DataFrame, pois: list[tuple[str, int, int]], config: EngineConfig = DEFAULT
 ) -> DataFrame:

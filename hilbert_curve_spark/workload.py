@@ -61,6 +61,17 @@ POI_RADIUS = 64
 PYRAMID_LEVELS = 5
 NGRAM_K = 20
 
+# Route-corridor search: a polyline threading all three hot spots.
+ROUTE = [(900, 900), (1200, 1100), (2048, 2048), (3000, 3100), (3300, 3300)]
+CORRIDOR_R = 48
+
+# DBSCAN: eps/min_pts sized for the fixture's Irwin-Hall hot-spot density
+# (measured at sf0.01/amp16: ~200 clusters, max component 15 — small dense
+# clumps, no percolation, so the oracle's recursive closure stays linear-ish).
+DBSCAN_EPS = 12
+DBSCAN_MIN_PTS = 4
+DBSCAN_SAMPLE_MOD = 1
+
 # Pipeline-family workload (dedup / ANN), shared by the driver entry and
 # bench so both measure the identical query shapes.
 JACCARD_T = 25

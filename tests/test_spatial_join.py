@@ -295,3 +295,135 @@ def test_nearest_join_zero_shuffle(spark):
     # pure codegen projection: no exchange, no join operator at all
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# route-corridor search
+# ---------------------------------------------------------------------------
+
+
+def _brute_corridor(pts, verts, r):
+    r2 = r * r
+    segs = list(zip(verts, verts[1:]))
+    out = set()
+    for i, (x, y) in enumerate(pts):
+        for (ax, ay), (bx, by) in segs:
+            dot = (x - ax) * (bx - ax) + (y - ay) * (by - ay)
+            len2 = (bx - ax) ** 2 + (by - ay) ** 2
+            if dot <= 0:
+                ok = (x - ax) ** 2 + (y - ay) ** 2 <= r2
+            elif dot >= len2:
+                ok = (x - bx) ** 2 + (y - by) ** 2 <= r2
+            else:
+                cross = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+                ok = cross * cross <= r2 * len2
+            if ok:
+                out.add(f"d{i:04d}")
+                break
+    return out
+
+
+def test_corridor_search_matches_brute_force(spark):
+    from hilbert_curve_spark.functions.udfs import hilbert_encode_udf
+    from hilbert_curve_spark.operators.spatial_join import corridor_search
+
+    pts = _lcg_points(800)
+    geo = _geo(spark, pts).withColumn(
+        "hilbert", hilbert_encode_udf(DEFAULT.order)("x", "y")
+    )
+    # diagonal + axis-aligned + ZERO-LENGTH segment (duplicate vertex)
+    route = [(100, 100), (1500, 900), (1500, 900), (1500, 3000), (3900, 3900)]
+    r = 150
+    got = {row.doc_id for row in corridor_search(geo, route, r, DEFAULT).collect()}
+    exp = _brute_corridor(pts, route, r)
+    assert got == exp
+    assert len(exp) > 20  # non-vacuous
+
+
+def test_corridor_exact_boundary(spark):
+    from hilbert_curve_spark.functions.udfs import hilbert_encode_udf
+    from hilbert_curve_spark.operators.spatial_join import corridor_search
+
+    # perpendicular distance EXACTLY r must be included, r+1 excluded
+    pts = [(50, 110), (50, 111), (0, 110), (100, 111)]
+    geo = _geo(spark, pts).withColumn(
+        "hilbert", hilbert_encode_udf(DEFAULT.order)("x", "y")
+    )
+    got = {r_.doc_id for r_ in corridor_search(geo, [(0, 100), (100, 100)], 10, DEFAULT).collect()}
+    assert got == {"d0000", "d0002"}
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN
+# ---------------------------------------------------------------------------
+
+
+def _brute_dbscan(pts, eps, min_pts):
+    ids = [f"d{i:04d}" for i in range(len(pts))]
+    n = len(pts)
+    nbrs = {i: set() for i in range(n)}
+    for i in range(n):
+        for j in range(i + 1, n):
+            d2 = (pts[i][0] - pts[j][0]) ** 2 + (pts[i][1] - pts[j][1]) ** 2
+            if d2 <= eps * eps:
+                nbrs[i].add(j)
+                nbrs[j].add(i)
+    core = {i for i in range(n) if len(nbrs[i]) + 1 >= min_pts}
+    parent = {i: i for i in core}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in core:
+        for j in nbrs[i]:
+            if j in core:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    members = {}
+    for i in core:
+        members.setdefault(find(i), []).append(i)
+    label = {r: min(m) for r, m in members.items()}
+    res = set()
+    for i in core:
+        res.add((ids[i], ids[label[find(i)]], 1))
+    for i in range(n):
+        if i in core:
+            continue
+        cl = [ids[label[find(j)]] for j in nbrs[i] if j in core]
+        if cl:
+            res.add((ids[i], min(cl), 0))
+    return res
+
+
+def test_dbscan_matches_brute_force(spark):
+    from hilbert_curve_spark.operators.graph import dbscan
+
+    pts = _lcg_points(300, edge=200)
+    got = {
+        (r.doc_id, r.cluster, r.is_core)
+        for r in dbscan(_geo(spark, pts), eps=10, min_pts=4).collect()
+    }
+    exp = _brute_dbscan(pts, 10, 4)
+    assert got == exp
+    assert any(c == 0 for _, _, c in exp)  # border points exercised
+    assert len({cl for _, cl, _ in exp}) > 3  # several clusters
+
+
+def test_dbscan_border_and_noise(spark):
+    from hilbert_curve_spark.operators.graph import dbscan
+
+    # clump of 4 (all core at min_pts=4), one border at distance eps from a
+    # core, one noise point far away; second clump of 4 to get 2 clusters
+    pts = [(10, 10), (12, 10), (10, 12), (12, 12), (20, 10), (150, 150),
+           (100, 100), (102, 100), (100, 102), (102, 102)]
+    got = {
+        (r.doc_id, r.cluster, r.is_core)
+        for r in dbscan(_geo(spark, pts), eps=8, min_pts=4).collect()
+    }
+    assert got == _brute_dbscan(pts, 8, 4)
+    assert ("d0005", "d0005", 1) not in got  # noise excluded entirely
+    assert not any(d == "d0005" for d, _, _ in got)
