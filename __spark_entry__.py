@@ -286,6 +286,35 @@ def _zonal_stats_oracle() -> str:
     return f"{_doc_geo_cte()}, {zonal_stats_oracle(W.POLYGONS)}"
 
 
+def _zonal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-polygon lower-median order statistic over PIP candidates."""
+    from hilbert_curve_spark.operators.spatial_join import zonal_median
+
+    return zonal_median(_doc_geo(spark, sf_dir), W.POLYGONS)
+
+
+def _zonal_median_oracle() -> str:
+    from hilbert_curve_spark.operators.spatial_join import zonal_median_oracle
+
+    return f"{_doc_geo_cte()}, {zonal_median_oracle(W.POLYGONS)}"
+
+
+def _cell_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV distinct sketch per coarse cell — an
+    oracle-checkable approximate-distinct (the built-in HLL++ is
+    implementation-defined; KMV over the engine's md5 fold is a pure
+    function of the data)."""
+    from hilbert_curve_spark.operators.rollup import cell_distinct_kmv
+
+    return cell_distinct_kmv(_doc_geo(spark, sf_dir))
+
+
+def _cell_kmv_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import cell_distinct_kmv_oracle
+
+    return f"{_doc_geo_cte()}, {cell_distinct_kmv_oracle()}"
+
+
 def _cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-resolution cell histogram: scan once, roll up 4x per level."""
     from hilbert_curve_spark.operators.rollup import cell_pyramid
@@ -939,6 +968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_clusters": _dbscan,
         "poi_distance_join": _poi_distance_join,
         "zonal_stats": _zonal_stats,
+        "zonal_median": _zonal_median,
+        "cell_kmv": _cell_kmv,
         "cell_pyramid": _cell_pyramid,
         "grq_stored": _grq_stored,
         "events_asof": _events_asof,
@@ -1152,6 +1183,8 @@ def oracle_sql() -> dict[str, str]:
         "dbscan_clusters": _dbscan_oracle(),
         "poi_distance_join": _poi_distance_join_oracle(),
         "zonal_stats": _zonal_stats_oracle(),
+        "zonal_median": _zonal_median_oracle(),
+        "cell_kmv": _cell_kmv_oracle(),
         "cell_pyramid": _cell_pyramid_oracle(),
         "grq_stored": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R2)}"

@@ -66,3 +66,83 @@ def cell_pyramid_oracle_select(levels: int, config: EngineConfig = DEFAULT) -> s
         )
     union = " UNION ALL ".join(parts)
     return f", base AS ({base}) {union}"
+
+
+# ---------------------------------------------------------------------------
+# deterministic KMV distinct sketch per coarse cell
+# ---------------------------------------------------------------------------
+
+
+def cell_distinct_kmv(
+    doc_geo: DataFrame, shift: int = 8, k: int = 16, config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """Per coarse grid cell: exact distinct-keyword count AND its KMV
+    (k-minimum-values) sketch estimate — (gcell, n_distinct, kmv_estimate).
+
+    Approximate distinct counting is the canonical 100 TB cardinality tool,
+    but the built-in ``approx_count_distinct`` (HLL++) is
+    implementation-defined and cannot be oracle-checked.  KMV over a
+    deterministic hash CAN: with h = the 40-bit md5 fold used across the
+    engine, the k-th smallest distinct hash per cell is a pure function of
+    the data, and ``D-hat = (k-1) * M / h_k`` (integer division, M = 2^40)
+    is bit-reproducible in any engine — a sketch with an EXACT oracle.
+    Cells holding fewer than k distinct values report exactly.
+
+    Plan: distinct (cell, keyword) pairs (one hash aggregation with
+    map-side combine), then a per-cell window for the k-th order statistic.
+    At 10^12 rows the window input is bounded by distinct pairs, not rows;
+    a full-scale variant keeps only each cell's k smallest hashes via
+    partial top-k before the shuffle (same result, bounded state)."""
+    from .dedup import _hex_to_long_sql
+    from pyspark.sql import Window
+
+    grid = config.edge >> shift
+    m_space = 1 << 40
+    gcell = F.shiftright("x", shift) * grid + F.shiftright("y", shift)
+    pairs = doc_geo.select(
+        gcell.alias("gcell"), F.explode("keywords").alias("kw")
+    ).distinct()
+    hashed = pairs.withColumn(
+        "h", F.expr(f"GREATEST({_hex_to_long_sql('md5(kw)', 1, 10)}, 1)")
+    )
+    w = Window.partitionBy("gcell").orderBy("h", "kw")
+    wc = Window.partitionBy("gcell")
+    ranked = hashed.withColumn("r", F.row_number().over(w)).withColumn(
+        "nd", F.count(F.lit(1)).over(wc)
+    )
+    est = F.expr(f"CASE WHEN nd <= {k} THEN nd ELSE ({(k - 1) * m_space}L DIV h) END")
+    return ranked.filter(F.col("r") == F.least(F.lit(k), F.col("nd"))).select(
+        "gcell",
+        F.col("nd").cast("long").alias("n_distinct"),
+        est.cast("long").alias("kmv_estimate"),
+    )
+
+
+def cell_distinct_kmv_oracle(
+    shift: int = 8, k: int = 16, config: EngineConfig = DEFAULT
+) -> str:
+    """Appends to a CTE chain defining ``doc_geo`` (needs x, y, kw0..kw3)."""
+    from ..sources import derive as _derive
+    from .dedup import _hex_to_long_sql
+
+    grid = config.edge >> shift
+    m_space = 1 << 40
+    arms = " UNION ALL ".join(
+        f"SELECT x, y, kw{j} AS kw FROM doc_geo" for j in range(_derive.KW_PER_DOC)
+    )
+    h = _hex_to_long_sql("md5(kw)", 1, 10)
+    return f"""kwp AS (
+  SELECT DISTINCT (x >> {shift}) * {grid} + (y >> {shift}) AS gcell, kw
+  FROM ({arms})
+), hashed AS (
+  SELECT gcell, kw, GREATEST({h}, 1) AS h FROM kwp
+), ranked AS (
+  SELECT gcell, h,
+         ROW_NUMBER() OVER (PARTITION BY gcell ORDER BY h, kw) AS r,
+         COUNT(*) OVER (PARTITION BY gcell) AS nd
+  FROM hashed
+)
+SELECT gcell, CAST(nd AS BIGINT) AS n_distinct,
+       CAST(CASE WHEN nd <= {k} THEN nd ELSE ({(k - 1) * m_space} // h) END AS BIGINT)
+         AS kmv_estimate
+FROM ranked WHERE r = LEAST({k}, nd)"""

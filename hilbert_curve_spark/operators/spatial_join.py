@@ -326,6 +326,53 @@ def zonal_stats_oracle(polygons: list[Polygon]) -> str:
     )
 
 
+def zonal_median(
+    doc_geo: DataFrame, polygons: list[Polygon], config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """Exact per-polygon order statistics: (poly_id, n_docs, median_x,
+    median_y) where the median is the DETERMINISTIC lower-median element —
+    the row at rank ``(n+1) div 2`` under ``(value, doc_id)`` order (an
+    interpolated median would be engine-float territory; the element form
+    is exact and oracle-checkable).
+
+    One window pass over the PIP candidates (the doc side never shuffles
+    into the join; the window shuffles only the docs inside polygons) +
+    one hash aggregation.  The generalizable shape for any exact
+    percentile at scale; for sketch-based percentiles over 10^12 rows swap
+    the window for a two-pass histogram refine."""
+    pts = pip_join(doc_geo, polygons, config)
+    wx = Window.partitionBy("poly_id").orderBy("x", "doc_id")
+    wy = Window.partitionBy("poly_id").orderBy("y", "doc_id")
+    wc = Window.partitionBy("poly_id")
+    ranked = (
+        pts.withColumn("rx", F.row_number().over(wx))
+        .withColumn("ry", F.row_number().over(wy))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+    )
+    mid = F.expr("(n + 1) DIV 2")
+    return ranked.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(F.when(F.col("rx") == mid, F.col("x"))).alias("median_x"),
+        F.max(F.when(F.col("ry") == mid, F.col("y"))).alias("median_y"),
+    )
+
+
+def zonal_median_oracle(polygons: list[Polygon]) -> str:
+    """Appends to a CTE chain defining ``doc_geo`` (same convention as
+    ``zonal_stats_oracle``)."""
+    return f"""{pip_oracle_sql(polygons)} , ranked AS (
+  SELECT poly_id, doc_key, x, y,
+         ROW_NUMBER() OVER (PARTITION BY poly_id ORDER BY x, doc_key) AS rx,
+         ROW_NUMBER() OVER (PARTITION BY poly_id ORDER BY y, doc_key) AS ry,
+         COUNT(*) OVER (PARTITION BY poly_id) AS n
+  FROM pip WHERE crossings % 2 = 1
+)
+SELECT poly_id, COUNT(*) AS n_docs,
+       CAST(MAX(CASE WHEN rx = CAST(FLOOR((n + 1) / 2.0) AS BIGINT) THEN x END) AS BIGINT) AS median_x,
+       CAST(MAX(CASE WHEN ry = CAST(FLOOR((n + 1) / 2.0) AS BIGINT) THEN y END) AS BIGINT) AS median_y
+FROM ranked GROUP BY poly_id"""
+
+
 def _corridor_pred_sql(r2: int, x: str = "x", y: str = "y") -> str:
     """Exact integer point-to-segment distance test (<= sqrt(r2)) against a
     segment row/struct ``s(ax, ay, bx, by)`` — IDENTICAL text in Spark SQL

@@ -427,3 +427,67 @@ def test_dbscan_border_and_noise(spark):
     assert got == _brute_dbscan(pts, 8, 4)
     assert ("d0005", "d0005", 1) not in got  # noise excluded entirely
     assert not any(d == "d0005" for d, _, _ in got)
+
+
+# ---------------------------------------------------------------------------
+# zonal median + KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def test_zonal_median_matches_python(spark, sf_dir):
+    import __spark_entry__ as em
+    from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators.pip import pip_join
+    from hilbert_curve_spark.operators.spatial_join import zonal_median
+
+    dg = em._doc_geo(spark, sf_dir)
+    got = {
+        r.poly_id: (r.n_docs, r.median_x, r.median_y)
+        for r in zonal_median(dg, W.POLYGONS, DEFAULT).collect()
+    }
+    members = {}
+    for r in pip_join(dg, W.POLYGONS, DEFAULT).collect():
+        members.setdefault(r.poly_id, []).append((r.x, r.y, r.doc_id))
+    assert set(got) == set(members) and got
+    for pid, rows in members.items():
+        n = len(rows)
+        mid = (n + 1) // 2
+        mx = sorted((x, d) for x, _, d in rows)[mid - 1][0]
+        my = sorted((y, d) for _, y, d in rows)[mid - 1][0]
+        assert got[pid] == (n, mx, my), pid
+
+
+def test_cell_kmv_matches_python(spark, sf_dir):
+    import hashlib
+
+    import __spark_entry__ as em
+    from hilbert_curve_spark.operators.rollup import cell_distinct_kmv
+
+    dg = em._doc_geo(spark, sf_dir)
+    got = {
+        r.gcell: (r.n_distinct, r.kmv_estimate)
+        for r in cell_distinct_kmv(dg).collect()
+    }
+    pairs = set()
+    for r in dg.select("x", "y", "keywords").collect():
+        g = (r.x >> 8) * 16 + (r.y >> 8)
+        for kw in r.keywords:
+            pairs.add((g, kw))
+    cells = {}
+    for g, kw in pairs:
+        h = max(int(hashlib.md5(kw.encode()).hexdigest()[:10], 16), 1)
+        cells.setdefault(g, []).append((h, kw))
+    k, m_space = 16, 1 << 40
+    exp = {}
+    for g, hs in cells.items():
+        hs.sort()
+        nd = len(hs)
+        if nd <= k:
+            exp[g] = (nd, nd)
+        else:
+            exp[g] = (nd, (k - 1) * m_space // hs[k - 1][0])
+    assert got == exp and got
+    # sketch sanity: where it estimates, it lands within 3x of truth
+    for g, (nd, est) in got.items():
+        if nd > k:
+            assert nd / 3 <= est <= nd * 3, (g, nd, est)
