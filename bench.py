@@ -210,6 +210,7 @@ def _spatial_join_queries(geo):
     from hilbert_curve_spark import workload as W
     from hilbert_curve_spark.operators.brq import radius_search
     from hilbert_curve_spark.operators.rollup import cell_pyramid
+    from hilbert_curve_spark.operators.rollup import cell_distinct_kmv
     from hilbert_curve_spark.operators.spatial_join import (
         corridor_search,
         distance_join,
@@ -217,6 +218,7 @@ def _spatial_join_queries(geo):
         knn_join,
         nearest_join,
         rect_self_join,
+        zonal_median,
         zonal_stats,
     )
 
@@ -235,6 +237,12 @@ def _spatial_join_queries(geo):
 
     def q_zonal_stats():
         return zonal_stats(geo, W.POLYGONS).count()
+
+    def q_zonal_median():
+        return zonal_median(geo, W.POLYGONS).count()
+
+    def q_cell_kmv():
+        return cell_distinct_kmv(geo).count()
 
     def q_cell_pyramid():
         return cell_pyramid(geo, W.PYRAMID_LEVELS).count()
@@ -257,6 +265,8 @@ def _spatial_join_queries(geo):
         "poi_distance_join": q_poi_distance_join,
         "radius_brq": q_radius_brq,
         "zonal_stats": q_zonal_stats,
+        "zonal_median": q_zonal_median,
+        "cell_kmv": q_cell_kmv,
         "cell_pyramid": q_cell_pyramid,
     }
 
