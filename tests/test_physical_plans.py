@@ -230,3 +230,33 @@ def test_pip_polygon_cover_prefilter_pushed(sorted_geo):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "PushedFilters" in plan
+
+
+def test_corridor_search_pruned_scan_no_join(sorted_geo):
+    from hilbert_curve_spark.operators.spatial_join import corridor_search
+
+    q = corridor_search(sorted_geo, W.ROUTE, W.CORRIDOR_R, DEFAULT)
+    plan = _plan(q)
+    # pure pruned scan + codegen residual: the route covers push to the
+    # scan and no join/shuffle/Python appears anywhere
+    assert "PushedFilters" in plan
+    scan_line = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "hilbert" in scan_line
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_span_stats_native_single_agg(spark, sf_dir):
+    from hilbert_curve_spark.operators.spans import span_stats
+    from hilbert_curve_spark.sources.interleave import build_documents
+
+    plan = _plan(span_stats(build_documents(spark, sf_dir, amp=2)))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan  # map-side partial aggregation active
+
+
+def test_cell_kmv_native_no_python(sorted_geo):
+    from hilbert_curve_spark.operators.rollup import cell_distinct_kmv
+
+    plan = _plan(cell_distinct_kmv(sorted_geo))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
