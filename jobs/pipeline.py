@@ -56,12 +56,23 @@ def main() -> None:
     runner = CheckpointRunner(spark, os.path.join(args.output, "stages"))
     outs = runner.run(stages, {"sf_dir": args.sf_dir, "amp": str(args.amp)})
 
+    from hilbert_curve_spark.operators.pip import pip_join
+    from hilbert_curve_spark.operators.spatial_join import (
+        corridor_search,
+        nearest_join,
+        zonal_stats,
+    )
+
     geo = outs["doc_geo"]
     t0 = time.time()
     results = {
         "grq_range": rq.grq_range_mode(geo, **W.R1).count(),
         "brq_any": brq_ops.brq(geo, **W.R2, keywords=W.KW_ANY, mode="any").count(),
         "tile_assign": tiles_ops.tile_assignment(geo, W.TILES).count(),
+        "pip_join": pip_join(geo, W.POLYGONS).count(),
+        "zonal_stats": zonal_stats(geo, W.POLYGONS).count(),
+        "corridor_search": corridor_search(geo, W.ROUTE, W.CORRIDOR_R).count(),
+        "nearest_poi": nearest_join(geo, W.POIS).count(),
         "prefix_rows": outs["prefix_index"].count(),
         "keyword_rows": outs["keyword_index"].count(),
     }
