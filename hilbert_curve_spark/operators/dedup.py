@@ -282,9 +282,24 @@ def minhash_pairs_checked(
     (doc_a, doc_b, jac_pct).  The exact score makes the result fully
     oracle-checkable (the reference's own correctness method is result-set
     containment with exact re-scoring,
-    `Experiment/SearchCorrectness/RSKQ_SearchCorrectness.java:800-875`)."""
-    cand = minhash_lsh_pairs(minhash_signatures(docs, num_hashes, n), bands, rows)
-    g = docs.select("doc_id", _shingle_col(n).alias("grams"))
+    `Experiment/SearchCorrectness/RSKQ_SearchCorrectness.java:800-875`).
+
+    The annotation pass shingles ONLY the candidate docs: the (driver-sized)
+    candidate pair list is materialized once via ``localCheckpoint``, its
+    doc ids semi-join-prune the corpus, and the shingle expression then runs
+    over ~2x|pairs| docs instead of the whole corpus (ADVICE r3: the second
+    full shingle pass was the pipeline's most expensive recomputation)."""
+    cand = minhash_lsh_pairs(
+        minhash_signatures(docs, num_hashes, n), bands, rows
+    ).localCheckpoint()
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    g = docs.join(cand_ids, "doc_id", "semi").select(
+        "doc_id", _shingle_col(n).alias("grams")
+    )
     inter = F.size(F.array_intersect(F.col("ga.grams"), F.col("gb.grams")))
     union = F.size(F.col("ga.grams")) + F.size(F.col("gb.grams")) - inter
     jac_pct = F.floor(F.lit(100) * inter / union).cast("long")

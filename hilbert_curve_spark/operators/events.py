@@ -297,6 +297,12 @@ def geofence_counts(
         cond = inside_polygon_expr(p["vertices"], "ex", "ey")
         branch = F.when(cond, F.lit(p["poly_id"]))
         chain = branch if chain is None else chain.when(cond, F.lit(p["poly_id"]))
+    if chain is None:
+        # zero fences -> a typed-null tag the isNotNull filter drops: an
+        # empty result with the full schema, valid for batch AND streaming
+        # sources (pip_join's limit(0) branch is batch-only; ADVICE r3
+        # flagged the untyped-None crash here)
+        chain = F.lit(None).cast("string")
     tagged = pts.withColumn("poly_id", chain).filter(F.col("poly_id").isNotNull())
     if watermark is not None:
         tagged = tagged.withWatermark("ts", watermark)

@@ -19,10 +19,13 @@ shuffle-bounded CC for data too large for any single machine:
   re-analyzes the whole history each action (on a cluster, point
   ``spark.sparkContext.setCheckpointDir`` at durable storage and swap in
   ``.checkpoint()`` for executor-loss tolerance);
-* convergence is detected EXACTLY (count equality + anti-join emptiness
-  on the distinct edge sets) — a hash fingerprint could collide and stop
-  a round early with wrong labels; the anti-join runs on the
-  star-contracted (shrinking) edge set, so its cost falls per round.
+* convergence is detected EXACTLY and cheaply (ADVICE r3): each round
+  runs ONE aggregate job over the new edge set (count + checksum); only
+  when the tuple matches the previous round's does the exact full-outer
+  set-equality join run — equal sets always have equal tuples, so the
+  exact join executes once (at the true fixpoint, plus once per checksum
+  collision, which merely costs a retry — it can never stop early with
+  wrong labels).
 
 Labels are component-minimum node ids, so results are deterministic and
 engine-neutral: the DuckDB oracle recomputes the same labels with a
@@ -35,17 +38,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _converged(old: DataFrame, new: DataFrame) -> bool:
-    """EXACT set-equality convergence check (both frames are `.distinct()`
-    outputs): equal counts + empty one-sided difference ⇒ equal sets.  A
-    hash-sum fingerprint would be cheaper per round but a sum-preserving
-    collision could stop the loop before the fixpoint and emit wrong
-    component labels — the anti-join costs one extra shuffle of the
-    (star-contracted, shrinking) edge set per round and cannot lie."""
-    n_old, n_new = old.count(), new.count()
-    if n_old != n_new:
-        return False
-    return new.join(old, ["u", "v"], "anti").isEmpty()
+def _edge_stats(edges: DataFrame) -> tuple:
+    """(count, checksum-of-u, checksum-of-v) in ONE aggregate job.  The
+    checksum (sum of crc32 over the stringified id) works for string and
+    integer node ids alike; a collision is harmless — it only triggers the
+    exact check below, never a wrong convergence verdict."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.crc32(F.col("u").cast("string").cast("binary"))).alias("su"),
+        F.sum(F.crc32(F.col("v").cast("string").cast("binary"))).alias("sv"),
+    ).first()
+    return (row["n"], row["su"], row["sv"])
+
+
+def _edge_sets_equal(old: DataFrame, new: DataFrame) -> bool:
+    """EXACT set equality (both frames are `.distinct()` outputs): a full
+    outer join on (u, v) with a marker on each side has a null-marker row
+    iff the sets differ.  One job with early-exit via ``isEmpty``; runs
+    only when the cheap per-round stats tuple already matches, i.e. once
+    per connected_components call in the non-collision case (ADVICE r3:
+    the old count+count+anti-join scheme spent 3 jobs EVERY round)."""
+    diff = (
+        old.select("u", "v", F.lit(1).alias("_o"))
+        .join(new.select("u", "v", F.lit(1).alias("_n")), ["u", "v"], "full")
+        .filter(F.col("_o").isNull() | F.col("_n").isNull())
+    )
+    return diff.isEmpty()
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -91,10 +109,12 @@ def connected_components(
         .localCheckpoint()
     )
     nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+    stats: tuple | None = None
     for _ in range(max_iter):
-        prev = e
+        prev, prev_stats = e, stats
         e = _small_star(_large_star(e)).localCheckpoint()
-        if _converged(prev, e):
+        stats = _edge_stats(e)
+        if stats == prev_stats and _edge_sets_equal(prev, e):
             break
     else:
         # an unconverged star graph yields WRONG component labels (chains
@@ -166,11 +186,22 @@ def dbscan(
     ``sample_mod`` > 1 runs on the deterministic 1-in-N md5 sample (same
     selector as ``rect_self_join``) — at fixture densities the full
     gaussian corpus percolates into one giant cluster, which is both
-    uninteresting and quadratic for the oracle's closure."""
+    uninteresting and quadratic for the oracle's closure.
+
+    Precondition: ``min_pts >= 2`` (asserted).  Degree is derived from the
+    pair list, so a point with NO eps-neighbor never appears — for
+    ``min_pts <= 1`` textbook DBSCAN would make every isolated point its
+    own singleton core cluster, which this decomposition (and the oracle,
+    identically) would silently drop (ADVICE r3)."""
     from ..config import DEFAULT
     from .dedup import _hex_to_long_sql
     from .spatial_join import distance_self_join
 
+    if min_pts < 2:
+        raise ValueError(
+            "dbscan requires min_pts >= 2: isolated points carry no pair row, "
+            "so min_pts <= 1 would drop singleton core clusters"
+        )
     cfg = config or DEFAULT
     pts = doc_geo
     if sample_mod > 1:
@@ -211,9 +242,15 @@ def dbscan_oracle(
     """DuckDB oracle: the same lossless 9-offset cell blocking for the
     eps-neighbor pairs, degree/core classification, recursive-CTE min-label
     closure over the core-core subgraph, and the same MIN border rule.
-    The caller prepends ``WITH RECURSIVE doc_geo AS (...)``."""
+    The caller prepends ``WITH RECURSIVE doc_geo AS (...)``.  Same
+    ``min_pts >= 2`` precondition as :func:`dbscan` (the HAVING-based core
+    CTE shares the isolated-point blind spot, so oracle parity could not
+    catch a violation — assert instead, ADVICE r3)."""
     from .dedup import _hex_to_long_sql
     from .spatial_join import _cell_shift
+
+    if min_pts < 2:
+        raise ValueError("dbscan_oracle requires min_pts >= 2 (see dbscan)")
 
     s = _cell_shift(eps)
     r2 = eps * eps

@@ -19,11 +19,16 @@ serialized objects byte-identically); this operator is the Spark-shuffle
 restatement of that round-trip guarantee.
 
 100 TB design: one narrow projection + native ``posexplode`` (no Python),
-then a single hash aggregation with map-side combine down to 3 rows.  The
-40-bit per-span fold keeps the int64 sum overflow-free up to ~2^22 spans per
-final group per engine word — at larger scales widen to a per-bucket
-two-level fold (sum by ``fingerprint % B`` first); the oracle stays the same
-shape.
+then a TWO-LEVEL hash aggregation with map-side combine: level 1 groups by
+``(kind, bucket)`` where the bucket is a 12-bit fold of ``md5(doc_id)``
+(4096 buckets, so every metric including COUNT DISTINCT doc_id partitions
+cleanly), level 2 folds the 4096 x |kinds| partials to 3 rows.  The
+fingerprint is ``SUM(fold40) MOD 2^40`` computed modularly at both levels,
+so no intermediate int64 sum can overflow until a single (kind, bucket)
+group holds ~2^22 spans — ~2^34 spans (~16 G) per kind under the md5-uniform
+bucketing, with more bucket bits as the documented dial beyond that.
+(ADVICE r3: the previous single-level BIGINT sum faulted under ANSI mode at
+~2^23 spans per kind — AMP=1024 scaling territory.)
 """
 
 from __future__ import annotations
@@ -39,9 +44,19 @@ _CANON = "(doc_id || '|' || kind || '|' || text || '|' || media_ref || '|' || CA
 
 
 def _fp_sql(md5_var: str) -> str:
-    """40-bit fold of an md5 hex string (first 10 hex chars) — small enough
-    that a corpus-wide BIGINT sum cannot overflow at test/bench scales."""
+    """40-bit fold of an md5 hex string (first 10 hex chars)."""
     return _hex_to_long_sql(md5_var, 1, 10)
+
+
+_FP_MOD = 1 << 40        # fingerprint = SUM(fold40) MOD 2^40
+_BUCKET_HEX = 3          # 12-bit doc bucket -> 4096 level-1 groups per kind
+
+
+def _bucket_sql(doc_id_sql: str) -> str:
+    """12-bit doc-keyed bucket: a hex fold of md5(doc_id), so every span of a
+    doc lands in one bucket (COUNT DISTINCT doc_id partitions exactly) and
+    buckets are md5-uniform (level-1 partial sums stay far below 2^62)."""
+    return _hex_to_long_sql(f"md5({doc_id_sql})", 1, _BUCKET_HEX)
 
 
 def span_stats(docs: DataFrame, partitions: int = 32) -> DataFrame:
@@ -52,6 +67,8 @@ def span_stats(docs: DataFrame, partitions: int = 32) -> DataFrame:
 
     ``n_order_breaks`` counts spans whose array position disagrees with the
     stored ``offset`` — 0 iff the sequence order survived the shuffle intact.
+    ``fingerprint`` is the modular two-level fold described in the module
+    docstring — overflow-safe at any corpus amplification (ADVICE r3).
     """
     shuffled = docs.repartition(partitions, "doc_id")
     flat = shuffled.select(
@@ -64,19 +81,32 @@ def span_stats(docs: DataFrame, partitions: int = 32) -> DataFrame:
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("off"),
     )
-    hashed = flat.withColumn("m", F.expr(f"md5({_CANON})"))
+    hashed = flat.withColumn("m", F.expr(f"md5({_CANON})")).withColumn(
+        "bkt", F.expr(_bucket_sql("CAST(doc_id AS BINARY)"))
+    )
+    lvl1 = hashed.groupBy("kind", "bkt").agg(
+        F.count("*").alias("n_spans"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("off").cast("long").alias("sum_offset"),
+        F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+        F.sum(F.length("media_ref")).cast("long").alias("sum_ref_len"),
+        F.sum(F.when(F.col("pos") != F.col("off"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_order_breaks"),
+        F.sum(F.expr(_fp_sql("m"))).alias("fpp"),
+    )
     return (
-        hashed.groupBy("kind")
+        lvl1.groupBy("kind")
         .agg(
-            F.count("*").alias("n_spans"),
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.sum("off").cast("long").alias("sum_offset"),
-            F.sum(F.length("text")).cast("long").alias("sum_text_len"),
-            F.sum(F.length("media_ref")).cast("long").alias("sum_ref_len"),
-            F.sum(F.when(F.col("pos") != F.col("off"), 1).otherwise(0))
+            F.sum("n_spans").cast("long").alias("n_spans"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_offset").cast("long").alias("sum_offset"),
+            F.sum("sum_text_len").cast("long").alias("sum_text_len"),
+            F.sum("sum_ref_len").cast("long").alias("sum_ref_len"),
+            F.sum("n_order_breaks").cast("long").alias("n_order_breaks"),
+            (F.sum(F.col("fpp") % _FP_MOD) % _FP_MOD)
             .cast("long")
-            .alias("n_order_breaks"),
-            F.sum(F.expr(_fp_sql("m"))).cast("long").alias("fingerprint"),
+            .alias("fingerprint"),
         )
         .orderBy("kind")
     )
@@ -110,12 +140,21 @@ def span_stats_oracle(table: str = "documents", amp: int = derive.AMP) -> str:
     return (
         f"WITH ids AS {derive.corpus_sql(table, amp)}, "
         f"spans AS ({union}), "
-        f"hashed AS (SELECT *, md5({_CANON}) AS m FROM spans) "
-        f"SELECT kind, COUNT(*) AS n_spans, COUNT(DISTINCT doc_id) AS n_docs, "
+        f"hashed AS (SELECT *, md5({_CANON}) AS m, "
+        f"{_bucket_sql('doc_id')} AS bkt FROM spans), "
+        f"lvl1 AS (SELECT kind, bkt, COUNT(*) AS n_spans, "
+        f"COUNT(DISTINCT doc_id) AS n_docs, "
         f"CAST(SUM(off) AS BIGINT) AS sum_offset, "
         f"CAST(SUM(length(text)) AS BIGINT) AS sum_text_len, "
         f"CAST(SUM(length(media_ref)) AS BIGINT) AS sum_ref_len, "
+        f"CAST(SUM({_fp_sql('m')}) AS BIGINT) AS fpp "
+        f"FROM hashed GROUP BY kind, bkt) "
+        f"SELECT kind, CAST(SUM(n_spans) AS BIGINT) AS n_spans, "
+        f"CAST(SUM(n_docs) AS BIGINT) AS n_docs, "
+        f"CAST(SUM(sum_offset) AS BIGINT) AS sum_offset, "
+        f"CAST(SUM(sum_text_len) AS BIGINT) AS sum_text_len, "
+        f"CAST(SUM(sum_ref_len) AS BIGINT) AS sum_ref_len, "
         f"CAST(0 AS BIGINT) AS n_order_breaks, "
-        f"CAST(SUM({_fp_sql('m')}) AS BIGINT) AS fingerprint "
-        f"FROM hashed GROUP BY kind ORDER BY kind"
+        f"CAST(SUM(fpp % {_FP_MOD}) % {_FP_MOD} AS BIGINT) AS fingerprint "
+        f"FROM lvl1 GROUP BY kind ORDER BY kind"
     )
