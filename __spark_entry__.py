@@ -125,6 +125,73 @@ def _construction_grq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return construction_grq(_doc_geo(spark, sf_dir), **W.R2, config=DEFAULT)
 
 
+def _construction2_grq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConstructionTwo (ConstructionTwo.java:639-699): the updatable per-axis
+    scheme — versioned point-move fold, then the same tree-cover search."""
+    from hilbert_curve_spark.operators.construction import construction2_grq
+
+    return construction2_grq(_doc_geo(spark, sf_dir), **W.R2, config=DEFAULT)
+
+
+def _construction2_grq_oracle() -> str:
+    from hilbert_curve_spark.operators.construction import construction2_grq_sql
+
+    return construction2_grq_sql(
+        W.R2["x_lo"], W.R2["x_hi"], W.R2["y_lo"], W.R2["y_hi"],
+        derive.corpus_sql("documents"),
+        derive.doc_key_sql(),
+        derive.x_sql(),
+        derive.y_sql(),
+        DEFAULT.edge,
+    )
+
+
+def _keyword_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRDSSE (SRDSSE.java:81-238): per-keyword versioned add/delete chains
+    folded last-writer-wins at search — batched over the KW_ANY keyword set."""
+    log = upd_ops.build_keyword_update_stream(_doc_geo(spark, sf_dir), W.KW_ANY)
+    return upd_ops.srdsse_search(log, W.KW_ANY)
+
+
+def _keyword_updates_oracle() -> str:
+    return upd_ops.srdsse_search_sql(
+        upd_ops.keyword_update_stream_sql(W.KW_ANY), W.KW_ANY
+    )
+
+
+POIS_LARGE = W.poi_grid(16)
+POI_NEAREST_RADIUS = W.poi_cover_radius(16)
+
+
+def _poi_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-POI nearest enrichment: cell-bucketed broadcast join + argmin
+    aggregation (the at-scale successor of the literal nearest_poi)."""
+    from hilbert_curve_spark.operators.spatial_join import nearest_join_bucketed
+
+    return nearest_join_bucketed(
+        _doc_geo(spark, sf_dir), POIS_LARGE, POI_NEAREST_RADIUS, DEFAULT
+    )
+
+
+def _poi_nearest_join_oracle() -> str:
+    from hilbert_curve_spark.operators.spatial_join import (
+        nearest_join_bucketed_oracle,
+    )
+
+    return f"{_doc_geo_cte()}, " + nearest_join_bucketed_oracle(
+        POIS_LARGE, POI_NEAREST_RADIUS
+    )
+
+
+FENCES_LARGE = W.many_fences(64)
+
+
+def _geofence_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-fence-set geofence: cell-bucketed broadcast join + joined-array
+    ray-cast (the at-scale successor of the literal when-chain geofence)."""
+    return ev_ops.geofence_join(_events(spark, sf_dir), FENCES_LARGE)
+
+
 def _csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 reference-true CSV ingestion: doc_geo exports to the reference's
     DataRow CSV shape (FixRangeCompareToConstructionOne.java:148-173), the
@@ -972,8 +1039,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_stats": _cell_stats,
         "hex_cells": _hex_cells,
         # -- new this round --------------------------------------------------
-        # (inserted here as they land: keyword_updates, construction2_grq,
-        #  geofence_join, poi_nearest_join)
+        "keyword_updates": _keyword_updates,
+        "construction2_grq": _construction2_grq,
+        "geofence_join": _geofence_join,
+        "poi_nearest_join": _poi_nearest_join,
         # -- round-3 green ----------------------------------------------------
         "knn_join": _knn_join,
         "distance_pairs": _distance_pairs,
@@ -1139,6 +1208,10 @@ def _cell_stats_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     cte = _doc_geo_cte()
     return {
+        "keyword_updates": _keyword_updates_oracle(),
+        "construction2_grq": _construction2_grq_oracle(),
+        "geofence_join": ev_ops.geofence_counts_oracle(FENCES_LARGE),
+        "poi_nearest_join": _poi_nearest_join_oracle(),
         "hilbert_decode": f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo",
         "hilbert3d_roundtrip": _hilbert3d_oracle(),
         "hilbert_wide_roundtrip": _hilbert_wide_oracle(),

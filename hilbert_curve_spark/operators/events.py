@@ -320,6 +320,91 @@ def geofence_counts(
     )
 
 
+def geofence_join(
+    events: DataFrame,
+    polygons: list[dict],
+    minutes: int = 60,
+) -> DataFrame:
+    """Geofence aggregation for LARGE fence sets — same result shape and
+    semantics as :func:`geofence_counts` (first LISTED fence containing the
+    point tags the event), but built as a cell-bucketed broadcast hash join
+    instead of a literal when-chain (VERDICT r3 item 7: past ~100 fences the
+    chain is O(|events| x |fences|) per row and the codegen method explodes).
+
+    Physical plan: each fence expands DRIVER-side to the grid cells its
+    bounding box touches (cell edge 2**s >= the largest fence extent, so
+    <= 4 cells per fence) carrying its edge list as an array<struct> column;
+    events key to their HOME cell and hash-join the broadcast (no BNLJ —
+    plan-asserted), the exact integer ray-cast folds over the JOINED edge
+    array (same arithmetic as ``pip.inside_polygon_expr``, codegen, no
+    Python), the first-match tie-break is a hash aggregation
+    ``min(struct(ord, poly_id))`` per event, and the window aggregation is
+    identical to the literal form.  Batch form only (the per-event argmin
+    re-aggregates; the streaming geofence keeps the literal chain, fine for
+    small fence sets)."""
+    from ..config import DEFAULT
+    from ..sources import derive
+
+    edge = DEFAULT.edge
+    max_extent = 1
+    fence_rows = []
+    for ordi, p in enumerate(polygons):
+        xs = [v[0] for v in p["vertices"]]
+        ys = [v[1] for v in p["vertices"]]
+        max_extent = max(max_extent, max(xs) - min(xs), max(ys) - min(ys))
+    s = max(1, int(max_extent).bit_length())
+    for ordi, p in enumerate(polygons):
+        xs = [v[0] for v in p["vertices"]]
+        ys = [v[1] for v in p["vertices"]]
+        edges = [
+            (x1, y1, x2, y2)
+            for (x1, y1), (x2, y2) in zip(
+                p["vertices"], p["vertices"][1:] + p["vertices"][:1]
+            )
+        ]
+        for cx in range(min(xs) >> s, (max(xs) >> s) + 1):
+            for cy in range(min(ys) >> s, (max(ys) >> s) + 1):
+                fence_rows.append((p["poly_id"], ordi, cx * edge + cy, edges))
+    spark = events.sparkSession
+    fences = spark.createDataFrame(
+        fence_rows,
+        "poly_id string, ord int, ck long, "
+        "edges array<struct<x1:long, y1:long, x2:long, y2:long>>",
+    )
+    raycast = F.expr(
+        "aggregate(edges, false, (acc, e) -> (acc != ("
+        "((e.y1 > ey) != (e.y2 > ey)) AND "
+        "(CASE WHEN e.y2 - e.y1 > 0 "
+        "THEN ex * (e.y2 - e.y1) < e.x1 * (e.y2 - e.y1) + (ey - e.y1) * (e.x2 - e.x1) "
+        "ELSE ex * (e.y2 - e.y1) > e.x1 * (e.y2 - e.y1) + (ey - e.y1) * (e.x2 - e.x1) "
+        "END))))"
+    )
+    pts = (
+        events.withColumn("ex", F.expr(derive.x_sql("event_id")))
+        .withColumn("ey", F.expr(derive.y_sql("event_id")))
+        .withColumn("ck", F.shiftright("ex", s) * edge + F.shiftright("ey", s))
+    )
+    tagged = (
+        pts.join(F.broadcast(fences), "ck")
+        .filter(raycast)
+        .groupBy("event_id", "ts", "value")
+        .agg(F.min(F.struct("ord", "poly_id")).alias("b"))
+        .select("ts", "value", F.col("b.poly_id").alias("poly_id"))
+    )
+    start = (
+        F.window("ts", f"{minutes} minutes")
+        .getField("start")
+        .cast("timestamp")
+        .cast("long")
+    )
+    v6 = F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)")
+    return (
+        tagged.withColumn("v6", v6)
+        .groupBy(start.alias("window_start_s"), "poly_id")
+        .agg(F.count("*").alias("n_events"), F.sum("v6").alias("sum_value_e6"))
+    )
+
+
 def geofence_counts_oracle(
     polygons: list[dict], minutes: int = 60, table: str = "events"
 ) -> str:

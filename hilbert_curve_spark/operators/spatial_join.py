@@ -498,6 +498,72 @@ rk AS (
 SELECT doc_id, poi_id, dist2 FROM rk WHERE rn = 1"""
 
 
+def nearest_join_bucketed(
+    doc_geo: DataFrame,
+    pois: list[tuple[str, int, int]],
+    radius: int,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Nearest-POI enrichment for LARGE reference sets — (doc_id, poi_id,
+    dist2), nearest within ``radius``, deterministic tie-break on poi_id.
+
+    The cell-bucketed form ``nearest_join`` documents as its at-scale
+    successor: past ~100 POIs the literal argmin is O(|docs| x |P|) per
+    row, so instead each POI replicates driver-side to its 3x3 neighbor
+    cells (cell edge 2**s >= radius) and broadcasts; every doc hash-joins
+    on its HOME cell only (zero shuffle of the doc side, no BNLJ — plan-
+    asserted), and the per-doc argmin is a hash aggregation ``min(struct(
+    dist2, poi_id))`` with map-side combine (never a window — candidates
+    per doc are the handful of POIs within ``radius``).
+
+    EXACT global nearest when the POI set covers the domain at radius
+    ``radius`` (every point has SOME poi within it — e.g.
+    ``workload.poi_grid`` with ``poi_cover_radius``): the true nearest then
+    lies within ``radius``, and the 3x3 blocking is lossless at that range.
+    Docs with no POI within ``radius`` drop (the within-radius semantics);
+    with a covering set none drop, which the test pins by count."""
+    s = _cell_shift(radius)
+    edge = config.edge
+    r2 = radius * radius
+    spark = doc_geo.sparkSession
+    rows = [
+        (pid, px, py, ((px >> s) + dx) * edge + ((py >> s) + dy))
+        for pid, px, py in pois
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ]
+    poi_df = spark.createDataFrame(rows, "poi_id string, px long, py long, ck long")
+    dist2 = (F.col("x") - F.col("px")) ** 2 + (F.col("y") - F.col("py")) ** 2
+    cand = (
+        doc_geo.withColumn("ck", F.shiftright("x", s) * edge + F.shiftright("y", s))
+        .join(F.broadcast(poi_df), "ck")
+        .withColumn("dist2", dist2.cast("long"))
+        .filter(F.col("dist2") <= r2)
+    )
+    best = cand.groupBy("doc_id").agg(
+        F.min(F.struct("dist2", "poi_id")).alias("b")
+    )
+    return best.select(
+        "doc_id", F.col("b.poi_id").alias("poi_id"), F.col("b.dist2").alias("dist2")
+    )
+
+
+def nearest_join_bucketed_oracle(
+    pois: list[tuple[str, int, int]], radius: int, doc_geo_table: str = "doc_geo"
+) -> str:
+    """DuckDB oracle: plain docs x POIs within-radius nearest with the same
+    (dist2, poi_id) tie-break — quadratic but fine at oracle scale."""
+    vals = ", ".join(f"('{pid}', {px}, {py})" for pid, px, py in pois)
+    d2 = "(d.x - p.px) * (d.x - p.px) + (d.y - p.py) * (d.y - p.py)"
+    return f"""poi(poi_id, px, py) AS (VALUES {vals}),
+rk AS (
+  SELECT d.doc_key AS doc_id, p.poi_id, {d2} AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY d.doc_key ORDER BY {d2}, p.poi_id) AS rn
+  FROM {doc_geo_table} d, poi p WHERE {d2} <= {radius * radius}
+)
+SELECT doc_id, poi_id, dist2 FROM rk WHERE rn = 1"""
+
+
 # ---------------------------------------------------------------------------
 # rectangle-intersection self-join (region x region)
 # ---------------------------------------------------------------------------

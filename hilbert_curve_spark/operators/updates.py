@@ -137,6 +137,111 @@ def compact_log_sql(stream_sql: str, upto_version: int) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# SRDSSE: single-keyword versioned add/delete + search
+# ---------------------------------------------------------------------------
+#
+# The reference's SRDSSE scheme (`Scheme/SRDSSE/SRDSSE.java:81-139` update,
+# `:146-238` search) keeps one versioned chain of bi-bitmap deltas PER
+# KEYWORD (client counter state c0..c at `:92`, per-version fold at `:237`)
+# and answers search(w) by folding w's chain newest-last so the latest
+# (add|del) op per (keyword, doc) wins — the single-keyword restriction of
+# the RSKQ ObjectUpdate fold this module already models (the RSKQ form at
+# `RSKQ_Biginteger.java:724` is `bs = (bs AND NOT bsa) XOR (bsa AND bsb)`,
+# i.e. untouched docs carry forward and touched docs take the newest op;
+# SRDSSE.java:237 abbreviates the same fold for its per-batch masks).
+# Set-oriented isomorphism: an append-only (keyword, doc_id, version, op)
+# log + one window dedup at read, exactly like ``merge_on_read`` but keyed
+# by (keyword, doc_id).
+#
+# Deterministic per-keyword workload (FIXTURES.md F6 style): batch 1 adds
+# every doc containing the keyword, batch 2 deletes sid % 5 == 0, batch 3
+# re-adds sid % 10 == 0.
+_KW_BATCHES = [
+    (1, "add", "TRUE"),
+    (2, "del", "sid % 5 = 0"),
+    (3, "add", "sid % 10 = 0"),
+]
+
+# doc_id is 'doc' || LPAD(sid, 10, '0') (derive.doc_key_sql) — the zero-pad
+# makes the reverse parse exact in both engines.
+_SID_FROM_KEY = "CAST(SUBSTR(doc_id, 4) AS BIGINT)"
+
+
+def build_keyword_update_stream(
+    doc_geo: DataFrame, keywords: list[str]
+) -> DataFrame:
+    """kw_updates(keyword, doc_id, version, op) — per-keyword versioned
+    delta log over the encoded corpus (SRDSSE's EDB chains, one per
+    keyword, `SRDSSE.java:135-138`).
+
+    100 TB shape: one corpus scan per batch predicate (three narrow
+    projections unioned — no shuffle at all to BUILD the log; on Iceberg
+    each batch is simply an appended snapshot).  At rest the log is stored
+    partitioned by a keyword bucket so a single-keyword search prunes to
+    one partition's files."""
+    parts = []
+    for version, op, pred in _KW_BATCHES:
+        base = doc_geo.withColumn("sid", F.expr(_SID_FROM_KEY)).filter(F.expr(pred))
+        for kw in keywords:
+            parts.append(
+                base.filter(F.array_contains("keywords", kw)).select(
+                    F.lit(kw).alias("keyword"),
+                    "doc_id",
+                    F.lit(version).alias("version"),
+                    F.lit(op).alias("op"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def keyword_update_stream_sql(keywords: list[str], table: str = "documents") -> str:
+    """Oracle-side identical per-keyword delta log (membership replayed from
+    the derive snippets — ``'w' IN (kw0..kw3)``)."""
+    kw_cols = ", ".join(derive.keyword_sql(j) for j in range(derive.KW_PER_DOC))
+    selects = []
+    for v, op, pred in _KW_BATCHES:
+        for kw in keywords:
+            selects.append(
+                f"SELECT '{kw}' AS keyword, {derive.doc_key_sql()} AS doc_id, "
+                f"{v} AS version, '{op}' AS op FROM {derive.corpus_sql(table)} "
+                f"WHERE ({pred}) AND '{kw}' IN ({kw_cols})"
+            )
+    return " UNION ALL ".join(selects)
+
+
+def srdsse_search(kw_updates: DataFrame, keywords: list[str]) -> DataFrame:
+    """Batched SRDSSE search: the live (keyword, doc_id) set after folding
+    each keyword's delta chain last-writer-wins (`SRDSSE.java:185-238` —
+    the server walks the version chain c..c0; the fold keeps a doc iff its
+    newest op is an add).
+
+    One window shuffle on (keyword, doc_id); searching K keywords at once
+    is the same single pass the reference performs K times.  The version
+    order is total per (keyword, doc) — a monotone batch id assigned by
+    the writer, mirroring the client counter c (`SRDSSE.java:138`)."""
+    log = kw_updates.filter(F.col("keyword").isin(keywords))
+    w = Window.partitionBy("keyword", "doc_id").orderBy(F.col("version").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "add"))
+        .select("keyword", "doc_id")
+    )
+
+
+def srdsse_search_sql(stream_sql: str, keywords: list[str]) -> str:
+    lits = ", ".join(f"'{k}'" for k in keywords)
+    return (
+        f"SELECT keyword, doc_id FROM (SELECT keyword, doc_id, op, "
+        f"ROW_NUMBER() OVER (PARTITION BY keyword, doc_id ORDER BY version DESC) AS rn "
+        f"FROM ({stream_sql}) WHERE keyword IN ({lits})) "
+        f"WHERE rn = 1 AND op = 'add'"
+    )
+
+
 def merge_as_of(updates: DataFrame, version: int) -> DataFrame:
     """Time travel: the live doc set *as of* ``version`` — fold only the
     deltas at or below the horizon (the Iceberg snapshot-as-of read,

@@ -72,6 +72,61 @@ DBSCAN_EPS = 12
 DBSCAN_MIN_PTS = 4
 DBSCAN_SAMPLE_MOD = 1
 
+# Large reference sets for the cell-bucketed join variants (the literal
+# codegen forms above stop being sensible past ~100 reference rows —
+# VERDICT r3 item 7).  Both are deterministic pure-Python generators so the
+# engine and the DuckDB oracle consume the identical literal list.
+
+
+def poi_grid(n_side: int = 16, edge: int = EDGE) -> list[tuple[str, int, int]]:
+    """n_side^2 POIs on a jittered grid COVERING the domain: spacing
+    edge/n_side, jitter < spacing/4, so every lattice point has a POI within
+    L2 (spacing/2 + spacing/4) * sqrt(2) — the completeness radius
+    ``poi_cover_radius`` below."""
+    step = edge // n_side
+    j = step // 4
+    out = []
+    for i in range(n_side):
+        for k in range(n_side):
+            jx = ((i * 73 + k * 37) % (2 * j + 1)) - j
+            jy = ((i * 41 + k * 97) % (2 * j + 1)) - j
+            px = min(edge - 1, max(0, i * step + step // 2 + jx))
+            py = min(edge - 1, max(0, k * step + step // 2 + jy))
+            out.append((f"g{i:02d}_{k:02d}", px, py))
+    return out
+
+
+def poi_cover_radius(n_side: int = 16, edge: int = EDGE) -> int:
+    """Smallest integer radius guaranteed to contain the nearest grid POI
+    from any lattice point (see poi_grid): ceil(0.75 * step * sqrt(2))."""
+    step = edge // n_side
+    import math
+
+    return int(math.ceil(0.75 * step * math.sqrt(2)))
+
+
+def many_fences(n: int = 64, edge: int = EDGE) -> list[dict]:
+    """n small diamond fences clustered around the three gaussian hot spots
+    (same centers as the corpus distribution, so counts are non-trivial),
+    POLYGONS-shaped.  Deterministic integer arithmetic only."""
+    centers = [(edge // 4, edge // 4), (3 * edge // 4, 3 * edge // 4), (edge // 2, edge // 2)]
+    out = []
+    for i in range(n):
+        cx0, cy0 = centers[i % 3]
+        cx = cx0 + ((i * 2654435761 + 1013904223) % 1025) - 512
+        cy = cy0 + ((i * 2246822519 + 3266489917) % 1025) - 512
+        r = 16 + (i * 7) % 17
+        cx = min(edge - 1 - r, max(r, cx))
+        cy = min(edge - 1 - r, max(r, cy))
+        out.append(
+            dict(
+                poly_id=f"f{i:03d}",
+                vertices=[(cx + r, cy), (cx, cy + r), (cx - r, cy), (cx, cy - r)],
+            )
+        )
+    return out
+
+
 # Pipeline-family workload (dedup / ANN), shared by the driver entry and
 # bench so both measure the identical query shapes.
 JACCARD_T = 25

@@ -45,3 +45,59 @@ def test_construction_grq_equals_hilbert_grq(spark, sf_dir):
     }
     via_hilbert = {r["doc_id"] for r in grq_range_mode(geo, **W.R1).collect()}
     assert via_tree == via_hilbert
+
+
+def test_update_counters_pinned():
+    """ConstructionTwo client counters (ConstructionTwo.java:58-59 init to 1,
+    :643-656 bump per axis-changing batch): batch 1 moves both axes, batch 2
+    moves only x -> C=3, C'=2."""
+    from hilbert_curve_spark.operators.construction import update_counters
+
+    assert update_counters() == (3, 2)
+    assert update_counters([(1, 5, 0)]) == (2, 1)
+    assert update_counters([(1, 0, 0)]) == (1, 1)
+
+
+def test_apply_moves_newest_wins(spark):
+    from hilbert_curve_spark.operators.construction import apply_moves
+
+    geo = spark.createDataFrame(
+        [("a", 10, 20), ("b", 30, 40)], "doc_id string, x long, y long"
+    )
+    moves = spark.createDataFrame(
+        [("a", 1, 100, 200), ("a", 2, 111, 222)],
+        "doc_id string, version int, x long, y long",
+    )
+    got = {r.doc_id: (r.x, r.y) for r in apply_moves(geo, moves).collect()}
+    assert got == {"a": (111, 222), "b": (30, 40)}
+
+
+def test_construction2_equals_box_on_moved_corpus(spark, sf_dir):
+    """ConstructionTwo's search result equals the plain box filter over the
+    move-folded corpus (the tree plumbing changes the plan, never the set)."""
+    from hilbert_curve_spark.operators.construction import (
+        apply_moves,
+        build_move_log,
+        construction2_grq,
+    )
+    from hilbert_curve_spark.operators.encode import encode_documents
+    from hilbert_curve_spark.sources.interleave import build_documents
+
+    geo = encode_documents(build_documents(spark, sf_dir, amp=4))
+    via_tree = {
+        r["doc_id"] for r in construction2_grq(geo, **W.R2, config=DEFAULT).collect()
+    }
+    moved = apply_moves(geo, build_move_log(geo, DEFAULT))
+    box = moved.filter(
+        (moved.x.between(W.R2["x_lo"], W.R2["x_hi"]))
+        & (moved.y.between(W.R2["y_lo"], W.R2["y_hi"]))
+    )
+    assert via_tree == {r["doc_id"] for r in box.collect()}
+    # the move workload actually moved docs INTO or OUT of the box relative
+    # to the unmoved corpus (otherwise this test proves nothing)
+    from hilbert_curve_spark.operators.construction import construction_grq
+
+    unmoved = {
+        r["doc_id"] for r in construction_grq(geo, **W.R2, config=DEFAULT).collect()
+    }
+    assert via_tree != unmoved

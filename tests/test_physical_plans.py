@@ -260,3 +260,43 @@ def test_cell_kmv_native_no_python(sorted_geo):
 
     plan = _plan(cell_distinct_kmv(sorted_geo))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_poi_nearest_join_is_broadcast_hash_no_python(sorted_geo):
+    """Large-POI nearest: the doc side must hash-join the broadcast cell
+    table (never BNLJ / cartesian) and stay Python-free; with the covering
+    grid no doc drops (the within-radius semantics become global nearest)."""
+    from hilbert_curve_spark.operators.spatial_join import nearest_join_bucketed
+
+    pois = W.poi_grid(16)
+    q = nearest_join_bucketed(sorted_geo, pois, W.poi_cover_radius(16))
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert q.count() == sorted_geo.count()  # covering set: nothing dropped
+
+
+def test_geofence_join_is_broadcast_hash_no_python(spark, sf_dir):
+    from hilbert_curve_spark.operators.events import geofence_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = geofence_join(events, W.many_fences(64))
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_geofence_join_equals_literal_chain(spark, sf_dir):
+    """The bucketed join form must produce bit-identical counts to the
+    literal when-chain geofence on the same fence set."""
+    from hilbert_curve_spark.operators.events import geofence_counts, geofence_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fences = W.many_fences(16)
+    a = {tuple(r) for r in geofence_join(events, fences).collect()}
+    b = {tuple(r) for r in geofence_counts(events, fences).collect()}
+    assert a == b and a

@@ -58,3 +58,39 @@ def test_as_of_semantics(spark, sf_dir):
     # as-of v2: the batch-2 deletes are gone, re-adds not yet applied
     n_deleted = log.filter(F.col("version") == 2).select("doc_id").distinct().count()
     assert upd.merge_as_of(log, 2).count() == n_docs - n_deleted
+
+
+def test_srdsse_live_set_semantics(spark, sf_dir):
+    """SRDSSE fold (SRDSSE.java:185-238): a doc is live for keyword w iff its
+    newest op is an add — with the F6-style batches that is membership AND
+    (NOT deleted-in-2 OR re-added-in-3): NOT(sid%5=0) OR sid%10=0."""
+    from hilbert_curve_spark.config import DEFAULT
+    from hilbert_curve_spark.operators.encode import encode_documents
+    from hilbert_curve_spark.sources.interleave import build_documents
+
+    geo = encode_documents(build_documents(spark, sf_dir, amp=4)).cache()
+    try:
+        kw = "k8"
+        log = upd.build_keyword_update_stream(geo, [kw])
+        live = {r.doc_id for r in upd.srdsse_search(log, [kw]).collect()}
+        member = geo.filter(F.array_contains("keywords", kw)).select("doc_id")
+        sid = F.expr("CAST(SUBSTR(doc_id, 4) AS BIGINT)")
+        want = {
+            r.doc_id
+            for r in member.filter((sid % 5 != 0) | (sid % 10 == 0)).collect()
+        }
+        assert live == want and live  # non-empty, exact
+    finally:
+        geo.unpersist()
+
+
+def test_srdsse_search_prunes_to_requested_keywords(spark, sf_dir):
+    from hilbert_curve_spark.config import DEFAULT
+    from hilbert_curve_spark.operators.encode import encode_documents
+    from hilbert_curve_spark.sources.interleave import build_documents
+
+    geo = encode_documents(build_documents(spark, sf_dir, amp=4))
+    log = upd.build_keyword_update_stream(geo, ["k8", "k9"])
+    out = upd.srdsse_search(log, ["k9"])
+    kws = {r.keyword for r in out.select("keyword").distinct().collect()}
+    assert kws == {"k9"}
