@@ -479,6 +479,13 @@ def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.text_profile(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (MOSS, SIGMOD 2003) per doc."""
+    return textops.winnow_fingerprints(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 SAMPLE_RATES = {"en": 3, "zh": 2}  # downweight the overrepresented strata
 
 
@@ -1043,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "construction2_grq": _construction2_grq,
         "geofence_join": _geofence_join,
         "poi_nearest_join": _poi_nearest_join,
+        "doc_fingerprints": _doc_fingerprints,
         # -- round-3 green ----------------------------------------------------
         "knn_join": _knn_join,
         "distance_pairs": _distance_pairs,
@@ -1212,6 +1220,7 @@ def oracle_sql() -> dict[str, str]:
         "construction2_grq": _construction2_grq_oracle(),
         "geofence_join": ev_ops.geofence_counts_oracle(FENCES_LARGE),
         "poi_nearest_join": _poi_nearest_join_oracle(),
+        "doc_fingerprints": textops.winnow_fingerprints_oracle(),
         "hilbert_decode": f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo",
         "hilbert3d_roundtrip": _hilbert3d_oracle(),
         "hilbert_wide_roundtrip": _hilbert_wide_oracle(),

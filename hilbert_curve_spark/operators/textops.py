@@ -206,3 +206,103 @@ def stratified_sample_oracle(
         f"SELECT doc_id, lang FROM {table} "
         f"WHERE {stratified_sample_sql_pred(rates, default_k)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (rolling k-gram hash + window-min selection)
+# ---------------------------------------------------------------------------
+#
+# The MOSS winnowing algorithm (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
+# hash every character k-gram, slide a window of w consecutive hashes, keep
+# the minimum of each window — any shared substring of length >= w + k - 1
+# between two documents is GUARANTEED to share a selected fingerprint.
+# This is the "document fingerprinting (rolling hash)" pipeline op; the
+# whole-doc md5 in text_profile is exact identity, this is locality.
+#
+# Engine-neutral form: the per-gram rolling hash is the 40-bit md5 fold the
+# engine uses everywhere (dedup's _hex_to_long_sql) — semantically a
+# rolling hash (one value per position, shifted by one char each step),
+# computed as substr+md5 because Spark and DuckDB cannot share a stateful
+# polynomial accumulator but DO share md5 bit-for-bit.  The window minimum
+# is one analytic pass; selected fingerprints are the per-doc DISTINCT
+# window minima.
+#
+# 100 TB shape: one narrow projection, a native posexplode (sequence) with
+# ~|text| fan-out, ONE window shuffle on doc_id (shuffle-free when the
+# corpus is stored bucketed by doc_id), and a hash aggregation with
+# map-side combine.  No Python anywhere.
+
+WINNOW_K = 8    # k-gram length
+WINNOW_W = 16   # window size: matches of >= w + k - 1 = 23 chars detected
+_WINNOW_MOD = 1 << 40
+
+
+def winnow_selected(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, m): the DISTINCT selected window-minimum fingerprints per
+    doc — the raw winnowing fingerprint set (join it with itself on ``m``
+    for locality-based match candidates)."""
+    from pyspark.sql import Window
+
+    from .dedup import _hex_to_long_sql
+
+    h = _hex_to_long_sql("md5(CAST(substr(text, pos, " + str(k) + ") AS BINARY))", 1, 10)
+    grams = (
+        docs.filter(F.length("text") >= k + w - 1)
+        .select(
+            "doc_id",
+            F.expr(f"explode(sequence(1, length(text) - {k} + 1))").alias("pos"),
+            "text",
+        )
+        .select("doc_id", "pos", F.expr(h).alias("hv"))
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    return (
+        grams.withColumn("m", F.min("hv").over(win))
+        .filter(F.col("pos") >= w)
+        .select("doc_id", "m")
+        .distinct()
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, n_fps, fp_fold): the winnowing fingerprint set per doc —
+    ``n_fps`` distinct selected fingerprints and their modular sum (the
+    checkable digest of the set).  Docs shorter than ``k + w - 1`` chars
+    have no full window and are excluded (the algorithm's domain)."""
+    return winnow_selected(docs, k, w).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        (F.sum("m") % _WINNOW_MOD).cast("long").alias("fp_fold"),
+    )
+
+
+def winnow_fingerprints_oracle(
+    k: int = WINNOW_K, w: int = WINNOW_W, table: str = "documents"
+) -> str:
+    """DuckDB oracle: the identical k-gram hash, window minimum, DISTINCT
+    selection and modular digest."""
+    from .dedup import _hex_to_long_sql
+
+    h = _hex_to_long_sql(f"md5(substr(text, CAST(p AS INTEGER), {k}))", 1, 10)
+    return f"""
+WITH g AS (
+  SELECT doc_id, text FROM {table} WHERE length(text) >= {k + w - 1}
+), pos AS (
+  SELECT doc_id, unnest(range(1, length(text) - {k} + 2)) AS p, text FROM g
+), h AS (
+  SELECT doc_id, p, {h} AS hv FROM pos
+), wmin AS (
+  SELECT doc_id, p,
+         MIN(hv) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS m
+  FROM h
+), sel AS (
+  SELECT DISTINCT doc_id, m FROM wmin WHERE p >= {w}
+)
+SELECT doc_id, COUNT(*) AS n_fps,
+       CAST(SUM(m) % {_WINNOW_MOD} AS BIGINT) AS fp_fold
+FROM sel GROUP BY doc_id
+"""
