@@ -117,6 +117,34 @@ def _radius_brq_oracle() -> str:
     )
 
 
+def _ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked disjunctive search (scored RSKQ): integer-idf weights from the
+    posting index, R2-box-filtered, deterministic top-k."""
+    dg = _doc_geo(spark, sf_dir)
+    return brq_ops.ranked_search(
+        dg,
+        brq_ops.keyword_index(dg, keywords=W.RANKED_KWS),
+        **W.R2,
+        keywords=W.RANKED_KWS,
+        k=W.RANKED_K,
+        scale=W.RANKED_SCALE,
+    )
+
+
+def _ranked_search_oracle() -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT doc_key AS doc_id, kw{j} AS keyword FROM doc_geo"
+        for j in range(derive.KW_PER_DOC)
+    )
+    return f"{_doc_geo_cte()}" + brq_ops.ranked_search_oracle(
+        f"SELECT DISTINCT doc_id, keyword FROM ({unions})",
+        W.box_sql(W.R2, x="d.x", y="d.y"),
+        W.RANKED_KWS,
+        W.RANKED_K,
+        W.RANKED_SCALE,
+    )
+
+
 def _construction_grq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S16 per-axis tree-cover baseline (ConstructionOne.java:330-384):
     result set must equal the plain box — same oracle as a Hilbert GRQ."""
@@ -1051,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geofence_join": _geofence_join,
         "poi_nearest_join": _poi_nearest_join,
         "doc_fingerprints": _doc_fingerprints,
+        "ranked_search": _ranked_search,
         # -- round-3 green ----------------------------------------------------
         "knn_join": _knn_join,
         "distance_pairs": _distance_pairs,
@@ -1221,6 +1250,7 @@ def oracle_sql() -> dict[str, str]:
         "geofence_join": ev_ops.geofence_counts_oracle(FENCES_LARGE),
         "poi_nearest_join": _poi_nearest_join_oracle(),
         "doc_fingerprints": textops.winnow_fingerprints_oracle(),
+        "ranked_search": _ranked_search_oracle(),
         "hilbert_decode": f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo",
         "hilbert3d_roundtrip": _hilbert3d_oracle(),
         "hilbert_wide_roundtrip": _hilbert_wide_oracle(),

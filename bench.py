@@ -291,7 +291,20 @@ def _spatial_join_queries(geo):
 
         return srdsse_search(build_keyword_update_stream(geo, W.KW_ANY), W.KW_ANY).count()
 
+    def q_ranked_search():
+        from hilbert_curve_spark.operators.brq import keyword_index, ranked_search
+
+        return ranked_search(
+            geo,
+            keyword_index(geo, keywords=W.RANKED_KWS),
+            **W.R2,
+            keywords=W.RANKED_KWS,
+            k=W.RANKED_K,
+            scale=W.RANKED_SCALE,
+        ).count()
+
     return {
+        "ranked_search": q_ranked_search,
         "corridor_search": q_corridor_search,
         "dbscan_clusters": q_dbscan,
         "poi_nearest_join": q_poi_nearest_join,

@@ -116,6 +116,90 @@ def keyword_index(doc_geo: DataFrame, keywords: list[str] | None = None) -> Data
     return exploded.distinct()
 
 
+def ranked_search(
+    doc_geo: DataFrame,
+    kw_index: DataFrame,
+    x_lo: int, x_hi: int, y_lo: int, y_hi: int,
+    keywords: list[str],
+    k: int,
+    scale: int = 10**9,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Ranked disjunctive search: BRQ 'any' semantics + integer idf scoring
+    + deterministic top-k — the scored extension of the reference's boolean
+    RSKQ (`Scheme/RSKQ/RSKQ_Biginteger.ObjectSearch:618-873` returns the flat
+    bitmap AND; ranking is this repo's addition for search workloads).
+
+    Scoring is engine-neutral exact integer arithmetic: each query keyword
+    gets weight ``scale DIV df`` (df = corpus-wide posting count for that
+    keyword — rarer keyword, larger weight; integer division, no floats, no
+    logs, so the DuckDB oracle reproduces every score bit-for-bit), and a
+    doc's score is the sum of the weights of the distinct query keywords it
+    carries.  Ties break on doc_id, so the top-k set is total-ordered.
+
+    100 TB shape: the keyword ``isin`` prunes the stored posting index scan
+    (keyword-bucketed layout → partition pruning); df is a |Q|-row aggregate
+    of that pruned scan; the |Q|-row weight frame is broadcast back onto the
+    matched postings; the box side is a cover-pruned corpus scan; one
+    doc_id-keyed hash join between two pruned sides (AQE picks build side),
+    one hash aggregation with map-side combine, and ``TakeOrderedAndProject``
+    partial top-k — no full-corpus shuffle anywhere."""
+    cover = compile_box(x_lo, x_hi, y_lo, y_hi, config)
+    spatial = doc_geo.filter(range_predicate(cover))
+    if not cover.exact:
+        spatial = spatial.filter(box_residual(cover))
+    hits = kw_index.filter(F.col("keyword").isin(keywords))
+    weights = (
+        hits.groupBy("keyword")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("weight", F.expr(f"CAST({scale} AS BIGINT) DIV df"))
+    )
+    matched = hits.join(F.broadcast(weights.select("keyword", "weight")), "keyword")
+    scored = (
+        spatial.select("doc_id", "x", "y")
+        .join(matched, "doc_id")
+        .groupBy("doc_id", "x", "y")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum("weight").alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def ranked_search_oracle(
+    postings_sql: str,
+    box_pred_sql: str,
+    keywords: list[str],
+    k: int,
+    scale: int = 10**9,
+    doc_geo_table: str = "doc_geo",
+) -> str:
+    """DuckDB replay of :func:`ranked_search`.  Returns a CTE continuation
+    (leading ``,``) to append after a ``WITH doc_geo AS (...)`` prefix.
+    ``postings_sql`` must yield DISTINCT (doc_id, keyword) rows for the
+    whole corpus (the caller unions the kw<j> columns); ``box_pred_sql`` is
+    the box predicate over the ``doc_geo`` alias ``d``.  ``//`` is DuckDB
+    integer division (== Spark DIV on positive ints); SUM is cast back to
+    BIGINT to avoid the HUGEINT->float64 dtype drift (events-oracle lesson,
+    round 2)."""
+    lits = ", ".join(f"'{kw}'" for kw in keywords)
+    return (
+        f", postings AS (SELECT doc_id, keyword FROM ({postings_sql}) "
+        f"WHERE keyword IN ({lits})), "
+        f"w AS (SELECT keyword, {scale} // COUNT(*) AS weight "
+        f"FROM postings GROUP BY keyword) "
+        f"SELECT p.doc_id, d.x, d.y, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_matched, "
+        f"CAST(SUM(w.weight) AS BIGINT) AS score "
+        f"FROM postings p JOIN w USING (keyword) "
+        f"JOIN {doc_geo_table} d ON d.doc_key = p.doc_id "
+        f"WHERE {box_pred_sql} "
+        f"GROUP BY p.doc_id, d.x, d.y "
+        f"ORDER BY score DESC, p.doc_id LIMIT {k}"
+    )
+
+
 def brq_posting_mode(
     doc_geo: DataFrame,
     kw_index: DataFrame,

@@ -61,6 +61,12 @@ POI_RADIUS = 64
 PYRAMID_LEVELS = 5
 NGRAM_K = 20
 
+# Ranked disjunctive search: BRQ 'any' over R2 + integer-idf scoring.
+# Mixed zipf-head and rare keywords so the weights actually discriminate.
+RANKED_KWS = ["k8", "k11", "k120", "k4000"]
+RANKED_K = 25
+RANKED_SCALE = 10**9
+
 # Route-corridor search: a polyline threading all three hot spots.
 ROUTE = [(900, 900), (1200, 1100), (2048, 2048), (3000, 3100), (3300, 3300)]
 CORRIDOR_R = 48

@@ -300,3 +300,32 @@ def test_geofence_join_equals_literal_chain(spark, sf_dir):
     a = {tuple(r) for r in geofence_join(events, fences).collect()}
     b = {tuple(r) for r in geofence_counts(events, fences).collect()}
     assert a == b and a
+
+
+def test_ranked_search_is_topk_no_python_no_bnlj(sorted_geo):
+    """Ranked search: partial top-k (TakeOrderedAndProject, never a global
+    sort), hash joins only (weights broadcast), and Python-free — the
+    scoring is pure codegen integer arithmetic."""
+    from hilbert_curve_spark.operators.brq import keyword_index, ranked_search
+
+    q = ranked_search(
+        sorted_geo,
+        keyword_index(sorted_geo, keywords=W.RANKED_KWS),
+        **W.R2,
+        keywords=W.RANKED_KWS,
+        k=W.RANKED_K,
+        scale=W.RANKED_SCALE,
+    )
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = q.collect()
+    assert len(rows) == W.RANKED_K
+    # scores are positive, sorted desc with doc_id tiebreak, and every doc
+    # matched at least one query keyword
+    scores = [(r["score"], r["doc_id"]) for r in rows]
+    assert all(s > 0 for s, _ in scores)
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+    assert all(1 <= r["n_matched"] <= len(W.RANKED_KWS) for r in rows)
