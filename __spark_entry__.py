@@ -695,6 +695,12 @@ def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev_ops.sessionize(_events(spark, sf_dir))
 
 
+def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 60-minute windows every 15 minutes —
+    each event lands in 4 overlapping epoch-aligned windows."""
+    return ev_ops.sliding_counts(_events(spark, sf_dir), minutes=60, slide_minutes=15)
+
+
 _STREAM_SEQ = [0]
 
 
@@ -758,6 +764,26 @@ def _events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _run_stream_to_df(
         spark, es.tumbling_counts_stream(stream), "complete", "drv_tumbling"
+    )
+
+
+def _events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows end-to-end (same replay harness as
+    _events_stream_tumbling); the finished stream equals the batch sliding
+    aggregation bit-for-bit, so the batch oracle applies unchanged."""
+    from hilbert_curve_spark.streaming import event_streams as es
+
+    stream = (
+        spark.readStream.schema(es.EVENTS_SCHEMA)
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/events.parque?")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    return _run_stream_to_df(
+        spark,
+        es.sliding_counts_stream(stream, minutes=60, slide_minutes=15),
+        "complete",
+        "drv_sliding",
     )
 
 
@@ -1080,6 +1106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poi_nearest_join": _poi_nearest_join,
         "doc_fingerprints": _doc_fingerprints,
         "ranked_search": _ranked_search,
+        "events_sliding": _events_sliding,
+        "events_stream_sliding": _events_stream_sliding,
         # -- round-3 green ----------------------------------------------------
         "knn_join": _knn_join,
         "distance_pairs": _distance_pairs,
@@ -1268,6 +1296,8 @@ def oracle_sql() -> dict[str, str]:
         "s2_cells": _s2_cells_oracle(),
         "events_tumbling": ev_ops.tumbling_counts_oracle(),
         "events_stream_tumbling": ev_ops.tumbling_counts_oracle(),
+        "events_sliding": ev_ops.sliding_counts_oracle(minutes=60, slide_minutes=15),
+        "events_stream_sliding": ev_ops.sliding_counts_oracle(minutes=60, slide_minutes=15),
         "events_geofence": ev_ops.geofence_counts_oracle(W.POLYGONS),
         "events_stream_geofence": ev_ops.geofence_counts_oracle(W.POLYGONS),
         "events_stream_sessions": ev_ops.sessionize_epoch_oracle(),

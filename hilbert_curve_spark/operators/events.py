@@ -55,6 +55,58 @@ def tumbling_counts_oracle(minutes: int = 60, table: str = "events") -> str:
     )
 
 
+def sliding_counts(
+    events: DataFrame, minutes: int = 60, slide_minutes: int = 15
+) -> DataFrame:
+    """Sliding (hopping) event-time windows: each event contributes to
+    ``minutes/slide_minutes`` overlapping epoch-aligned windows — the
+    standard streaming-analytics companion of :func:`tumbling_counts`
+    (identical output columns; a tumbling window is the degenerate
+    ``slide == size`` case).
+
+    Requires ``minutes % slide_minutes == 0`` so the per-event window count
+    is a constant — the shape Spark's ``window(ts, size, slide)`` expands
+    natively (one Generate + one hash agg, map-side combined; no joins).
+    Streaming twin: ``streaming/event_streams.sliding_counts_stream``."""
+    if minutes % slide_minutes:
+        raise ValueError(
+            f"window size ({minutes}m) must be a multiple of the slide "
+            f"({slide_minutes}m) for exact epoch-aligned enumeration"
+        )
+    v6 = F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)")
+    start = (
+        F.window("ts", f"{minutes} minutes", f"{slide_minutes} minutes")
+        .getField("start")
+        .cast("timestamp")
+        .cast("long")
+    )
+    return (
+        events.withColumn("v6", v6)
+        .groupBy(start.alias("window_start_s"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("v6").alias("sum_value_e6"))
+    )
+
+
+def sliding_counts_oracle(
+    minutes: int = 60, slide_minutes: int = 15, table: str = "events"
+) -> str:
+    """Exact replay: an event at slide-bucket b belongs to the windows
+    starting at (b-k)*slide for k in [0, size/slide) — all of them valid
+    when size is a multiple of the slide, so the enumeration is a bare
+    cross join with a k-list, no residual filter.  Same HUGEINT->BIGINT
+    cast discipline as the tumbling oracle."""
+    slide = slide_minutes * 60
+    n = minutes // slide_minutes
+    bucket = f"CAST(FLOOR(epoch(ts) / {slide}) AS BIGINT)"
+    return (
+        f"SELECT ({bucket} - k.k) * {slide} AS window_start_s, event_type, "
+        f"COUNT(*) AS n_events, "
+        f"CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_e6 "
+        f"FROM {table} CROSS JOIN (SELECT UNNEST(range(0, {n})) AS k) k "
+        f"GROUP BY 1, 2"
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Per-user sessions: a new session starts after a gap > gap_minutes.
     Output (user_id, session_id, n_events, start_ts, end_ts).

@@ -96,6 +96,32 @@ def tumbling_counts_stream(
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame,
+    minutes: int = 60,
+    slide_minutes: int = 15,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``operators.events.sliding_counts``: hopping
+    windows with a watermark bounding state to ``(watermark + size) /
+    slide`` live windows per event_type."""
+    if minutes % slide_minutes:
+        raise ValueError("window size must be a multiple of the slide")
+    v6 = F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)")
+    start = (
+        F.window("ts", f"{minutes} minutes", f"{slide_minutes} minutes")
+        .getField("start")
+        .cast("timestamp")
+        .cast("long")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("v6", v6)
+        .groupBy(start.alias("window_start_s"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("v6").alias("sum_value_e6"))
+    )
+
+
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Stateful streaming sessionization via ``applyInPandasWithState``.
 

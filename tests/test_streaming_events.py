@@ -110,3 +110,43 @@ def test_sessionize_stream_matches_batch_closed_sessions(
     assert got <= all_batch
     # ...and every non-tail session must have been emitted
     assert expect_closed <= got
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, events_dir, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    q = (
+        es.sliding_counts_stream(
+            es.read_event_stream(spark, events_dir), minutes=60, slide_minutes=15
+        )
+        .writeStream.format("memory")
+        .queryName("sliding_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start_s"], r["event_type"]): (r["n_events"], r["sum_value_e6"])
+        for r in spark.sql("SELECT * FROM sliding_stream").collect()
+    }
+    batch = {
+        (r["window_start_s"], r["event_type"]): (r["n_events"], r["sum_value_e6"])
+        for r in ev_ops.sliding_counts(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), 60, 15
+        ).collect()
+    }
+    assert got == batch
+
+
+def test_sliding_multiplicity_and_guard(spark, sf_dir):
+    """Every event lands in exactly size/slide windows (total weight check),
+    and a non-divisible slide is rejected in batch and stream forms."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.count()
+    total = ev_ops.sliding_counts(ev, 60, 15).agg(F.sum("n_events")).collect()[0][0]
+    assert total == 4 * n
+    with pytest.raises(ValueError):
+        ev_ops.sliding_counts(ev, 60, 25)
+    with pytest.raises(ValueError):
+        es.sliding_counts_stream(ev, 60, 25)
