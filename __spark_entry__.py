@@ -787,6 +787,56 @@ def _events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch event-time interval join: purchases within 30 minutes of a
+    click by the same user (the canonical attribution join)."""
+    return ev_ops.interval_join(_events(spark, sf_dir), "click", "purchase", 30)
+
+
+def _event_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the fixture events table (glob trick: see
+    _events_stream_tumbling)."""
+    from hilbert_curve_spark.streaming import event_streams as es
+
+    return (
+        spark.readStream.schema(es.EVENTS_SCHEMA)
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/events.parque?")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def _events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join end-to-end: two independent file-source
+    streams over the same events table, watermarked on both sides, inner
+    joined on user_id + [a_ts, a_ts+30m] — append mode, so the finished
+    stream equals the batch join and shares its oracle."""
+    from hilbert_curve_spark.streaming import event_streams as es
+
+    joined = es.interval_join_stream(
+        _event_file_stream(spark, sf_dir),
+        _event_file_stream(spark, sf_dir),
+        "click",
+        "purchase",
+        30,
+    )
+    return _run_stream_to_df(spark, joined, "append", "drv_ivjoin")
+
+
+def _events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup end-to-end: distinct (user_id, event_type) pairs via
+    streaming dropDuplicates — each key emitted exactly once on first
+    arrival, so the finished append stream equals batch SELECT DISTINCT."""
+    from hilbert_curve_spark.streaming import event_streams as es
+
+    return _run_stream_to_df(
+        spark,
+        es.dedup_stream(_event_file_stream(spark, sf_dir)),
+        "append",
+        "drv_dedup",
+    )
+
+
 def _events_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch geofence: derived event coords -> codegen ray-cast tag ->
     per-(window, polygon) counts (S15 x events)."""
@@ -1108,6 +1158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranked_search": _ranked_search,
         "events_sliding": _events_sliding,
         "events_stream_sliding": _events_stream_sliding,
+        "events_interval_join": _events_interval_join,
+        "events_stream_interval_join": _events_stream_interval_join,
+        "events_stream_dedup": _events_stream_dedup,
         # -- round-3 green ----------------------------------------------------
         "knn_join": _knn_join,
         "distance_pairs": _distance_pairs,
@@ -1298,6 +1351,9 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_tumbling": ev_ops.tumbling_counts_oracle(),
         "events_sliding": ev_ops.sliding_counts_oracle(minutes=60, slide_minutes=15),
         "events_stream_sliding": ev_ops.sliding_counts_oracle(minutes=60, slide_minutes=15),
+        "events_interval_join": ev_ops.interval_join_oracle("click", "purchase", 30),
+        "events_stream_interval_join": ev_ops.interval_join_oracle("click", "purchase", 30),
+        "events_stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
         "events_geofence": ev_ops.geofence_counts_oracle(W.POLYGONS),
         "events_stream_geofence": ev_ops.geofence_counts_oracle(W.POLYGONS),
         "events_stream_sessions": ev_ops.sessionize_epoch_oracle(),

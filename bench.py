@@ -198,8 +198,15 @@ def _pipeline_queries(spark):
         events = spark.read.parquet(f"{SF_DIR}/events.parquet")
         return geofence_join(events, W.many_fences(64)).count()
 
+    def q_interval_join():
+        from hilbert_curve_spark.operators.events import interval_join
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return interval_join(events, "click", "purchase", 30).count()
+
     return {
         "geofence_join": q_geofence_join,
+        "events_interval_join": q_interval_join,
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "ivf_topk": q_ivf_topk,

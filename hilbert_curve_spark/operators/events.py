@@ -107,6 +107,68 @@ def sliding_counts_oracle(
     )
 
 
+def interval_join(
+    events: DataFrame,
+    type_a: str = "click",
+    type_b: str = "purchase",
+    within_minutes: int = 30,
+) -> DataFrame:
+    """Event-time interval join: every ``type_b`` event that follows a
+    ``type_a`` event by the same user within ``within_minutes`` — the batch
+    form of Structured Streaming's canonical stream-stream join
+    (impression->conversion attribution).  Output
+    (user_id, a_id, b_id, delay_s) with ``delay_s`` as floored-epoch
+    difference (the engine-neutral integer form used by every events
+    oracle).
+
+    Plan shape: the equi-key (user_id) drives a hash/sort-merge join and
+    the time range stays a residual filter — exactly the join a 1000-
+    executor cluster wants (shuffle on user_id only, no range explosion);
+    the time comparison is raw microsecond timestamp arithmetic, identical
+    in Spark and DuckDB.  Streaming twin:
+    ``streaming/event_streams.interval_join_stream``."""
+    a = events.where(F.col("event_type") == type_a).select(
+        "user_id", F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts")
+    )
+    b = events.where(F.col("event_type") == type_b).select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    cond = (
+        (a["user_id"] == b["user_id_b"])
+        & (b["b_ts"] >= a["a_ts"])
+        & (b["b_ts"] <= F.expr(f"a_ts + INTERVAL {int(within_minutes)} MINUTES"))
+    )
+    # two-step cast: parquet reads may infer TIMESTAMP_NTZ, which cannot
+    # cast straight to BIGINT (see the sessionize note above)
+    delay = F.col("b_ts").cast("timestamp").cast("long") - F.col("a_ts").cast(
+        "timestamp"
+    ).cast("long")
+    return a.join(b, cond).select(
+        "user_id", "a_id", "b_id", delay.alias("delay_s")
+    )
+
+
+def interval_join_oracle(
+    type_a: str = "click",
+    type_b: str = "purchase",
+    within_minutes: int = 30,
+    table: str = "events",
+) -> str:
+    """Same join on raw timestamps (microsecond-exact in both engines);
+    delay as per-column floored epoch so truncation matches Spark's
+    timestamp->long cast."""
+    m = int(within_minutes)
+    return (
+        f"SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id, "
+        f"CAST(FLOOR(epoch(b.ts)) AS BIGINT) - CAST(FLOOR(epoch(a.ts)) AS BIGINT) AS delay_s "
+        f"FROM {table} a JOIN {table} b ON a.user_id = b.user_id "
+        f"AND a.event_type = '{type_a}' AND b.event_type = '{type_b}' "
+        f"AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL {m} MINUTE"
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Per-user sessions: a new session starts after a gap > gap_minutes.
     Output (user_id, session_id, n_events, start_ts, end_ts).

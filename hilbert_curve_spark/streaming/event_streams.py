@@ -122,6 +122,76 @@ def sliding_counts_stream(
     )
 
 
+def interval_join_stream(
+    events_a: DataFrame,
+    events_b: DataFrame,
+    type_a: str = "click",
+    type_b: str = "purchase",
+    within_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream event-time interval join — the streaming twin of
+    ``operators.events.interval_join`` (impression->conversion
+    attribution).  Both sides carry a watermark and the join condition
+    bounds ``b_ts`` to ``[a_ts, a_ts + within]``, so Spark derives a state
+    eviction horizon for BOTH buffers: an ``a`` row is dropped once the
+    ``b`` watermark passes ``a_ts + within``, a ``b`` row once the ``a``
+    watermark passes ``b_ts`` — bounded state, no unbounded buffering.
+    Inner join in append mode: every emitted row is final, so the finished
+    stream equals the batch join exactly and the batch oracle applies
+    unchanged."""
+    a = (
+        events_a.where(F.col("event_type") == type_a)
+        .select("user_id", F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts"))
+        .withWatermark("a_ts", watermark)
+    )
+    b = (
+        events_b.where(F.col("event_type") == type_b)
+        .select(
+            F.col("user_id").alias("user_id_b"),
+            F.col("event_id").alias("b_id"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", watermark)
+    )
+    cond = F.expr(
+        "user_id = user_id_b AND b_ts >= a_ts "
+        f"AND b_ts <= a_ts + INTERVAL {int(within_minutes)} MINUTES"
+    )
+    # two-step cast (NTZ-safe) — same discipline as the batch twin
+    delay = F.col("b_ts").cast("timestamp").cast("long") - F.col("a_ts").cast(
+        "timestamp"
+    ).cast("long")
+    return a.join(b, cond).select("user_id", "a_id", "b_id", delay.alias("delay_s"))
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    within_watermark: str | None = None,
+) -> DataFrame:
+    """Streaming deduplication — the at-least-once-ingest primitive.
+
+    Key-only projection + ``dropDuplicates``: emits each distinct key once
+    (on first arrival), so the finished append-mode stream equals batch
+    ``SELECT DISTINCT`` regardless of arrival order — the property that
+    makes it oracle-checkable.  Without a watermark the dedup state never
+    expires (exact, unbounded); pass ``within_watermark`` to switch to
+    ``dropDuplicatesWithinWatermark``, the bounded-state form for
+    replay/retry duplicates that arrive temporally close (the 100 TB
+    Kafka-ingest shape) — state is evicted once the watermark passes, at
+    the cost of re-emitting a key whose duplicate arrives later than the
+    delay."""
+    proj = events.select(*keys, "ts")
+    if within_watermark is not None:
+        return (
+            proj.withWatermark("ts", within_watermark)
+            .dropDuplicatesWithinWatermark(list(keys))
+            .select(*keys)
+        )
+    return proj.select(*keys).dropDuplicates(list(keys))
+
+
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Stateful streaming sessionization via ``applyInPandasWithState``.
 

@@ -329,3 +329,20 @@ def test_ranked_search_is_topk_no_python_no_bnlj(sorted_geo):
     assert all(s > 0 for s, _ in scores)
     assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
     assert all(1 <= r["n_matched"] <= len(W.RANKED_KWS) for r in rows)
+
+
+def test_interval_join_is_equi_hash_no_bnlj(spark, sf_dir):
+    """The event-time interval join must key on user_id (hash or sort-merge
+    equi-join; broadcast is fine) with the time range as a residual — never
+    a nested-loop/cartesian plan, and fully Python-free."""
+    from hilbert_curve_spark.operators.events import interval_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(interval_join(events, "click", "purchase", 30))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -139,6 +139,110 @@ def test_sliding_stream_matches_batch(spark, sf_dir, events_dir, tmp_path_factor
     assert got == batch
 
 
+def test_interval_join_stream_matches_batch(
+    spark, sf_dir, events_dir, tmp_path_factory
+):
+    """Stream-stream interval join (two independent watermarked sources)
+    equals the batch interval join row-for-row."""
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    joined = es.interval_join_stream(
+        es.read_event_stream(spark, events_dir),
+        es.read_event_stream(spark, events_dir),
+        "click",
+        "purchase",
+        30,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ivjoin_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM ivjoin_stream").collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in ev_ops.interval_join(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), "click", "purchase", 30
+        ).collect()
+    )
+    assert len(batch) > 0
+    assert got == batch
+
+
+def test_dedup_stream_matches_batch_distinct(
+    spark, sf_dir, events_dir, tmp_path_factory
+):
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    q = (
+        es.dedup_stream(es.read_event_stream(spark, events_dir))
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM dedup_stream").collect()}
+    batch = {
+        tuple(r)
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    # append-mode dropDuplicates emits each key exactly once
+    assert len(got) == spark.sql("SELECT count(*) FROM dedup_stream").collect()[0][0]
+    assert got == batch
+
+
+def test_dedup_stream_within_watermark_drops_replays(
+    spark, events_dir, tmp_path_factory
+):
+    """dropDuplicatesWithinWatermark: the fixture's 3 micro-batches replay
+    the same event_ids nowhere, so duplicate every file — temporally-close
+    duplicates (same ts) must collapse to the batch-distinct set."""
+    src = tmp_path_factory.mktemp("dupes")
+    k = 0
+    now = time.time()
+    for f in sorted(os.listdir(events_dir)):
+        for copy in range(2):
+            dst = src / f"{k:02d}.parquet"
+            shutil.copy(os.path.join(events_dir, f), dst)
+            os.utime(dst, (now + k * 10, now + k * 10))
+            k += 1
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    # the fixture spans 30 days in 3 chunks (~10 days each); the delay must
+    # cover a chunk's span or early keys are evicted before their duplicate
+    # file replays — 15 days keeps every adjacent duplicate inside the
+    # horizon while still evicting day-0 state before the stream ends
+    deduped = es.dedup_stream(
+        es.read_event_stream(spark, str(src)),
+        keys=("event_id",),
+        within_watermark="15 days",
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_wm_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"] for r in spark.sql("SELECT * FROM dedup_wm_stream").collect()}
+    expect = {
+        r["event_id"]
+        for r in spark.read.parquet(str(src)).select("event_id").distinct().collect()
+    }
+    assert got == expect
+
+
 def test_sliding_multiplicity_and_guard(spark, sf_dir):
     """Every event lands in exactly size/slide windows (total weight check),
     and a non-divisible slide is rejected in batch and stream forms."""
