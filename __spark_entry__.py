@@ -787,6 +787,22 @@ def _events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _export_shards_oracle() -> str:
+    from hilbert_curve_spark.sources import export as ex
+
+    return ex.shard_manifest_oracle(n_shards=16)
+
+
+def _export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded-export manifest: md5-uniform shard assignment
+    + order-independent per-shard content digest (the verification artifact
+    of the training-data hand-off; sources/export.py)."""
+    from hilbert_curve_spark.sources import export as ex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ex.shard_manifest(docs, n_shards=16)
+
+
 def _events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch event-time interval join: purchases within 30 minutes of a
     click by the same user (the canonical attribution join)."""
@@ -1161,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": _events_interval_join,
         "events_stream_interval_join": _events_stream_interval_join,
         "events_stream_dedup": _events_stream_dedup,
+        "export_shards": _export_shards,
         # -- round-3 green ----------------------------------------------------
         "knn_join": _knn_join,
         "distance_pairs": _distance_pairs,
@@ -1354,6 +1371,7 @@ def oracle_sql() -> dict[str, str]:
         "events_interval_join": ev_ops.interval_join_oracle("click", "purchase", 30),
         "events_stream_interval_join": ev_ops.interval_join_oracle("click", "purchase", 30),
         "events_stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+        "export_shards": _export_shards_oracle(),
         "events_geofence": ev_ops.geofence_counts_oracle(W.POLYGONS),
         "events_stream_geofence": ev_ops.geofence_counts_oracle(W.POLYGONS),
         "events_stream_sessions": ev_ops.sessionize_epoch_oracle(),
