@@ -35,6 +35,7 @@ from hilbert_curve_spark.operators import similarity as sim_ops
 from hilbert_curve_spark.operators import spans as spans_ops
 from hilbert_curve_spark.operators import textops
 from hilbert_curve_spark.operators import tiles as tiles_ops
+from hilbert_curve_spark.operators import trajectory as traj_ops
 from hilbert_curve_spark.operators import updates as upd_ops
 from hilbert_curve_spark.operators.encode import encode_documents
 from hilbert_curve_spark.sources import derive
@@ -701,6 +702,21 @@ def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev_ops.sliding_counts(_events(spark, sf_dir), minutes=60, slide_minutes=15)
 
 
+def _stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection over the events trajectory (spatio-temporal
+    gap-and-island; one user_id shuffle)."""
+    return traj_ops.stay_points(
+        _events(spark, sf_dir), radius=1200, gap_minutes=720, min_minutes=60,
+        min_points=3,
+    )
+
+
+def _od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix: first/last cell per (user, hour)
+    via min/max(struct) hash aggregation — no window sort."""
+    return traj_ops.od_flows(_events(spark, sf_dir), window_minutes=60, cell_shift=8)
+
+
 _STREAM_SEQ = [0]
 
 
@@ -1178,6 +1194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_interval_join": _events_stream_interval_join,
         "events_stream_dedup": _events_stream_dedup,
         "export_shards": _export_shards,
+        "stay_points": _stay_points,
+        "od_flows": _od_flows,
         # -- round-3 green ----------------------------------------------------
         "knn_join": _knn_join,
         "distance_pairs": _distance_pairs,
@@ -1372,6 +1390,10 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_interval_join": ev_ops.interval_join_oracle("click", "purchase", 30),
         "events_stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
         "export_shards": _export_shards_oracle(),
+        "stay_points": traj_ops.stay_points_oracle(
+            radius=1200, gap_minutes=720, min_minutes=60, min_points=3
+        ),
+        "od_flows": traj_ops.od_flows_oracle(window_minutes=60, cell_shift=8),
         "events_geofence": ev_ops.geofence_counts_oracle(W.POLYGONS),
         "events_stream_geofence": ev_ops.geofence_counts_oracle(W.POLYGONS),
         "events_stream_sessions": ev_ops.sessionize_epoch_oracle(),

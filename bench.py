@@ -204,9 +204,23 @@ def _pipeline_queries(spark):
         events = spark.read.parquet(f"{SF_DIR}/events.parquet")
         return interval_join(events, "click", "purchase", 30).count()
 
+    def q_stay_points():
+        from hilbert_curve_spark.operators.trajectory import stay_points
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return stay_points(events).count()
+
+    def q_od_flows():
+        from hilbert_curve_spark.operators.trajectory import od_flows
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return od_flows(events).count()
+
     return {
         "geofence_join": q_geofence_join,
         "events_interval_join": q_interval_join,
+        "stay_points": q_stay_points,
+        "od_flows": q_od_flows,
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "ivf_topk": q_ivf_topk,
