@@ -717,6 +717,14 @@ def _od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traj_ops.od_flows(_events(spark, sf_dir), window_minutes=60, cell_shift=8)
 
 
+def _colocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-location join over stay points: 9-cell lossless blocking +
+    interval-overlap residual — never an all-pairs product."""
+    return traj_ops.colocation_pairs(
+        _events(spark, sf_dir), max_dist=256, min_overlap_minutes=60
+    )
+
+
 _STREAM_SEQ = [0]
 
 
@@ -1196,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": _export_shards,
         "stay_points": _stay_points,
         "od_flows": _od_flows,
+        "colocation_pairs": _colocation_pairs,
         # -- round-3 green ----------------------------------------------------
         "knn_join": _knn_join,
         "distance_pairs": _distance_pairs,
@@ -1394,6 +1403,9 @@ def oracle_sql() -> dict[str, str]:
             radius=1200, gap_minutes=720, min_minutes=60, min_points=3
         ),
         "od_flows": traj_ops.od_flows_oracle(window_minutes=60, cell_shift=8),
+        "colocation_pairs": traj_ops.colocation_pairs_oracle(
+            max_dist=256, min_overlap_minutes=60
+        ),
         "events_geofence": ev_ops.geofence_counts_oracle(W.POLYGONS),
         "events_stream_geofence": ev_ops.geofence_counts_oracle(W.POLYGONS),
         "events_stream_sessions": ev_ops.sessionize_epoch_oracle(),

@@ -216,11 +216,18 @@ def _pipeline_queries(spark):
         events = spark.read.parquet(f"{SF_DIR}/events.parquet")
         return od_flows(events).count()
 
+    def q_colocation():
+        from hilbert_curve_spark.operators.trajectory import colocation_pairs
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return colocation_pairs(events, max_dist=256, min_overlap_minutes=60).count()
+
     return {
         "geofence_join": q_geofence_join,
         "events_interval_join": q_interval_join,
         "stay_points": q_stay_points,
         "od_flows": q_od_flows,
+        "colocation_pairs": q_colocation,
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "ivf_topk": q_ivf_topk,

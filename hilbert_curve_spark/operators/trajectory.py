@@ -160,6 +160,128 @@ def od_flows(
     )
 
 
+def colocation_pairs(
+    events: DataFrame,
+    max_dist: int = 256,
+    min_overlap_minutes: int = 0,
+    radius: int = 1200,
+    gap_minutes: int = 720,
+    min_minutes: int = 60,
+    min_points: int = 3,
+) -> DataFrame:
+    """Co-location (contact) join: pairs of DIFFERENT users whose stay
+    points (see :func:`stay_points`) are within ``max_dist`` (centroid L2,
+    compared squared) AND overlap in time for at least
+    ``min_overlap_minutes``.  Output ``(user_a, stay_a, user_b, stay_b,
+    dist2, overlap_s)`` with ``user_a < user_b`` — every qualifying stay
+    pair exactly once.
+
+    Plan shape: the stay table (already aggregated — orders of magnitude
+    smaller than events) is blocked on ``max_dist``-sized centroid cells;
+    the probe side replicates to the 9-cell neighborhood (lossless for
+    cell >= max_dist) and hash-joins the home cell, with the distance AND
+    interval-overlap predicates as join residuals — so the only shuffle
+    beyond stay_points' own is one equi-join on the composite cell key,
+    never an all-pairs product.  The ``user_a < user_b`` residual keeps
+    exactly one orientation of each pair (the 9 offsets hit 9 distinct
+    target cells, so no orientation is emitted twice)."""
+    from .spatial_join import _cell_shift
+
+    d2 = int(max_dist) * int(max_dist)
+    min_ov = int(min_overlap_minutes) * 60
+    s = _cell_shift(int(max_dist))
+    # centroid grid is the lattice itself: edge cells suffice for the key
+    from ..sources.derive import EDGE
+
+    stays = stay_points(
+        events, radius=radius, gap_minutes=gap_minutes,
+        min_minutes=min_minutes, min_points=min_points,
+    )
+
+    def keyed(tag: str) -> DataFrame:
+        return stays.select(
+            F.col("user_id").alias(f"user_{tag}"),
+            F.col("stay_id").alias(f"stay_{tag}"),
+            F.col("start_s").alias(f"start_{tag}"),
+            F.col("end_s").alias(f"end_{tag}"),
+            F.col("cx").alias(f"cx_{tag}"),
+            F.col("cy").alias(f"cy_{tag}"),
+            F.shiftright("cx", s).alias(f"gx_{tag}"),
+            F.shiftright("cy", s).alias(f"gy_{tag}"),
+        )
+
+    offs = ", ".join(
+        f"named_struct('dx', {dx}L, 'dy', {dy}L)"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    probe = (
+        keyed("a")
+        .withColumn("o", F.explode(F.expr(f"array({offs})")))
+        .withColumn(
+            "ck", (F.col("gx_a") + F.col("o.dx")) * EDGE + F.col("gy_a") + F.col("o.dy")
+        )
+    )
+    home = keyed("b").withColumn("ck", F.col("gx_b") * EDGE + F.col("gy_b"))
+    dist2 = (F.col("cx_a") - F.col("cx_b")) ** 2 + (
+        F.col("cy_a") - F.col("cy_b")
+    ) ** 2
+    overlap = F.least("end_a", "end_b") - F.greatest("start_a", "start_b")
+    return (
+        probe.join(home, "ck")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .withColumn("dist2", dist2.cast("long"))
+        .filter(F.col("dist2") <= F.lit(d2))
+        .withColumn("overlap_s", overlap)
+        .filter(F.col("overlap_s") >= F.lit(min_ov))
+        .select(
+            "user_a", "stay_a", "user_b", "stay_b", "dist2", "overlap_s"
+        )
+    )
+
+
+def colocation_pairs_oracle(
+    max_dist: int = 256,
+    min_overlap_minutes: int = 0,
+    radius: int = 1200,
+    gap_minutes: int = 720,
+    min_minutes: int = 60,
+    min_points: int = 3,
+    table: str = "events",
+) -> str:
+    """Same stays derivation (the stay_points oracle as a subquery), same
+    9-offset lossless blocking, identical integer residuals."""
+    from .spatial_join import _cell_shift
+
+    d2 = int(max_dist) * int(max_dist)
+    min_ov = int(min_overlap_minutes) * 60
+    s = _cell_shift(int(max_dist))
+    stays_sql = stay_points_oracle(
+        radius=radius, gap_minutes=gap_minutes, min_minutes=min_minutes,
+        min_points=min_points, table=table,
+    )
+    nine = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""WITH stays AS (
+  SELECT * FROM ({stays_sql}) st
+), prb AS (
+  SELECT user_id, stay_id, start_s, end_s, cx, cy,
+         (cx >> {s}) + dx AS gx, (cy >> {s}) + dy AS gy
+  FROM stays, (VALUES {nine}) o(dx, dy)
+), hom AS (
+  SELECT user_id, stay_id, start_s, end_s, cx, cy,
+         cx >> {s} AS gx, cy >> {s} AS gy
+  FROM stays
+)
+SELECT p.user_id AS user_a, p.stay_id AS stay_a,
+       h.user_id AS user_b, h.stay_id AS stay_b,
+       (p.cx - h.cx) * (p.cx - h.cx) + (p.cy - h.cy) * (p.cy - h.cy) AS dist2,
+       LEAST(p.end_s, h.end_s) - GREATEST(p.start_s, h.start_s) AS overlap_s
+FROM prb p JOIN hom h ON p.gx = h.gx AND p.gy = h.gy
+WHERE p.user_id < h.user_id
+  AND (p.cx - h.cx) * (p.cx - h.cx) + (p.cy - h.cy) * (p.cy - h.cy) <= {d2}
+  AND LEAST(p.end_s, h.end_s) - GREATEST(p.start_s, h.start_s) >= {min_ov}"""
+
+
 def od_flows_oracle(
     window_minutes: int = 60, cell_shift: int = 8, table: str = "events"
 ) -> str:

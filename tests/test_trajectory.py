@@ -170,6 +170,52 @@ def test_od_flows_oracle_parity(spark, sf_dir):
     assert_df_equals_oracle(df, T.od_flows_oracle(), sf_dir)
 
 
+def test_colocation_matches_brute_force(spark, sf_dir):
+    """Brute-force over the operator's own stays (stay parity is proven
+    above): all cross-user pairs within max_dist with >= min-overlap."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stays = T.stay_points(ev).collect()
+    d, ov = 256, 60 * 60
+    expected = set()
+    for i, a in enumerate(stays):
+        for b in stays[i + 1:]:
+            if a["user_id"] == b["user_id"]:
+                continue
+            lo, hi = (a, b) if a["user_id"] < b["user_id"] else (b, a)
+            dist2 = (a["cx"] - b["cx"]) ** 2 + (a["cy"] - b["cy"]) ** 2
+            overlap = min(a["end_s"], b["end_s"]) - max(a["start_s"], b["start_s"])
+            if dist2 <= d * d and overlap >= ov:
+                expected.add(
+                    (lo["user_id"], lo["stay_id"], hi["user_id"], hi["stay_id"],
+                     dist2, overlap)
+                )
+    got = [
+        tuple(r)
+        for r in T.colocation_pairs(ev, max_dist=d, min_overlap_minutes=60).collect()
+    ]
+    assert len(got) == len(set(got)), "pair emitted twice"
+    assert set(got) == expected
+    assert expected, "fixture produced no co-locations — parameters degenerate"
+
+
+def test_colocation_oracle_parity(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = T.colocation_pairs(ev, max_dist=256, min_overlap_minutes=60)
+    assert_df_equals_oracle(
+        df, T.colocation_pairs_oracle(max_dist=256, min_overlap_minutes=60), sf_dir
+    )
+
+
+def test_colocation_no_cartesian(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = (
+        T.colocation_pairs(ev)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_trajectory_plans_no_python(spark, sf_dir):
     """Repo rule: no per-row Python UDFs; od_flows additionally must not
     contain a window sort (first/last ride the hash aggregation)."""
