@@ -702,6 +702,12 @@ def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev_ops.sliding_counts(_events(spark, sf_dir), minutes=60, slide_minutes=15)
 
 
+def _rollup_focal_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import focal_stats_oracle
+
+    return focal_stats_oracle(shift=6)
+
+
 def _stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stay-point detection over the events trajectory (spatio-temporal
     gap-and-island; one user_id shuffle)."""
@@ -723,6 +729,20 @@ def _colocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traj_ops.colocation_pairs(
         _events(spark, sf_dir), max_dist=256, min_overlap_minutes=60
     )
+
+
+def _trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trip extraction: moves between consecutive stay points (one lag
+    pass over the tiny stays table)."""
+    return traj_ops.trips(_events(spark, sf_dir))
+
+
+def _focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal (3x3 neighborhood) sum over the corpus grid — raster-GIS
+    focal statistics; O(cells) after one salted corpus scan."""
+    from hilbert_curve_spark.operators.rollup import focal_stats
+
+    return focal_stats(_doc_geo(spark, sf_dir), shift=6)
 
 
 _STREAM_SEQ = [0]
@@ -957,6 +977,49 @@ def _events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(src, ignore_errors=True)
     return out.filter(F.col("session_start_s") < sentinel_s)
+
+
+def _events_stream_stays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stay-point detection end-to-end, driver-checkable with the
+    BATCH stay_points oracle: same sentinel-flush replay as
+    _events_stream_sessions (one flush event per user, placed past every
+    real event by more than the 720-minute stay gap, so the time-boundary
+    deterministically closes every real segment; the sentinel's own
+    1-point segment can never qualify and is filtered by timestamp)."""
+    from hilbert_curve_spark.streaming import event_streams as es
+
+    events = _events(spark, sf_dir)
+    max_s = events.agg(
+        F.max(F.col("ts").cast("timestamp").cast("long")).alias("m")
+    ).first()["m"]
+    gap_s = 720 * 60
+    sentinel_s = max_s + gap_s + 3600
+    sentinels = (
+        events.select("user_id")
+        .distinct()
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.timestamp_seconds(F.lit(sentinel_s)).alias("ts"),
+            F.col("user_id"),
+            F.lit("flush").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+    )
+    replay = events.withColumn("ts", F.col("ts").cast("timestamp")).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).unionByName(sentinels)
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="hcs_stream_src_")
+    replay.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(es.EVENTS_SCHEMA).parquet(src)
+    out = _run_stream_to_df(
+        spark, es.stay_points_stream(stream), "append", "drv_stays"
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    return out.filter(F.col("start_s") < sentinel_s)
 
 
 def _events_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1205,6 +1268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stay_points": _stay_points,
         "od_flows": _od_flows,
         "colocation_pairs": _colocation_pairs,
+        "trips": _trips,
+        "focal_stats": _focal_stats,
+        "events_stream_stays": _events_stream_stays,
         # -- round-3 green ----------------------------------------------------
         "knn_join": _knn_join,
         "distance_pairs": _distance_pairs,
@@ -1406,6 +1472,9 @@ def oracle_sql() -> dict[str, str]:
         "colocation_pairs": traj_ops.colocation_pairs_oracle(
             max_dist=256, min_overlap_minutes=60
         ),
+        "trips": traj_ops.trips_oracle(),
+        "focal_stats": f"{_doc_geo_cte()}, " + _rollup_focal_oracle(),
+        "events_stream_stays": traj_ops.stay_points_oracle(),
         "events_geofence": ev_ops.geofence_counts_oracle(W.POLYGONS),
         "events_stream_geofence": ev_ops.geofence_counts_oracle(W.POLYGONS),
         "events_stream_sessions": ev_ops.sessionize_epoch_oracle(),

@@ -222,12 +222,19 @@ def _pipeline_queries(spark):
         events = spark.read.parquet(f"{SF_DIR}/events.parquet")
         return colocation_pairs(events, max_dist=256, min_overlap_minutes=60).count()
 
+    def q_trips():
+        from hilbert_curve_spark.operators.trajectory import trips
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return trips(events).count()
+
     return {
         "geofence_join": q_geofence_join,
         "events_interval_join": q_interval_join,
         "stay_points": q_stay_points,
         "od_flows": q_od_flows,
         "colocation_pairs": q_colocation,
+        "trips": q_trips,
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "ivf_topk": q_ivf_topk,
@@ -281,6 +288,11 @@ def _spatial_join_queries(geo):
 
     def q_cell_pyramid():
         return cell_pyramid(geo, W.PYRAMID_LEVELS).count()
+
+    def q_focal_stats():
+        from hilbert_curve_spark.operators.rollup import focal_stats
+
+        return focal_stats(geo, shift=6).count()
 
     def q_rect_join():
         return rect_self_join(geo, W.RECT_SAMPLE_MOD, W.RECT_MAX_EXTENT).count()
@@ -348,6 +360,7 @@ def _spatial_join_queries(geo):
         "zonal_median": q_zonal_median,
         "cell_kmv": q_cell_kmv,
         "cell_pyramid": q_cell_pyramid,
+        "focal_stats": q_focal_stats,
     }
 
 

@@ -146,3 +146,74 @@ SELECT gcell, CAST(nd AS BIGINT) AS n_distinct,
        CAST(CASE WHEN nd <= {k} THEN nd ELSE ({(k - 1) * m_space} // h) END AS BIGINT)
          AS kmv_estimate
 FROM ranked WHERE r = LEAST({k}, nd)"""
+
+
+def focal_stats(
+    doc_geo: DataFrame, shift: int = 6, config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """Focal (neighborhood) statistics — the raster-GIS "focal sum" over the
+    corpus grid: for every nonempty ``2^shift``-sized grid cell, its own
+    count and the 3x3-neighborhood sum ``(gx, gy, n_docs, focal_n)``.
+    The neighborhood sum is the building block of hotspot scores
+    (Getis-Ord-style): a cell is "hot" relative to ``focal_n``, not its own
+    count, so single-cell noise never flags.
+
+    Physical plan: the corpus is scanned ONCE into the per-cell histogram
+    (two-phase salted aggregation — same skew rationale as
+    ``skew.salted_cell_counts``); the focal pass then explodes the TINY
+    histogram 9x (native ``array`` of offset structs) and re-aggregates —
+    cost is O(cells), never O(docs).  The final own-count attach is a hash
+    join between two cell-sized sides (AQE broadcasts the smaller)."""
+    s = int(shift)
+    cells = (
+        doc_geo.withColumn(
+            "salt", F.pmod(F.hash("doc_id"), F.lit(config.salt_buckets))
+        )
+        .groupBy(
+            F.shiftright("x", s).alias("gx"),
+            F.shiftright("y", s).alias("gy"),
+            "salt",
+        )
+        .agg(F.count("*").alias("pn"))
+        .groupBy("gx", "gy")
+        .agg(F.sum("pn").alias("n_docs"))
+    )
+    offs = ", ".join(
+        f"named_struct('dx', {dx}L, 'dy', {dy}L)"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    contrib = (
+        cells.withColumn("o", F.explode(F.expr(f"array({offs})")))
+        .select(
+            (F.col("gx") + F.col("o.dx")).alias("tgx"),
+            (F.col("gy") + F.col("o.dy")).alias("tgy"),
+            "n_docs",
+        )
+    )
+    focal = contrib.groupBy("tgx", "tgy").agg(F.sum("n_docs").alias("focal_n"))
+    return (
+        cells.join(
+            focal,
+            (cells["gx"] == focal["tgx"]) & (cells["gy"] == focal["tgy"]),
+        )
+        .select("gx", "gy", "n_docs", "focal_n")
+    )
+
+
+def focal_stats_oracle(shift: int = 6) -> str:
+    """Appends to a CTE chain defining ``doc_geo`` (needs x, y).  Outer
+    CASTs keep DuckDB's HUGEINT sums BIGINT."""
+    s = int(shift)
+    nine = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""cells AS (
+  SELECT x >> {s} AS gx, y >> {s} AS gy, COUNT(*) AS n_docs
+  FROM doc_geo GROUP BY 1, 2
+), focal AS (
+  SELECT c.gx + o.dx AS tgx, c.gy + o.dy AS tgy,
+         CAST(SUM(c.n_docs) AS BIGINT) AS focal_n
+  FROM cells c, (VALUES {nine}) o(dx, dy)
+  GROUP BY 1, 2
+)
+SELECT c.gx, c.gy, c.n_docs, f.focal_n
+FROM cells c JOIN focal f ON c.gx = f.tgx AND c.gy = f.tgy"""

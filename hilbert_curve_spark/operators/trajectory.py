@@ -160,6 +160,78 @@ def od_flows(
     )
 
 
+def trips(
+    events: DataFrame,
+    radius: int = 1200,
+    gap_minutes: int = 720,
+    min_minutes: int = 60,
+    min_points: int = 3,
+) -> DataFrame:
+    """Trip extraction: the moves BETWEEN a user's consecutive stay points
+    (see :func:`stay_points`).  Output ``(user_id, from_stay, to_stay,
+    depart_s, arrive_s, travel_s, dist2)`` — one row per consecutive stay
+    pair, ordered by ``(start_s, stay_id)`` (stay intervals of one user
+    never overlap — segments are time-ordered — so this order is the
+    itinerary order; stay_id breaks the zero-length-interval tie).
+
+    One additional window pass over the already-tiny stays table; no new
+    shuffle beyond stay_points' own when the table stays partitioned by
+    user_id."""
+    stays = stay_points(
+        events, radius=radius, gap_minutes=gap_minutes,
+        min_minutes=min_minutes, min_points=min_points,
+    )
+    w = Window.partitionBy("user_id").orderBy("start_s", "stay_id")
+    prev_stay = F.lag("stay_id").over(w)
+    prev_end = F.lag("end_s").over(w)
+    prev_cx = F.lag("cx").over(w)
+    prev_cy = F.lag("cy").over(w)
+    dist2 = (F.col("cx") - prev_cx) ** 2 + (F.col("cy") - prev_cy) ** 2
+    return (
+        stays.select(
+            "user_id",
+            prev_stay.alias("from_stay"),
+            F.col("stay_id").alias("to_stay"),
+            prev_end.alias("depart_s"),
+            F.col("start_s").alias("arrive_s"),
+            (F.col("start_s") - prev_end).alias("travel_s"),
+            dist2.cast("long").alias("dist2"),
+        )
+        .filter(F.col("from_stay").isNotNull())
+    )
+
+
+def trips_oracle(
+    radius: int = 1200,
+    gap_minutes: int = 720,
+    min_minutes: int = 60,
+    min_points: int = 3,
+    table: str = "events",
+) -> str:
+    """Same LAG replay over the stays oracle subquery."""
+    stays_sql = stay_points_oracle(
+        radius=radius, gap_minutes=gap_minutes, min_minutes=min_minutes,
+        min_points=min_points, table=table,
+    )
+    return f"""WITH stays AS (
+  SELECT * FROM ({stays_sql}) st
+), hops AS (
+  SELECT user_id,
+         LAG(stay_id) OVER w AS from_stay,
+         stay_id AS to_stay,
+         LAG(end_s) OVER w AS depart_s,
+         start_s AS arrive_s,
+         start_s - LAG(end_s) OVER w AS travel_s,
+         (cx - LAG(cx) OVER w) * (cx - LAG(cx) OVER w)
+           + (cy - LAG(cy) OVER w) * (cy - LAG(cy) OVER w) AS dist2
+  FROM stays
+  WINDOW w AS (PARTITION BY user_id ORDER BY start_s, stay_id)
+)
+SELECT user_id, from_stay, to_stay, depart_s, arrive_s, travel_s,
+       CAST(dist2 AS BIGINT) AS dist2
+FROM hops WHERE from_stay IS NOT NULL"""
+
+
 def colocation_pairs(
     events: DataFrame,
     max_dist: int = 256,

@@ -284,3 +284,126 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+STAY_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stay_id", LongType()),
+        StructField("n_points", LongType()),
+        StructField("start_s", LongType()),
+        StructField("end_s", LongType()),
+        StructField("cx", LongType()),
+        StructField("cy", LongType()),
+    ]
+)
+
+# (seg, n, start_s, last_s, last_x, last_y, sum_x, sum_y); n == 0 encodes
+# "no open segment, but keep the seg counter" — without it a timeout-evicted
+# user would restart stay_id at 0 and diverge from the batch numbering
+_STAY_STATE_SCHEMA = StructType(
+    [StructField(c, LongType()) for c in
+     ("seg", "n", "start_s", "last_s", "lx", "ly", "sx", "sy")]
+)
+
+
+def stay_points_stream(
+    events: DataFrame,
+    radius: int = 1200,
+    gap_minutes: int = 720,
+    min_minutes: int = 60,
+    min_points: int = 3,
+) -> DataFrame:
+    """Streaming stay-point detection (``applyInPandasWithState``) — the
+    stateful twin of ``operators/trajectory.stay_points`` with the exact
+    same integer arithmetic, so closed stays byte-match a batch run over
+    the same stream prefix.
+
+    Per-user state carries the OPEN segment (index, count, time span, last
+    point, coordinate sums); a segment closes when a point arrives beyond
+    ``radius``/``gap_minutes`` of the last one, or when the event-time
+    timeout (``last + gap``) fires under the watermark.  Qualifying closed
+    segments (span >= min_minutes, count >= min_points) are emitted; the
+    segment INDEX always advances — including for non-qualifying segments —
+    so ``stay_id`` equals the batch boundary-count numbering.  State is one
+    fixed-width row per active user: bounded, no per-key growth."""
+    from ..sources import derive
+
+    r2 = int(radius) * int(radius)
+    gap = int(gap_minutes) * 60
+    min_dur = int(min_minutes) * 60
+    min_p = int(min_points)
+
+    pts = events.withColumn("ex", F.expr(derive.x_sql("event_id"))).withColumn(
+        "ey", F.expr(derive.y_sql("event_id"))
+    )
+
+    def _emit(user_id, seg, n, start, last, sx, sy):
+        return {
+            "user_id": user_id, "stay_id": seg, "n_points": n,
+            "start_s": start, "end_s": last, "cx": sx // n, "cy": sy // n,
+        }
+
+    def _stays(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            seg, n, start, last, lx, ly, sx, sy = state.get
+            # keep the counter so later events continue the batch numbering
+            state.update((seg + 1, 0, 0, 0, 0, 0, 0, 0))
+            if n and last - start >= min_dur and n >= min_p:
+                yield pd.DataFrame([_emit(user_id, seg, n, start, last, sx, sy)])
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        secs = rows["ts"].astype("int64") // 1_000_000_000
+        # late-data guard — same rationale as sessionize_stream
+        wm_s = state.getCurrentWatermarkMs() // 1000
+        pts3 = [
+            (int(s), int(x), int(y))
+            for s, x, y in zip(secs.tolist(), rows["ex"].tolist(), rows["ey"].tolist())
+            if wm_s <= 0 or s >= wm_s
+        ]
+        cur = tuple(state.get) if state.exists else None
+        closed = []
+        for s, x, y in pts3:
+            if cur is None:
+                cur = (0, 1, s, s, x, y, x, y)
+            elif cur[1] == 0:
+                cur = (cur[0], 1, s, s, x, y, x, y)
+            else:
+                seg, n, start, last, lx, ly, sx, sy = cur
+                d2 = (x - lx) * (x - lx) + (y - ly) * (y - ly)
+                if d2 > r2 or s - last > gap:
+                    closed.append(cur)
+                    cur = (seg + 1, 1, s, s, x, y, x, y)
+                else:
+                    cur = (seg, n + 1, start, s, x, y, sx + x, sy + y)
+        if cur is not None:
+            state.update(tuple(int(v) for v in cur))
+            if cur[1]:
+                timeout_ms = (cur[3] + gap) * 1000
+                state.setTimeoutTimestamp(
+                    max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+                )
+        out = [
+            _emit(user_id, seg, n, start, last, sx, sy)
+            for seg, n, start, last, lx, ly, sx, sy in closed
+            if last - start >= min_dur and n >= min_p
+        ]
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        pts.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _stays,
+            outputStructType=STAY_SCHEMA,
+            stateStructType=_STAY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -133,6 +133,47 @@ def test_zonal_stats_equals_pip_groupby(spark, sf_dir):
     assert got == exp and got
 
 
+def test_focal_stats_matches_brute_force(spark, sf_dir):
+    from hilbert_curve_spark.operators.rollup import focal_stats
+
+    import __spark_entry__ as em
+
+    dg = em._doc_geo(spark, sf_dir)
+    shift = 6
+    hist = {}
+    for r in dg.select("x", "y").collect():
+        k = (r["x"] >> shift, r["y"] >> shift)
+        hist[k] = hist.get(k, 0) + 1
+    expected = set()
+    for (gx, gy), n in hist.items():
+        fs = sum(
+            hist.get((gx + dx, gy + dy), 0)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        expected.add((gx, gy, n, fs))
+    got = {tuple(r) for r in focal_stats(dg, shift=shift).collect()}
+    assert got == expected
+    # focal includes the own count; totals partition the corpus
+    assert all(f >= n for (_, _, n, f) in got)
+    assert sum(n for (_, _, n, _) in got) == dg.count()
+
+
+def test_focal_stats_plan_no_python(spark, sf_dir):
+    from hilbert_curve_spark.operators.rollup import focal_stats
+
+    import __spark_entry__ as em
+
+    plan = (
+        focal_stats(em._doc_geo(spark, sf_dir), shift=6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_cell_pyramid_invariants(spark, sf_dir):
     import __spark_entry__ as em
 

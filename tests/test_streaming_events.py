@@ -254,3 +254,42 @@ def test_sliding_multiplicity_and_guard(spark, sf_dir):
         ev_ops.sliding_counts(ev, 60, 25)
     with pytest.raises(ValueError):
         es.sliding_counts_stream(ev, 60, 25)
+
+
+def test_stay_points_stream_matches_batch_closed_stays(
+    spark, sf_dir, events_dir, tmp_path_factory
+):
+    from hilbert_curve_spark.operators import trajectory as T
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    q = (
+        es.stay_points_stream(es.read_event_stream(spark, events_dir))
+        .writeStream.format("memory")
+        .queryName("stays_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM stays_stream").collect()
+    }
+    batch_rows = T.stay_points(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).collect()
+    all_batch = {tuple(r) for r in batch_rows}
+    # every emitted stay must be a true batch stay...
+    assert got <= all_batch
+    # ...and every stay except possibly each user's LAST batch stay (whose
+    # segment may still be open at end-of-stream) must have been emitted
+    last_per_user = {}
+    for r in batch_rows:
+        cur = last_per_user.get(r["user_id"])
+        if cur is None or r["stay_id"] > cur["stay_id"]:
+            last_per_user[r["user_id"]] = r
+    expect_closed = {
+        tuple(r) for r in batch_rows if last_per_user[r["user_id"]] is not r
+    }
+    assert expect_closed <= got
+    assert got, "stream emitted nothing"

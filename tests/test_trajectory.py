@@ -170,6 +170,31 @@ def test_od_flows_oracle_parity(spark, sf_dir):
     assert_df_equals_oracle(df, T.od_flows_oracle(), sf_dir)
 
 
+def test_trips_matches_brute_force(spark, sf_dir):
+    """Trips = lag over the (proven-correct) stays table: per user with
+    k >= 1 stays there are exactly k-1 trips, itinerary-ordered, with
+    non-negative travel time (stay intervals never overlap)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stays = T.stay_points(ev).collect()
+    by_user = {}
+    for s in stays:
+        by_user.setdefault(s["user_id"], []).append(s)
+    expected = set()
+    for uid, ss in by_user.items():
+        ss.sort(key=lambda r: (r["start_s"], r["stay_id"]))
+        for a, b in zip(ss, ss[1:]):
+            d2 = (b["cx"] - a["cx"]) ** 2 + (b["cy"] - a["cy"]) ** 2
+            expected.add(
+                (uid, a["stay_id"], b["stay_id"], a["end_s"], b["start_s"],
+                 b["start_s"] - a["end_s"], d2)
+            )
+    got = {tuple(r) for r in T.trips(ev).collect()}
+    assert got == expected
+    assert len(got) == sum(len(v) - 1 for v in by_user.values())
+    assert all(t[5] >= 0 for t in got), "negative travel time"
+    assert expected, "fixture produced no trips — parameters degenerate"
+
+
 def test_colocation_matches_brute_force(spark, sf_dir):
     """Brute-force over the operator's own stays (stay parity is proven
     above): all cross-user pairs within max_dist with >= min-overlap."""
