@@ -979,6 +979,14 @@ def _events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("session_start_s") < sentinel_s)
 
 
+def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates with the exact counts
+    alongside — a second oracle-checkable sketch next to cell_kmv."""
+    return textops.heavy_hitters_cms(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 def _events_stream_stays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming stay-point detection end-to-end, driver-checkable with the
     BATCH stay_points oracle: same sentinel-flush replay as
@@ -1271,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trips": _trips,
         "focal_stats": _focal_stats,
         "events_stream_stays": _events_stream_stays,
+        "heavy_hitters": _heavy_hitters,
         # -- round-3 green ----------------------------------------------------
         "knn_join": _knn_join,
         "distance_pairs": _distance_pairs,
@@ -1475,6 +1484,7 @@ def oracle_sql() -> dict[str, str]:
         "trips": traj_ops.trips_oracle(),
         "focal_stats": f"{_doc_geo_cte()}, " + _rollup_focal_oracle(),
         "events_stream_stays": traj_ops.stay_points_oracle(),
+        "heavy_hitters": textops.heavy_hitters_cms_oracle(),
         "events_geofence": ev_ops.geofence_counts_oracle(W.POLYGONS),
         "events_stream_geofence": ev_ops.geofence_counts_oracle(W.POLYGONS),
         "events_stream_sessions": ev_ops.sessionize_epoch_oracle(),

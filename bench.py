@@ -228,6 +228,11 @@ def _pipeline_queries(spark):
         events = spark.read.parquet(f"{SF_DIR}/events.parquet")
         return trips(events).count()
 
+    def q_heavy_hitters():
+        from hilbert_curve_spark.operators.textops import heavy_hitters_cms
+
+        return heavy_hitters_cms(flat).count()
+
     return {
         "geofence_join": q_geofence_join,
         "events_interval_join": q_interval_join,
@@ -235,6 +240,7 @@ def _pipeline_queries(spark):
         "od_flows": q_od_flows,
         "colocation_pairs": q_colocation,
         "trips": q_trips,
+        "heavy_hitters": q_heavy_hitters,
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "ivf_topk": q_ivf_topk,

@@ -306,3 +306,112 @@ SELECT doc_id, COUNT(*) AS n_fps,
        CAST(SUM(m) % {_WINNOW_MOD} AS BIGINT) AS fp_fold
 FROM sel GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (Cormode/Muthukrishnan, J. Algorithms 2005)
+# ---------------------------------------------------------------------------
+
+DEFAULT_CMS_PROBES = (
+    "join", "hash", "row", "batch", "scan", "column", "filter", "merge",
+    "order", "vector", "data", "spark", "table", "key", "window", "sort",
+    "value", "line", "zzz-absent",
+)
+
+
+def _cms_col_sql(kw_sql: str, d_sql: str, width: int) -> str:
+    """Engine-neutral CMS column index: 40-bit md5 fold of the salted token,
+    mod the sketch width.  Same text in Spark SQL and DuckDB."""
+    from .dedup import _hex_to_long_sql
+
+    h = _hex_to_long_sql(f"md5('cms' || CAST({d_sql} AS STRING) || ':' || {kw_sql})", 1, 10)
+    return f"({h} % {int(width)})"
+
+
+def heavy_hitters_cms(
+    docs: DataFrame,
+    probes: tuple[str, ...] = DEFAULT_CMS_PROBES,
+    depth: int = 4,
+    width: int = 256,
+    col: str = "text",
+) -> DataFrame:
+    """Count-min-sketch frequency estimates for a probe vocabulary:
+    ``(kw, exact_n, cms_est)`` with the CMS guarantee ``cms_est >=
+    exact_n`` (point-query estimate = min over the sketch's ``depth``
+    salted-hash rows).  Like the KMV sketch (``rollup.cell_distinct_kmv``)
+    this sketch is a pure function of the data — engine-neutral md5-fold
+    hashing, integer counters — so the ESTIMATE ITSELF is oracle-checkable,
+    which Spark's built-in count_min_sketch (xxhash-seeded, binary blob)
+    is not.  ``exact_n`` is carried alongside so the result exposes the
+    approximation error.
+
+    Physical plan: one tokenize/explode scan fans out ``depth``x into the
+    (d, col) histogram — hash aggregation with map-side combine, so each
+    task emits at most depth*width partial rows regardless of corpus size;
+    the probe-side estimate is a broadcast-sized join against the
+    depth*width-row sketch.  At 100 TB the sketch stays depth*width rows:
+    the whole reduce is O(1) in the corpus."""
+    spark = docs.sparkSession
+    toks_sql = f"split({col}, ' ')"
+    kws = docs.select(F.explode(F.expr(toks_sql)).alias("kw"))
+    fan = kws.withColumn("d", F.explode(F.expr(f"sequence(0, {int(depth) - 1})")))
+    cms = (
+        fan.withColumn("c", F.expr(_cms_col_sql("kw", "d", width)))
+        .groupBy("d", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probe_df = spark.createDataFrame([(p,) for p in probes], "kw string")
+    probe_cells = probe_df.withColumn(
+        "d", F.explode(F.expr(f"sequence(0, {int(depth) - 1})"))
+    ).withColumn("c", F.expr(_cms_col_sql("kw", "d", width)))
+    est = (
+        probe_cells.join(cms, ["d", "c"], "left")
+        .groupBy("kw")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_est"))
+    )
+    exact = (
+        kws.join(F.broadcast(probe_df), "kw", "leftsemi")
+        .groupBy("kw")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        probe_df.join(exact, "kw", "left")
+        .join(est, "kw")
+        .select(
+            "kw",
+            F.coalesce(F.col("n_exact"), F.lit(0)).alias("exact_n"),
+            F.col("cms_est"),
+        )
+    )
+
+
+def heavy_hitters_cms_oracle(
+    probes: tuple[str, ...] = DEFAULT_CMS_PROBES,
+    depth: int = 4,
+    width: int = 256,
+    table: str = "documents",
+    col: str = "text",
+) -> str:
+    """Identical sketch arithmetic in DuckDB (same salted md5 fold, same
+    min-over-rows point query); outer CASTs keep every count BIGINT."""
+    ds = ", ".join(f"({d})" for d in range(int(depth)))
+    ps = ", ".join("('" + p.replace("'", "''") + "')" for p in probes)
+    return f"""WITH kws AS (
+  SELECT unnest(string_split({col}, ' ')) AS kw FROM {table}
+), dd(d) AS (VALUES {ds}),
+cms AS (
+  SELECT d, {_cms_col_sql('kw', 'd', width)} AS c, COUNT(*) AS n
+  FROM kws, dd GROUP BY 1, 2
+), probes(kw) AS (VALUES {ps}),
+pc AS (
+  SELECT kw, d, {_cms_col_sql('kw', 'd', width)} AS c FROM probes, dd
+), est AS (
+  SELECT kw, MIN(COALESCE(cms.n, 0)) AS cms_est
+  FROM pc LEFT JOIN cms USING (d, c) GROUP BY kw
+), exact AS (
+  SELECT kw, COUNT(*) AS n_exact FROM kws
+  WHERE kw IN (SELECT kw FROM probes) GROUP BY kw
+)
+SELECT p.kw, CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS exact_n,
+       CAST(est.cms_est AS BIGINT) AS cms_est
+FROM probes p LEFT JOIN exact e ON p.kw = e.kw JOIN est ON p.kw = est.kw"""
