@@ -68,6 +68,16 @@ def _grq_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("doc_id"), F.col("x"), F.col("y"))
 
 
+def _zorder_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same box as grq_range, answered over the Z-order (Morton) curve —
+    identical result set, measurably more fragmented cover (the recorded
+    Hilbert-vs-Z comparison; see operators/zorder.py)."""
+    from hilbert_curve_spark.operators.zorder import zorder_range_mode
+
+    out = zorder_range_mode(_doc_geo(spark, sf_dir), **W.R1)
+    return out.select(F.col("doc_id"), F.col("x"), F.col("y"))
+
+
 def _grq_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budget-coalesced cover (4 ranges, heavy over-approximation) + exact
     residual — result must still match the plain box oracle exactly
@@ -1280,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_stats": _focal_stats,
         "events_stream_stays": _events_stream_stays,
         "heavy_hitters": _heavy_hitters,
+        "zorder_range": _zorder_range,
         # -- round-3 green ----------------------------------------------------
         "knn_join": _knn_join,
         "distance_pairs": _distance_pairs,
@@ -1485,6 +1496,9 @@ def oracle_sql() -> dict[str, str]:
         "focal_stats": f"{_doc_geo_cte()}, " + _rollup_focal_oracle(),
         "events_stream_stays": traj_ops.stay_points_oracle(),
         "heavy_hitters": textops.heavy_hitters_cms_oracle(),
+        "zorder_range": (
+            f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
+        ),
         "events_geofence": ev_ops.geofence_counts_oracle(W.POLYGONS),
         "events_stream_geofence": ev_ops.geofence_counts_oracle(W.POLYGONS),
         "events_stream_sessions": ev_ops.sessionize_epoch_oracle(),

@@ -300,6 +300,11 @@ def _spatial_join_queries(geo):
 
         return focal_stats(geo, shift=6).count()
 
+    def q_zorder_range():
+        from hilbert_curve_spark.operators.zorder import zorder_range_mode
+
+        return zorder_range_mode(geo, **W.R1).count()
+
     def q_rect_join():
         return rect_self_join(geo, W.RECT_SAMPLE_MOD, W.RECT_MAX_EXTENT).count()
 
@@ -367,6 +372,7 @@ def _spatial_join_queries(geo):
         "cell_kmv": q_cell_kmv,
         "cell_pyramid": q_cell_pyramid,
         "focal_stats": q_focal_stats,
+        "zorder_range": q_zorder_range,
     }
 
 
