@@ -462,6 +462,29 @@ def _grq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "x", "y")
 
 
+_ZSORTED_STORE: dict = {}
+
+
+def _zorder_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRQ against a STORED Z-ordered layout (materialized + sorted z
+    column — the Delta OPTIMIZE ZORDER shape), same R2 box and plain-box
+    oracle as grq_stored, so the two curves' pruned scans are
+    driver-checked side by side."""
+    from hilbert_curve_spark.operators.zorder import with_morton, zorder_stored_mode
+    from hilbert_curve_spark.sources.layout import read_sorted, write_sorted
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _ZSORTED_STORE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="hcs_zsorted_store_") + "/doc_geo"
+        write_sorted(with_morton(_doc_geo(spark, sf_dir)), path, sort_col="z")
+        _ZSORTED_STORE[key] = path
+    out = zorder_stored_mode(read_sorted(spark, path), **W.R2)
+    return out.select("doc_id", "x", "y")
+
+
 def _events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase gets the user's most recent prior click."""
     return ev_ops.asof_attach(_events(spark, sf_dir))
@@ -1291,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_stays": _events_stream_stays,
         "heavy_hitters": _heavy_hitters,
         "zorder_range": _zorder_range,
+        "zorder_stored": _zorder_stored,
         # -- round-3 green ----------------------------------------------------
         "knn_join": _knn_join,
         "distance_pairs": _distance_pairs,
@@ -1498,6 +1522,9 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": textops.heavy_hitters_cms_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
+        ),
+        "zorder_stored": (
+            f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R2)}"
         ),
         "events_geofence": ev_ops.geofence_counts_oracle(W.POLYGONS),
         "events_stream_geofence": ev_ops.geofence_counts_oracle(W.POLYGONS),

@@ -30,6 +30,36 @@ from ..config import DEFAULT, EngineConfig
 from ..curve.morton import morton_expr_sql, zcover_box
 
 
+def with_morton(doc_geo: DataFrame, config: EngineConfig = DEFAULT) -> DataFrame:
+    """Materialize the Morton code as a stored column (the write-side step
+    of a Z-ordered layout — what Delta's OPTIMIZE ZORDER effectively does)."""
+    return doc_geo.withColumn("z", F.expr(morton_expr_sql("x", "y", config.order)))
+
+
+def zorder_stored_mode(
+    stored: DataFrame,
+    x_lo: int, x_hi: int, y_lo: int, y_hi: int,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """The stored-layout twin of :func:`zorder_range_mode`: the table
+    carries a materialized, sorted ``z`` column, so the cover's
+    OR-of-BETWEEN pushes to the parquet scan and prunes row groups by
+    min/max — the same mechanics as ``grq_stored`` on the Hilbert side,
+    letting the two curves' pruned-scan costs be compared end to end."""
+    ranges, exact = zcover_box(
+        x_lo, x_hi, y_lo, y_hi, config.order, config.max_ranges
+    )
+    pred = functools.reduce(
+        operator.or_, [F.col("z").between(lo, hi) for lo, hi in ranges]
+    )
+    out = stored.filter(pred)
+    if not exact:
+        out = out.filter(
+            F.col("x").between(x_lo, x_hi) & F.col("y").between(y_lo, y_hi)
+        )
+    return out
+
+
 def zorder_range_mode(
     doc_geo: DataFrame,
     x_lo: int, x_hi: int, y_lo: int, y_hi: int,

@@ -122,3 +122,19 @@ def test_zorder_plan_no_python(spark, sf_dir):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zorder_stored_pushes_and_prunes(spark, sf_dir):
+    """The stored Z layout behaves like the Hilbert one: the cover's
+    OR-of-BETWEEN on the materialized z column reaches the parquet scan
+    (PushedFilters), no shuffle, and the result equals grq_stored's."""
+    import __spark_entry__ as em
+
+    q = em._zorder_stored(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "z" in scan_line
+    assert "Exchange" not in plan
+    a = {tuple(r) for r in q.collect()}
+    b = {tuple(r) for r in em._grq_stored(spark, sf_dir).collect()}
+    assert a == b and a
