@@ -1253,6 +1253,43 @@ def _hex_cells_oracle() -> str:
     )
 
 
+GH_CHARS = 4
+
+
+def _geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash binning (`curve/geohash.py` — base32 prefix cells, the
+    string-keyed DGG): (gh, n_docs) histogram, one codegen projection +
+    one hash aggregation; the oracle renders the identical bit arithmetic
+    in DuckDB."""
+    from hilbert_curve_spark.curve.geohash import geohash_sql
+
+    return (
+        _doc_geo(spark, sf_dir)
+        .select(F.expr(geohash_sql("x", "y", DEFAULT.order, GH_CHARS, "DIV")).alias("gh"))
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _geohash_cells_oracle() -> str:
+    from hilbert_curve_spark.curve.geohash import geohash_sql
+
+    return (
+        f"{_doc_geo_cte()} SELECT {geohash_sql('x', 'y', DEFAULT.order, GH_CHARS, '//')} AS gh, "
+        "COUNT(*) AS n_docs FROM doc_geo GROUP BY 1"
+    )
+
+
+def _geohash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box query answered through a geohash prefix cover (literal IN over
+    the derived geohash + exact residual — `operators/geohash.py`).  The
+    result is curve-independent, so the oracle is the plain box."""
+    from hilbert_curve_spark.operators.geohash import geohash_search
+
+    out = geohash_search(_doc_geo(spark, sf_dir), **W.R3, chars=GH_CHARS)
+    return out.select("doc_id", "x", "y")
+
+
 def _span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-sequence integrity, driver-checked (input_hint invariant): the
     interleaved arrays ride a real hash shuffle, then every span's content +
@@ -1315,6 +1352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _heavy_hitters,
         "zorder_range": _zorder_range,
         "zorder_stored": _zorder_stored,
+        "geohash_cells": _geohash_cells,
+        "geohash_search": _geohash_search,
         # -- round-3 green ----------------------------------------------------
         "knn_join": _knn_join,
         "distance_pairs": _distance_pairs,
@@ -1520,6 +1559,10 @@ def oracle_sql() -> dict[str, str]:
         "focal_stats": f"{_doc_geo_cte()}, " + _rollup_focal_oracle(),
         "events_stream_stays": traj_ops.stay_points_oracle(),
         "heavy_hitters": textops.heavy_hitters_cms_oracle(),
+        "geohash_cells": _geohash_cells_oracle(),
+        "geohash_search": (
+            f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R3)}"
+        ),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),
