@@ -485,6 +485,31 @@ def _zorder_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "x", "y")
 
 
+_MANIFEST_STORE: dict = {}
+
+
+def _grq_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRQ planned against a FILE MANIFEST (`sources/manifest.py` — the
+    Iceberg metadata-skipping analogue of the reference's prefix-keyed
+    ``PDB.get``, `Scheme/RSKQ/RSKQ_Biginteger.java`): the layout is written
+    once with per-file hilbert bounds, the R2 cover selects files from the
+    manifest alone, and the range query runs on just those files.  Oracle:
+    the plain R2 box — file skipping must be lossless."""
+    from hilbert_curve_spark.sources.manifest import read_pruned, write_with_manifest
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _MANIFEST_STORE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="hcs_manifest_store_") + "/doc_geo"
+        write_with_manifest(_doc_geo(spark, sf_dir), path)
+        _MANIFEST_STORE[key] = path
+    cover = rq.compile_box(**W.R2, config=DEFAULT)
+    out = rq.grq_range_mode(read_pruned(spark, path, cover.ranges), **W.R2)
+    return out.select("doc_id", "x", "y")
+
+
 def _events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase gets the user's most recent prior click."""
     return ev_ops.asof_attach(_events(spark, sf_dir))
@@ -1354,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_stored": _zorder_stored,
         "geohash_cells": _geohash_cells,
         "geohash_search": _geohash_search,
+        "grq_manifest": _grq_manifest,
         # -- round-3 green ----------------------------------------------------
         "knn_join": _knn_join,
         "distance_pairs": _distance_pairs,
@@ -1562,6 +1588,9 @@ def oracle_sql() -> dict[str, str]:
         "geohash_cells": _geohash_cells_oracle(),
         "geohash_search": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R3)}"
+        ),
+        "grq_manifest": (
+            f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R2)}"
         ),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
