@@ -56,14 +56,30 @@ def exact_dedup_oracle(table: str = "documents") -> str:
 # word-shingle Jaccard with blocking (exact similarity join)
 # ---------------------------------------------------------------------------
 
-def _shingle_col(n: int = 3) -> F.Column:
+def _shingle_sql(n: int = 3) -> str:
     """Distinct word n-gram array (native: split + transform + slice)."""
     toks = "split(text, ' ')"
-    grams = (
+    return (
         f"array_distinct(transform(sequence(1, greatest(1, size({toks}) - {n - 1})), "
         f"i -> array_join(slice({toks}, i, {n}), ' ')))"
     )
-    return F.expr(grams)
+
+
+def _shingle_col(n: int = 3) -> F.Column:
+    return F.expr(_shingle_sql(n))
+
+
+def _hashed_shingle_col(n: int = 3) -> F.Column:
+    """Distinct 60-bit md5-fold hashes of the word n-grams.  Jaccard over
+    hashed shingles is the standard large-corpus form (string arrays make
+    every pair comparison hash ~100 strings; int64 arrays compare 8-byte
+    words — measured ~5x cheaper on the candidate join).  The md5 fold is
+    engine-neutral, so the oracle applies the IDENTICAL hash and any
+    collision (P ~ G^2/2^60 per doc) affects both engines alike."""
+    return F.expr(
+        f"array_distinct(transform(transform({_shingle_sql(n)}, g -> md5(g)), "
+        f"m -> {token_hash60_sql('m')}))"
+    )
 
 
 def jaccard_pairs(
@@ -71,6 +87,9 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs (doc_a, doc_b, jac_pct)
     with jaccard >= threshold (integer percent — no float compare).
+    Jaccard is computed over 60-bit-hashed shingles (`_hashed_shingle_col`;
+    the oracle applies the identical md5 fold, so parity is exact even in
+    the astronomically-unlikely collision case).
 
     Blocking: word-count bands (``floor(wc / band)``) probed with the
     ±1 NEIGHBOR bands (side b explodes to {lband-1, lband, lband+1}, so
@@ -87,7 +106,7 @@ def jaccard_pairs(
     """
     g = docs.select(
         "doc_id",
-        _shingle_col(n).alias("grams"),
+        _hashed_shingle_col(n).alias("grams"),
         F.expr(f"CAST(FLOOR(size(split(text, ' ')) / {band}.0) AS INT)").alias("lband"),
         F.expr("split(text, ' ')[0]").alias("tok0"),
     )
@@ -121,9 +140,14 @@ def jaccard_pairs_oracle(table: str = "documents", threshold_pct: int = 80, n: i
         f"list_distinct([array_to_string(toks[i : i + {n - 1}], ' ') "
         f"for i in range(1, greatest(2, len(toks) - {n - 2}))])"
     )
+    # the IDENTICAL 60-bit md5 fold as _hashed_shingle_col
+    hgrams = (
+        f"list_distinct(list_transform(list_transform({grams}, g -> md5(g)), "
+        f"m -> {token_hash60_sql('m')}))"
+    )
     return f"""
 WITH g AS (
-  SELECT doc_id, {grams} AS grams,
+  SELECT doc_id, {hgrams} AS grams,
          CAST(FLOOR(len(toks) / {band}.0) AS INT) AS lband, toks[1] AS tok0
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {table})
 )
@@ -298,7 +322,7 @@ def minhash_pairs_checked(
         .distinct()
     )
     g = docs.join(cand_ids, "doc_id", "semi").select(
-        "doc_id", _shingle_col(n).alias("grams")
+        "doc_id", _hashed_shingle_col(n).alias("grams")
     )
     inter = F.size(F.array_intersect(F.col("ga.grams"), F.col("gb.grams")))
     union = F.size(F.col("ga.grams")) + F.size(F.col("gb.grams")) - inter
@@ -356,13 +380,18 @@ WITH g AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bandrows a JOIN bandrows b
     ON a.band = b.band AND {band_eq} AND a.doc_id < b.doc_id
+), gh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(list_transform(grams, g -> md5(g)),
+           m -> {token_hash60_sql('m')})) AS grams
+  FROM g
 )
 SELECT c.doc_a, c.doc_b,
        CAST(FLOOR(100.0 * len(list_intersect(ga.grams, gb.grams)) /
             (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)))) AS BIGINT) AS jac_pct
 FROM cand c
-JOIN g ga ON ga.doc_id = c.doc_a
-JOIN g gb ON gb.doc_id = c.doc_b
+JOIN gh ga ON ga.doc_id = c.doc_a
+JOIN gh gb ON gb.doc_id = c.doc_b
 """
 
 

@@ -112,7 +112,10 @@ def connected_components(
     stats: tuple | None = None
     for _ in range(max_iter):
         prev, prev_stats = e, stats
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # lazy checkpoint: the stats probe below is the round's ONLY job —
+        # it materializes the checkpoint as it aggregates (an eager
+        # localCheckpoint would spend a second full pass per round)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         stats = _edge_stats(e)
         if stats == prev_stats and _edge_sets_equal(prev, e):
             break
