@@ -1315,6 +1315,86 @@ def _geohash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "x", "y")
 
 
+def _snap_to_road(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map matching: every doc snapped to its nearest axis-aligned road
+    segment (`operators/spatial_join.py::snap_to_road` — exact integer
+    clamp distance, one codegen projection, zero shuffle)."""
+    from hilbert_curve_spark.operators.spatial_join import snap_to_road
+
+    return snap_to_road(_doc_geo(spark, sf_dir), W.ROADS)
+
+
+def _snap_to_road_oracle() -> str:
+    from hilbert_curve_spark.operators.spatial_join import snap_to_road_oracle
+
+    return f"{_doc_geo_cte()}, {snap_to_road_oracle(W.ROADS)}"
+
+
+def _grq_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal time travel: the R1 box over the live set AS OF
+    version 2 (after the deletes, before the re-adds) — the Iceberg
+    snapshot-as-of read composed with the Hilbert range query.  Same
+    cover-pruned scan as grq_range; the as-of fold is one window shuffle
+    over the (version-pruned) delta log."""
+    live = upd_ops.merge_as_of(
+        upd_ops.build_update_stream(spark, sf_dir), ASOF_VERSION
+    )
+    dg = _doc_geo(spark, sf_dir).join(live.select("doc_id"), "doc_id", "semi")
+    return rq.grq_range_mode(dg, **W.R1).select("doc_id", "x", "y")
+
+
+def _grq_asof_oracle() -> str:
+    live = upd_ops.merge_as_of_sql(upd_ops.update_stream_sql(), ASOF_VERSION)
+    return (
+        f"{_doc_geo_cte()}, live AS ({live}) "
+        f"SELECT d.doc_key AS doc_id, d.x, d.y FROM doc_geo d "
+        f"JOIN live l ON d.doc_key = l.doc_id WHERE {W.box_sql(W.R1)}"
+    )
+
+
+def _heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CMS heavy hitters end-to-end: the documents table replayed
+    through a file-source stream builds the depth×width hash histogram and
+    the exact probe counts as two bounded-state complete-mode streams
+    (`streaming/doc_streams.py`); the probe-side estimate joins the
+    finished (tiny) results in batch.  Equals the batch sketch bit-for-bit,
+    so the batch CMS oracle applies unchanged."""
+    from hilbert_curve_spark.operators.textops import (
+        DEFAULT_CMS_PROBES,
+        _cms_col_sql,
+    )
+    from hilbert_curve_spark.streaming import doc_streams as ds
+
+    depth, width = 4, 256
+    hist = _run_stream_to_df(
+        spark, ds.cms_hist_stream(ds.read_docs_stream(spark, sf_dir), depth, width),
+        "complete", "drv_cms",
+    )
+    exact = _run_stream_to_df(
+        spark,
+        ds.probe_counts_stream(ds.read_docs_stream(spark, sf_dir), DEFAULT_CMS_PROBES),
+        "complete", "drv_cms_exact",
+    )
+    probe_df = spark.createDataFrame([(p,) for p in DEFAULT_CMS_PROBES], "kw string")
+    probe_cells = probe_df.withColumn(
+        "d", F.explode(F.expr(f"sequence(0, {depth - 1})"))
+    ).withColumn("c", F.expr(_cms_col_sql("kw", "d", width)))
+    est = (
+        probe_cells.join(hist, ["d", "c"], "left")
+        .groupBy("kw")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_est"))
+    )
+    return (
+        probe_df.join(exact, "kw", "left")
+        .join(est, "kw")
+        .select(
+            "kw",
+            F.coalesce(F.col("n_exact"), F.lit(0)).alias("exact_n"),
+            F.col("cms_est"),
+        )
+    )
+
+
 def _span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-sequence integrity, driver-checked (input_hint invariant): the
     interleaved arrays ride a real hash shuffle, then every span's content +
@@ -1380,6 +1460,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_cells": _geohash_cells,
         "geohash_search": _geohash_search,
         "grq_manifest": _grq_manifest,
+        "snap_to_road": _snap_to_road,
+        "grq_asof": _grq_asof,
+        "heavy_hitters_stream": _heavy_hitters_stream,
         # -- round-3 green ----------------------------------------------------
         "knn_join": _knn_join,
         "distance_pairs": _distance_pairs,
@@ -1592,6 +1675,9 @@ def oracle_sql() -> dict[str, str]:
         "grq_manifest": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R2)}"
         ),
+        "snap_to_road": _snap_to_road_oracle(),
+        "grq_asof": _grq_asof_oracle(),
+        "heavy_hitters_stream": textops.heavy_hitters_cms_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

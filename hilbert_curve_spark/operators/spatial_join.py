@@ -688,3 +688,81 @@ FROM rects a, rects b
 WHERE a.doc_key < b.doc_key
   AND a.x_lo <= b.x_hi AND b.x_lo <= a.x_hi
   AND a.y_lo <= b.y_hi AND b.y_lo <= a.y_hi"""
+
+
+# ---------------------------------------------------------------------------
+# Snap-to-road: nearest axis-aligned road segment (map matching primitive)
+# ---------------------------------------------------------------------------
+
+
+def snap_to_road(
+    doc_geo: DataFrame,
+    roads: list[tuple[str, int, int, int, int]],
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Map-matching primitive: every doc snapped to its nearest road segment
+    — (doc_id, road_id, dist2), deterministic tie-break on road_id.
+
+    Roads are AXIS-ALIGNED segments ``(road_id, ax, ay, bx, by)`` with
+    ``ax == bx`` or ``ay == by`` (asserted) — the Manhattan-grid road model.
+    Axis-parallel segments make the point-to-segment distance EXACT integer
+    arithmetic: projection onto the segment is per-axis clamping, so
+    ``dist2 = clamp_dx^2 + clamp_dy^2`` with no division — which is what
+    lets the argmin be oracle-checked bit-for-bit (arbitrary-orientation
+    segments have rational ``cross^2/len2`` distances whose exact argmin
+    needs a cross-multiplied compare that overflows int64; the boolean
+    within-radius form of that test is ``corridor_search``).
+
+    Physical plan mirrors ``nearest_join``: the road list folds into a
+    LITERAL struct array, the whole operator is one codegen projection
+    (``transform`` + ``array_min``) — zero shuffle, zero join,
+    embarrassingly partition-parallel.  For large road networks use the
+    cell-bucketed broadcast form (``nearest_join_bucketed``'s shape, keyed
+    on the cells each segment's inflated bbox covers)."""
+    for rid, ax, ay, bx, by in roads:
+        if ax != bx and ay != by:
+            raise ValueError(f"road {rid} is not axis-aligned")
+    structs = ", ".join(
+        f"named_struct('xlo', {min(ax, bx)}L, 'xhi', {max(ax, bx)}L, "
+        f"'ylo', {min(ay, by)}L, 'yhi', {max(ay, by)}L, 'road_id', '{rid}')"
+        for rid, ax, ay, bx, by in roads
+    )
+    dx = "greatest(r.xlo - x, x - r.xhi, 0L)"
+    dy = "greatest(r.ylo - y, y - r.yhi, 0L)"
+    best = F.expr(
+        f"array_min(transform(array({structs}), r -> named_struct("
+        f"'dist2', {dx} * {dx} + {dy} * {dy}, 'road_id', r.road_id)))"
+    )
+    return doc_geo.withColumn("b", best).select(
+        "doc_id",
+        F.col("b.road_id").alias("road_id"),
+        F.col("b.dist2").alias("dist2"),
+    )
+
+
+def snap_to_road_oracle(
+    roads: list[tuple[str, int, int, int, int]], doc_geo_table: str = "doc_geo"
+) -> str:
+    """DuckDB oracle: the identical clamp arithmetic over a VALUES table
+    (BIGINT-cast — bare VALUES are INT32) + window argmin with the same
+    (dist2, road_id) tie-break."""
+    vals = ", ".join(
+        "('{rid}', {v})".format(
+            rid=rid,
+            v=", ".join(
+                f"CAST({v} AS BIGINT)"
+                for v in (min(ax, bx), max(ax, bx), min(ay, by), max(ay, by))
+            ),
+        )
+        for rid, ax, ay, bx, by in roads
+    )
+    dx = "greatest(r.xlo - d.x, d.x - r.xhi, 0)"
+    dy = "greatest(r.ylo - d.y, d.y - r.yhi, 0)"
+    d2 = f"({dx} * {dx} + {dy} * {dy})"
+    return f"""roads(road_id, xlo, xhi, ylo, yhi) AS (VALUES {vals}),
+rk AS (
+  SELECT d.doc_key AS doc_id, r.road_id, {d2} AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY d.doc_key ORDER BY {d2}, r.road_id) AS rn
+  FROM {doc_geo_table} d, roads r
+)
+SELECT doc_id, road_id, dist2 FROM rk WHERE rn = 1"""

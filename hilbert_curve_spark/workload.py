@@ -71,6 +71,22 @@ RANKED_SCALE = 10**9
 ROUTE = [(900, 900), (1200, 1100), (2048, 2048), (3000, 3100), (3300, 3300)]
 CORRIDOR_R = 48
 
+# Snap-to-road: AXIS-ALIGNED road segments (road_id, ax, ay, bx, by) — the
+# Manhattan-grid map-matching model.  Axis-parallel segments keep the
+# nearest-segment distance exact-integer (projection = clamping, no
+# division), so the snap argmin is oracle-checkable bit-for-bit.  Partial
+# segments (not full chords) so endpoint clamping is actually exercised.
+ROADS = [
+    ("r_h1", 700, 1000, 1500, 1000),
+    ("r_h2", 2600, 3100, 3400, 3100),
+    ("r_h3", 1800, 2060, 2300, 2060),
+    ("r_h4", 100, 3900, 900, 3900),
+    ("r_v1", 1050, 700, 1050, 1400),
+    ("r_v2", 3050, 2700, 3050, 3500),
+    ("r_v3", 2048, 1800, 2048, 2300),
+    ("r_v4", 3900, 200, 3900, 900),
+]
+
 # DBSCAN: eps/min_pts sized for the fixture's Irwin-Hall hot-spot density
 # (measured at sf0.01/amp16: ~200 clusters, max component 15 — small dense
 # clumps, no percolation, so the oracle's recursive closure stays linear-ish).

@@ -532,3 +532,64 @@ def test_cell_kmv_matches_python(spark, sf_dir):
     for g, (nd, est) in got.items():
         if nd > k:
             assert nd / 3 <= est <= nd * 3, (g, nd, est)
+
+
+# ---------------------------------------------------------------------------
+# snap_to_road
+# ---------------------------------------------------------------------------
+
+
+def _brute_snap(pts, roads):
+    out = {}
+    for i, (x, y) in enumerate(pts):
+        best = None
+        for rid, ax, ay, bx, by in roads:
+            dx = max(min(ax, bx) - x, x - max(ax, bx), 0)
+            dy = max(min(ay, by) - y, y - max(ay, by), 0)
+            key = (dx * dx + dy * dy, rid)
+            if best is None or key < best:
+                best = key
+        out[f"d{i:04d}"] = (best[1], best[0])
+    return out
+
+
+def test_snap_to_road_matches_brute_force(spark):
+    from hilbert_curve_spark.workload import ROADS
+    from hilbert_curve_spark.operators.spatial_join import snap_to_road
+
+    pts = _lcg_points(400)
+    got = {
+        r.doc_id: (r.road_id, r.dist2)
+        for r in snap_to_road(_geo(spark, pts), ROADS).collect()
+    }
+    assert got == _brute_snap(pts, ROADS)
+
+
+def test_snap_tie_break_is_deterministic(spark):
+    from hilbert_curve_spark.operators.spatial_join import snap_to_road
+
+    # equidistant between two parallel roads -> lexicographically smaller id
+    roads = [("r_b", 0, 10, 100, 10), ("r_a", 0, 30, 100, 30)]
+    got = snap_to_road(_geo(spark, [(50, 20)]), roads).collect()[0]
+    assert (got.road_id, got.dist2) == ("r_a", 100)
+
+
+def test_snap_rejects_diagonal_roads(spark):
+    from hilbert_curve_spark.operators.spatial_join import snap_to_road
+
+    with pytest.raises(ValueError, match="axis-aligned"):
+        snap_to_road(_geo(spark, [(0, 0)]), [("diag", 0, 0, 10, 10)])
+
+
+def test_snap_plan_no_python_no_join(spark):
+    from hilbert_curve_spark.workload import ROADS
+    from hilbert_curve_spark.operators.spatial_join import snap_to_road
+
+    plan = (
+        snap_to_road(_geo(spark, [(1, 2)]), ROADS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Join", "Exchange"):
+        assert bad not in plan
