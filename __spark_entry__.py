@@ -1330,6 +1330,31 @@ def _snap_to_road_oracle() -> str:
     return f"{_doc_geo_cte()}, {snap_to_road_oracle(W.ROADS)}"
 
 
+ROADS_LARGE = W.road_grid(16)
+ROAD_SNAP_RADIUS = W.road_cover_radius(16)
+
+
+def _road_snap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-road-network snap: cell-bucketed broadcast join + argmin
+    aggregation (the at-scale successor of the literal snap_to_road).
+    The street grid covers the domain at the radius, so nothing drops."""
+    from hilbert_curve_spark.operators.spatial_join import snap_to_road_bucketed
+
+    return snap_to_road_bucketed(
+        _doc_geo(spark, sf_dir), ROADS_LARGE, ROAD_SNAP_RADIUS, DEFAULT
+    )
+
+
+def _road_snap_join_oracle() -> str:
+    from hilbert_curve_spark.operators.spatial_join import (
+        snap_to_road_bucketed_oracle,
+    )
+
+    return f"{_doc_geo_cte()}, " + snap_to_road_bucketed_oracle(
+        ROADS_LARGE, ROAD_SNAP_RADIUS
+    )
+
+
 def _grq_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatio-temporal time travel: the R1 box over the live set AS OF
     version 2 (after the deletes, before the re-adds) — the Iceberg
@@ -1461,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_search": _geohash_search,
         "grq_manifest": _grq_manifest,
         "snap_to_road": _snap_to_road,
+        "road_snap_join": _road_snap_join,
         "grq_asof": _grq_asof,
         "heavy_hitters_stream": _heavy_hitters_stream,
         # -- round-3 green ----------------------------------------------------
@@ -1676,6 +1702,7 @@ def oracle_sql() -> dict[str, str]:
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R2)}"
         ),
         "snap_to_road": _snap_to_road_oracle(),
+        "road_snap_join": _road_snap_join_oracle(),
         "grq_asof": _grq_asof_oracle(),
         "heavy_hitters_stream": textops.heavy_hitters_cms_oracle(),
         "zorder_range": (

@@ -766,3 +766,86 @@ rk AS (
   FROM {doc_geo_table} d, roads r
 )
 SELECT doc_id, road_id, dist2 FROM rk WHERE rn = 1"""
+
+
+def snap_to_road_bucketed(
+    doc_geo: DataFrame,
+    roads: list[tuple[str, int, int, int, int]],
+    radius: int,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Snap-to-road for LARGE road networks — (doc_id, road_id, dist2),
+    nearest axis-aligned segment within ``radius``, tie-break on road_id.
+
+    The cell-bucketed at-scale successor of the literal ``snap_to_road``
+    (same pairing as nearest_join -> nearest_join_bucketed): each road's
+    radius-inflated bounding box expands driver-side to the grid cells it
+    covers (a segment is long and thin, so this is O(length/cell) cells per
+    road) and broadcasts; every doc hash-joins on its HOME cell only (zero
+    doc-side shuffle, no BNLJ), the exact clamp distance runs as a join
+    residual, and the per-doc argmin is a map-side-combinable
+    ``min(struct)`` hash aggregation.  The cell expansion is LOSSLESS for
+    within-``radius`` semantics at any cell size: a doc within ``radius``
+    of a road has its home cell inside the road's inflated bbox.
+
+    EXACT global nearest when the road set covers the domain at ``radius``
+    (e.g. ``workload.road_grid`` with ``road_cover_radius``); docs with no
+    road within ``radius`` drop (within-radius semantics)."""
+    for rid, ax, ay, bx, by in roads:
+        if ax != bx and ay != by:
+            raise ValueError(f"road {rid} is not axis-aligned")
+    s = _cell_shift(radius)
+    edge = config.edge
+    r2 = radius * radius
+    spark = doc_geo.sparkSession
+    rows = []
+    for rid, ax, ay, bx, by in roads:
+        xlo, xhi = min(ax, bx), max(ax, bx)
+        ylo, yhi = min(ay, by), max(ay, by)
+        for cx in range(max(0, xlo - radius) >> s, (min(edge - 1, xhi + radius) >> s) + 1):
+            for cy in range(max(0, ylo - radius) >> s, (min(edge - 1, yhi + radius) >> s) + 1):
+                rows.append((rid, xlo, xhi, ylo, yhi, cx * edge + cy))
+    road_df = spark.createDataFrame(
+        rows, "road_id string, xlo long, xhi long, ylo long, yhi long, ck long"
+    )
+    dx = F.greatest(F.col("xlo") - F.col("x"), F.col("x") - F.col("xhi"), F.lit(0))
+    dy = F.greatest(F.col("ylo") - F.col("y"), F.col("y") - F.col("yhi"), F.lit(0))
+    cand = (
+        doc_geo.withColumn("ck", F.shiftright("x", s) * edge + F.shiftright("y", s))
+        .join(F.broadcast(road_df), "ck")
+        .withColumn("dist2", (dx * dx + dy * dy).cast("long"))
+        .filter(F.col("dist2") <= r2)
+    )
+    best = cand.groupBy("doc_id").agg(F.min(F.struct("dist2", "road_id")).alias("b"))
+    return best.select(
+        "doc_id", F.col("b.road_id").alias("road_id"), F.col("b.dist2").alias("dist2")
+    )
+
+
+def snap_to_road_bucketed_oracle(
+    roads: list[tuple[str, int, int, int, int]],
+    radius: int,
+    doc_geo_table: str = "doc_geo",
+) -> str:
+    """DuckDB oracle: plain docs x roads within-radius nearest with the same
+    clamp arithmetic and (dist2, road_id) tie-break."""
+    vals = ", ".join(
+        "('{rid}', {v})".format(
+            rid=rid,
+            v=", ".join(
+                f"CAST({v} AS BIGINT)"
+                for v in (min(ax, bx), max(ax, bx), min(ay, by), max(ay, by))
+            ),
+        )
+        for rid, ax, ay, bx, by in roads
+    )
+    dx = "greatest(r.xlo - d.x, d.x - r.xhi, 0)"
+    dy = "greatest(r.ylo - d.y, d.y - r.yhi, 0)"
+    d2 = f"({dx} * {dx} + {dy} * {dy})"
+    return f"""roads(road_id, xlo, xhi, ylo, yhi) AS (VALUES {vals}),
+rk AS (
+  SELECT d.doc_key AS doc_id, r.road_id, {d2} AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY d.doc_key ORDER BY {d2}, r.road_id) AS rn
+  FROM {doc_geo_table} d, roads r WHERE {d2} <= {radius * radius}
+)
+SELECT doc_id, road_id, dist2 FROM rk WHERE rn = 1"""

@@ -87,6 +87,33 @@ ROADS = [
     ("r_v4", 3900, 200, 3900, 900),
 ]
 
+
+def road_grid(
+    n_per_axis: int = 16, edge: int = EDGE
+) -> list[tuple[str, int, int, int, int]]:
+    """A full street grid for the bucketed snap variant: ``n_per_axis``
+    jittered vertical + horizontal chords (2*n roads).  Full chords make
+    the set COVERING: every lattice point is within ``road_cover_radius``
+    of some street, so the within-radius bucketed snap drops nothing."""
+    step = edge // n_per_axis
+    j = step // 8
+    out = []
+    for i in range(n_per_axis):
+        jv = ((i * 67 + 13) % (2 * j + 1)) - j
+        jh = ((i * 29 + 5) % (2 * j + 1)) - j
+        xv = min(edge - 1, max(0, i * step + step // 2 + jv))
+        yh = min(edge - 1, max(0, i * step + step // 2 + jh))
+        out.append((f"sv{i:02d}", xv, 0, xv, edge - 1))
+        out.append((f"sh{i:02d}", 0, yh, edge - 1, yh))
+    return out
+
+
+def road_cover_radius(n_per_axis: int = 16, edge: int = EDGE) -> int:
+    """Max distance from any lattice point to the nearest `road_grid`
+    street: half the spacing plus the jitter bound."""
+    step = edge // n_per_axis
+    return step // 2 + step // 8 + 1
+
 # DBSCAN: eps/min_pts sized for the fixture's Irwin-Hall hot-spot density
 # (measured at sf0.01/amp16: ~200 clusters, max component 15 — small dense
 # clumps, no percolation, so the oracle's recursive closure stays linear-ish).

@@ -593,3 +593,40 @@ def test_snap_plan_no_python_no_join(spark):
     )
     for bad in ("BatchEvalPython", "ArrowEvalPython", "Join", "Exchange"):
         assert bad not in plan
+
+
+def test_snap_bucketed_matches_literal_on_covering_grid(spark):
+    from hilbert_curve_spark.workload import road_grid, road_cover_radius
+    from hilbert_curve_spark.operators.spatial_join import (
+        snap_to_road,
+        snap_to_road_bucketed,
+    )
+
+    roads = road_grid(8)
+    r = road_cover_radius(8)
+    pts = _lcg_points(400)
+    geo = _geo(spark, pts)
+    got = {
+        (x.doc_id, x.road_id, x.dist2)
+        for x in snap_to_road_bucketed(geo, roads, r).collect()
+    }
+    want = {
+        (x.doc_id, x.road_id, x.dist2) for x in snap_to_road(geo, roads).collect()
+    }
+    # covering grid: global nearest == within-radius nearest, nothing drops
+    assert got == want and len(got) == len(pts)
+
+
+def test_snap_bucketed_plan_no_bnlj(spark):
+    from hilbert_curve_spark.workload import road_grid, road_cover_radius
+    from hilbert_curve_spark.operators.spatial_join import snap_to_road_bucketed
+
+    plan = (
+        snap_to_road_bucketed(_geo(spark, [(1, 2)]), road_grid(8), road_cover_radius(8))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython"):
+        assert bad not in plan
