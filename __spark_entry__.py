@@ -781,6 +781,16 @@ def _od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traj_ops.od_flows(_events(spark, sf_dir), window_minutes=60, cell_shift=8)
 
 
+HAUS_MAX = 512
+
+
+def _traj_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-similarity join: user pairs within symmetric Hausdorff
+    distance over their stay-centroid trajectories (blocked candidates,
+    exact max-min fold — `operators/trajectory.py::hausdorff_pairs`)."""
+    return traj_ops.hausdorff_pairs(_events(spark, sf_dir), max_h=HAUS_MAX)
+
+
 def _colocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-location join over stay points: 9-cell lossless blocking +
     interval-overlap residual — never an all-pairs product."""
@@ -1377,6 +1387,48 @@ def _grq_asof_oracle() -> str:
     )
 
 
+CHANGE_SHIFT = 6
+SAMPLE_K = 5
+
+
+def _cell_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal change detection: per-cell live-doc counts at the
+    v2 and v3 snapshot horizons and their delta (`operators/rollup.py::
+    cell_change` — one log fold computes both memberships, one corpus
+    join + one aggregation builds both histograms)."""
+    from hilbert_curve_spark.operators.rollup import cell_change
+
+    return cell_change(
+        _doc_geo(spark, sf_dir),
+        upd_ops.build_update_stream(spark, sf_dir),
+        v_before=ASOF_VERSION,
+        v_after=3,
+        shift=CHANGE_SHIFT,
+    )
+
+
+def _cell_change_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import cell_change_oracle
+
+    return f"{_doc_geo_cte()}, " + cell_change_oracle(
+        upd_ops.update_stream_sql(), ASOF_VERSION, 3, CHANGE_SHIFT
+    )
+
+
+def _cell_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatially stratified sample: at most k docs per occupied cell,
+    deterministic md5 rank (the geographic-balance curation op)."""
+    from hilbert_curve_spark.operators.rollup import cell_sample
+
+    return cell_sample(_doc_geo(spark, sf_dir), SAMPLE_K, CHANGE_SHIFT)
+
+
+def _cell_sample_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import cell_sample_oracle
+
+    return f"{_doc_geo_cte()}, " + cell_sample_oracle(SAMPLE_K, CHANGE_SHIFT)
+
+
 def _heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CMS heavy hitters end-to-end: the documents table replayed
     through a file-source stream builds the depth×width hash histogram and
@@ -1488,6 +1540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_to_road": _snap_to_road,
         "road_snap_join": _road_snap_join,
         "grq_asof": _grq_asof,
+        "cell_change": _cell_change,
+        "cell_sample": _cell_sample,
+        "traj_hausdorff": _traj_hausdorff,
         "heavy_hitters_stream": _heavy_hitters_stream,
         # -- round-3 green ----------------------------------------------------
         "knn_join": _knn_join,
@@ -1704,6 +1759,9 @@ def oracle_sql() -> dict[str, str]:
         "snap_to_road": _snap_to_road_oracle(),
         "road_snap_join": _road_snap_join_oracle(),
         "grq_asof": _grq_asof_oracle(),
+        "cell_change": _cell_change_oracle(),
+        "cell_sample": _cell_sample_oracle(),
+        "traj_hausdorff": traj_ops.hausdorff_pairs_oracle(max_h=HAUS_MAX),
         "heavy_hitters_stream": textops.heavy_hitters_cms_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"

@@ -217,3 +217,133 @@ def focal_stats_oracle(shift: int = 6) -> str:
 )
 SELECT c.gx, c.gy, c.n_docs, f.focal_n
 FROM cells c JOIN focal f ON c.gx = f.tgx AND c.gy = f.tgy"""
+
+
+# ---------------------------------------------------------------------------
+# Change detection between two snapshot horizons
+# ---------------------------------------------------------------------------
+
+
+def cell_change(
+    doc_geo: DataFrame,
+    update_log: DataFrame,
+    v_before: int,
+    v_after: int,
+    shift: int = 6,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Spatio-temporal change map: per grid cell, the live-doc count at two
+    snapshot horizons of the delta log and their difference —
+    ``(cell, n_before, n_after, delta)``.
+
+    ONE pass over the log computes BOTH horizons' memberships (per doc,
+    ``max_by(op, version)`` restricted to each horizon via an aggregate
+    FILTER — versions are unique per doc, so the fold is deterministic),
+    then ONE corpus-side join + ONE hash aggregation builds both
+    histograms simultaneously (``SUM`` of the membership flags).  That is
+    the incremental-view shape: two LWW folds never scan the corpus twice,
+    and the join key is doc_id — co-partitioned with a doc-bucketed layout,
+    i.e. shuffle-free on the big side at scale.  Cells whose docs were all
+    deleted at both horizons stay in the result with zero counts (the
+    histogram is over log-covered docs, identically in the oracle)."""
+    edge_cells = config.edge >> shift
+    mem = update_log.groupBy("doc_id").agg(
+        F.expr(f"max_by(op, version) FILTER (WHERE version <= {v_before})").alias("opb"),
+        F.expr(f"max_by(op, version) FILTER (WHERE version <= {v_after})").alias("opa"),
+    )
+    flags = mem.select(
+        "doc_id",
+        (F.col("opb") == "add").cast("long").alias("in_b"),
+        (F.col("opa") == "add").cast("long").alias("in_a"),
+    )
+    cell = F.shiftright("x", shift) * edge_cells + F.shiftright("y", shift)
+    return (
+        doc_geo.join(flags, "doc_id")
+        .groupBy(cell.alias("cell"))
+        .agg(
+            F.sum("in_b").cast("long").alias("n_before"),
+            F.sum("in_a").cast("long").alias("n_after"),
+        )
+        .withColumn("delta", (F.col("n_after") - F.col("n_before")).cast("long"))
+    )
+
+
+def cell_change_oracle(
+    stream_sql: str,
+    v_before: int,
+    v_after: int,
+    shift: int = 6,
+    doc_geo_table: str = "doc_geo",
+    config: EngineConfig = DEFAULT,
+) -> str:
+    """DuckDB oracle: identical one-pass two-horizon fold (``arg_max`` +
+    FILTER) and cell histogram.  SUMs are BIGINT-cast (DuckDB SUM(BIGINT)
+    is HUGEINT — the r1/r2 dtype lesson)."""
+    edge_cells = config.edge >> shift
+    w = 1 << shift
+    return f"""log AS ({stream_sql}),
+mem AS (
+  SELECT doc_id,
+         arg_max(op, version) FILTER (WHERE version <= {v_before}) AS opb,
+         arg_max(op, version) FILTER (WHERE version <= {v_after}) AS opa
+  FROM log GROUP BY doc_id
+)
+SELECT (d.x // {w}) * {edge_cells} + (d.y // {w}) AS cell,
+       CAST(SUM(CASE WHEN m.opb = 'add' THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+       CAST(SUM(CASE WHEN m.opa = 'add' THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+       CAST(SUM(CASE WHEN m.opa = 'add' THEN 1 ELSE 0 END)
+          - SUM(CASE WHEN m.opb = 'add' THEN 1 ELSE 0 END) AS BIGINT) AS delta
+FROM {doc_geo_table} d JOIN mem m ON d.doc_key = m.doc_id
+GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Spatially stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def cell_sample(
+    doc_geo: DataFrame, k: int, shift: int = 6, config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """Deterministic spatially stratified sample: at most ``k`` docs per
+    occupied grid cell — ``(doc_id, cell)``.  The geographic-balance
+    counterpart of ``textops.stratified_sample`` (per-language): training
+    corpora over-represent dense metros; capping per cell flattens the
+    spatial distribution.
+
+    Rank within a cell is the md5 of the doc id (content-independent,
+    engine-neutral, no RNG state) with doc_id as the total-order tie-break;
+    ONE window shuffle on the cell key.  At scale the window never
+    materializes a cell's full membership — rank + filter streams within
+    each sorted partition, and hot cells are exactly the skew the salted
+    histogram documents (cap-and-log applies)."""
+    from pyspark.sql import Window
+
+    edge_cells = config.edge >> shift
+    cell = F.shiftright("x", shift) * edge_cells + F.shiftright("y", shift)
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("doc_id").cast("binary")), "doc_id"
+    )
+    return (
+        doc_geo.withColumn("cell", cell)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "cell")
+    )
+
+
+def cell_sample_oracle(
+    k: int, shift: int = 6, doc_geo_table: str = "doc_geo",
+    config: EngineConfig = DEFAULT,
+) -> str:
+    edge_cells = config.edge >> shift
+    w = 1 << shift
+    return f"""rk AS (
+  SELECT doc_key AS doc_id,
+         (x // {w}) * {edge_cells} + (y // {w}) AS cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY (x // {w}) * {edge_cells} + (y // {w})
+           ORDER BY md5(doc_key), doc_key) AS rn
+  FROM {doc_geo_table}
+)
+SELECT doc_id, cell FROM rk WHERE rn <= {k}"""

@@ -392,3 +392,170 @@ def od_flows_oracle(
 SELECT window_start_s, o_cell, d_cell, COUNT(*) AS n_flows
 FROM od
 GROUP BY window_start_s, o_cell, d_cell"""
+
+
+def hausdorff_pairs(
+    events: DataFrame,
+    max_h: int = 512,
+    radius: int = 1200,
+    gap_minutes: int = 720,
+    min_minutes: int = 60,
+    min_points: int = 3,
+) -> DataFrame:
+    """Trajectory-similarity join: pairs of users whose stay-point
+    trajectories are within symmetric Hausdorff distance ``max_h``
+    (compared squared — exact integers) — ``(user_a, user_b, haus2)``
+    with ``user_a < user_b``.
+
+    ``H(A,B) = max(h(A,B), h(B,A))``, ``h(A,B) = max_a min_b d2(a,b)``
+    over the users' stay CENTROIDS (the aggregated trajectory — orders of
+    magnitude smaller than raw pings, which is what makes the exact
+    max-min affordable).
+
+    Physical plan, never all-pairs:
+
+    1. candidate pairs — the 9-cell blocked stay join (cell >= max_h):
+       ``H <= max_h`` forces EVERY a-stay within ``max_h`` of B, so in
+       particular some stay pair is within ``max_h`` and the blocking is
+       recall-COMPLETE; distinct to user pairs.
+    2. the (candidate x stays_a x stays_b) frame — two hash joins on
+       user id; its size is candidates x |A| x |B|, bounded because stays
+       per user are bounded (they are stays, not pings).
+    3. both directed distances as two (groupBy min -> groupBy max)
+       aggregation chains on the pair key; symmetric H = greatest of the
+       two, filtered to ``max_h``.
+
+    All shuffles are hash aggregations/joins on pair or user keys — no
+    window sort, no product beyond the blocked candidates."""
+    from .spatial_join import _cell_shift
+    from ..sources.derive import EDGE
+
+    h2 = int(max_h) * int(max_h)
+    s = _cell_shift(int(max_h))
+    stays = stay_points(
+        events, radius=radius, gap_minutes=gap_minutes,
+        min_minutes=min_minutes, min_points=min_points,
+    )
+
+    offs = ", ".join(
+        f"named_struct('dx', {dx}L, 'dy', {dy}L)"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    probe = (
+        stays.select(
+            F.col("user_id").alias("user_a"),
+            F.col("cx").alias("pcx"),
+            F.col("cy").alias("pcy"),
+        )
+        .withColumn("o", F.explode(F.expr(f"array({offs})")))
+        .withColumn(
+            "ck",
+            (F.shiftright("pcx", s) + F.col("o.dx")) * EDGE
+            + F.shiftright("pcy", s)
+            + F.col("o.dy"),
+        )
+    )
+    home = stays.select(
+        F.col("user_id").alias("user_b"),
+        F.col("cx").alias("hcx"),
+        F.col("cy").alias("hcy"),
+    ).withColumn("ck", F.shiftright("hcx", s) * EDGE + F.shiftright("hcy", s))
+    cd2 = (
+        (F.col("pcx") - F.col("hcx")) ** 2 + (F.col("pcy") - F.col("hcy")) ** 2
+    ).cast("long")
+    cand = (
+        probe.join(home, "ck")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .filter(cd2 <= F.lit(h2))
+        .select("user_a", "user_b")
+        .distinct()
+    )
+    sa = stays.select(
+        F.col("user_id").alias("user_a"),
+        F.col("stay_id").alias("stay_a"),
+        F.col("cx").alias("ax"),
+        F.col("cy").alias("ay"),
+    )
+    sb = stays.select(
+        F.col("user_id").alias("user_b"),
+        F.col("stay_id").alias("stay_b"),
+        F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+    )
+    d2 = (
+        (F.col("ax") - F.col("bx")) ** 2 + (F.col("ay") - F.col("by")) ** 2
+    ).cast("long")
+    tri = cand.join(sa, "user_a").join(sb, "user_b").withColumn("d2", d2)
+    h_ab = (
+        tri.groupBy("user_a", "user_b", "stay_a")
+        .agg(F.min("d2").alias("mn"))
+        .groupBy("user_a", "user_b")
+        .agg(F.max("mn").alias("h_ab"))
+    )
+    h_ba = (
+        tri.groupBy("user_a", "user_b", "stay_b")
+        .agg(F.min("d2").alias("mn"))
+        .groupBy("user_a", "user_b")
+        .agg(F.max("mn").alias("h_ba"))
+    )
+    return (
+        h_ab.join(h_ba, ["user_a", "user_b"])
+        .select(
+            "user_a",
+            "user_b",
+            F.greatest("h_ab", "h_ba").alias("haus2"),
+        )
+        .filter(F.col("haus2") <= F.lit(h2))
+    )
+
+
+def hausdorff_pairs_oracle(
+    max_h: int = 512,
+    radius: int = 1200,
+    gap_minutes: int = 720,
+    min_minutes: int = 60,
+    min_points: int = 3,
+    table: str = "events",
+) -> str:
+    """Identical stays derivation, blocking, and max-min fold in DuckDB."""
+    from .spatial_join import _cell_shift
+    from ..sources.derive import EDGE
+
+    h2 = int(max_h) * int(max_h)
+    s = _cell_shift(int(max_h))
+    stays_sql = stay_points_oracle(
+        radius=radius, gap_minutes=gap_minutes, min_minutes=min_minutes,
+        min_points=min_points, table=table,
+    )
+    nine = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""WITH stays AS (
+  SELECT * FROM ({stays_sql}) st
+), prb AS (
+  SELECT user_id, cx, cy, ((cx >> {s}) + dx) * {EDGE} + (cy >> {s}) + dy AS ck
+  FROM stays, (VALUES {nine}) o(dx, dy)
+), hom AS (
+  SELECT user_id, cx, cy, (cx >> {s}) * {EDGE} + (cy >> {s}) AS ck FROM stays
+), cand AS (
+  SELECT DISTINCT p.user_id AS user_a, h.user_id AS user_b
+  FROM prb p JOIN hom h ON p.ck = h.ck
+  WHERE p.user_id < h.user_id
+    AND (p.cx - h.cx) * (p.cx - h.cx) + (p.cy - h.cy) * (p.cy - h.cy) <= {h2}
+), tri AS (
+  SELECT c.user_a, c.user_b, a.stay_id AS stay_a, b.stay_id AS stay_b,
+         (a.cx - b.cx) * (a.cx - b.cx) + (a.cy - b.cy) * (a.cy - b.cy) AS d2
+  FROM cand c
+  JOIN stays a ON a.user_id = c.user_a
+  JOIN stays b ON b.user_id = c.user_b
+), dab AS (
+  SELECT user_a, user_b, MAX(mn) AS h_ab FROM (
+    SELECT user_a, user_b, stay_a, MIN(d2) AS mn FROM tri GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+), dba AS (
+  SELECT user_a, user_b, MAX(mn) AS h_ba FROM (
+    SELECT user_a, user_b, stay_b, MIN(d2) AS mn FROM tri GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+)
+SELECT x.user_a, x.user_b, GREATEST(x.h_ab, y.h_ba) AS haus2
+FROM dab x JOIN dba y ON x.user_a = y.user_a AND x.user_b = y.user_b
+WHERE GREATEST(x.h_ab, y.h_ba) <= {h2}"""

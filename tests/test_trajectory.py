@@ -250,3 +250,48 @@ def test_trajectory_plans_no_python(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     od_plan = T.od_flows(ev)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in od_plan
+
+
+# ---------------------------------------------------------------------------
+# hausdorff_pairs
+# ---------------------------------------------------------------------------
+
+
+def _brute_hausdorff(stays, max_h):
+    """Exact symmetric Hausdorff over per-user stay-centroid sets."""
+    by_user = {}
+    for uid, _sid, _n, _s, _e, cx, cy in stays:
+        by_user.setdefault(uid, []).append((cx, cy))
+    users = sorted(by_user)
+    out = set()
+    for i, ua in enumerate(users):
+        for ub in users[i + 1:]:
+            A, B = by_user[ua], by_user[ub]
+            hab = max(min((ax - bx) ** 2 + (ay - by) ** 2 for bx, by in B) for ax, ay in A)
+            hba = max(min((ax - bx) ** 2 + (ay - by) ** 2 for ax, ay in A) for bx, by in B)
+            h = max(hab, hba)
+            if h <= max_h * max_h:
+                out.add((ua, ub, h))
+    return out
+
+
+def test_hausdorff_matches_brute_force(spark, sf_dir):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    params = dict(radius=1200, gap_minutes=720, min_minutes=60, min_points=3)
+    stays = [tuple(r) for r in T.stay_points(events, **params).collect()]
+    for max_h in (512, 1024):
+        got = {
+            (r.user_a, r.user_b, r.haus2)
+            for r in T.hausdorff_pairs(events, max_h=max_h, **params).collect()
+        }
+        assert got == _brute_hausdorff(stays, max_h)
+    assert got  # the looser threshold must actually produce pairs
+
+
+def test_hausdorff_oracle_parity(spark, sf_dir):
+    out = T.hausdorff_pairs(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), max_h=512
+    )
+    assert_df_equals_oracle(out, T.hausdorff_pairs_oracle(max_h=512), sf_dir)
