@@ -35,12 +35,16 @@ _BATCHES = [
 ]
 
 
-def build_update_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_update_stream(
+    spark: SparkSession, sf_dir: str, amp: int = derive.AMP
+) -> DataFrame:
     """updates(doc_id:string, version:int, op:string) — derived workload
-    over the amplified corpus."""
+    over the amplified corpus (``amp`` must match the corpus amplification
+    so the log's doc keys cover the corpus — the driver fixture uses
+    ``derive.AMP``; the bench passes its own amplification)."""
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sids = flat.select(
-        F.expr(f"explode(sequence(0, {derive.AMP - 1}))").alias("rep"), "doc_id"
+        F.expr(f"explode(sequence(0, {amp - 1}))").alias("rep"), "doc_id"
     ).select(F.expr(derive.SID_SQL).alias("sid"))
     parts = []
     for version, op, pred in _BATCHES:
