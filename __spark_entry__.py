@@ -1429,6 +1429,116 @@ def _cell_sample_oracle() -> str:
     return f"{_doc_geo_cte()}, " + cell_sample_oracle(SAMPLE_K, CHANGE_SHIFT)
 
 
+def _adaptive_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy-capped quadtree tiling: the unique leaf antichain where
+    every leaf holds <= cap docs or is a finest cell and every ancestor
+    overflows (`operators/adaptive.py` — one salted scan + pyramid
+    algebra, no driver loop)."""
+    from hilbert_curve_spark.operators.adaptive import adaptive_cells
+
+    return adaptive_cells(
+        _doc_geo(spark, sf_dir), W.ADAPT_CAP, W.ADAPT_SHIFT, W.ADAPT_LEVELS
+    )
+
+
+def _adaptive_cells_oracle() -> str:
+    from hilbert_curve_spark.operators.adaptive import adaptive_cells_oracle
+
+    return f"{_doc_geo_cte()}, " + adaptive_cells_oracle(
+        W.ADAPT_CAP, W.ADAPT_SHIFT, W.ADAPT_LEVELS
+    )
+
+
+def _adaptive_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every doc assigned its quadtree leaf via a broadcast base-cell
+    lookup — the corpus is scanned once, never exploded."""
+    from hilbert_curve_spark.operators.adaptive import adaptive_assign
+
+    return adaptive_assign(
+        _doc_geo(spark, sf_dir), W.ADAPT_CAP, W.ADAPT_SHIFT, W.ADAPT_LEVELS
+    )
+
+
+def _adaptive_assign_oracle() -> str:
+    from hilbert_curve_spark.operators.adaptive import adaptive_assign_oracle
+
+    return f"{_doc_geo_cte()}, " + adaptive_assign_oracle(
+        W.ADAPT_CAP, W.ADAPT_SHIFT, W.ADAPT_LEVELS
+    )
+
+
+def _local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISA hot/cold-spot quadrants over the density grid: scaled-integer
+    deviations (no division, no overflow-prone product — see
+    `operators/rollup.py::local_moran`)."""
+    from hilbert_curve_spark.operators.rollup import local_moran
+
+    return local_moran(_doc_geo(spark, sf_dir), W.MORAN_SHIFT)
+
+
+def _local_moran_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import local_moran_oracle
+
+    return f"{_doc_geo_cte()}, " + local_moran_oracle(W.MORAN_SHIFT)
+
+
+def _partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth hilbert range-partitioner planning: the B-1 interior
+    split cells from the cell histogram's running sum — deterministic,
+    O(cells) after one salted scan (`operators/partitioning.py`)."""
+    from hilbert_curve_spark.operators.partitioning import partition_bounds
+
+    return partition_bounds(_doc_geo(spark, sf_dir), W.PBOUNDS_BUCKETS)
+
+
+def _partition_bounds_oracle() -> str:
+    from hilbert_curve_spark.operators.partitioning import partition_bounds_oracle
+
+    hcte = tiles_ops.hilbert_sql_cte(
+        DEFAULT.order,
+        "SELECT x AS cx, y AS cy FROM doc_geo",
+        pre_ctes=f"doc_geo AS ({derive.doc_geo_select_sql('documents')}), ",
+    )
+    return f"{hcte}, {partition_bounds_oracle(W.PBOUNDS_BUCKETS)}"
+
+
+def _knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded bulk kNN graph: every doc's k nearest in-radius
+    neighbors via the blocked pair join + one window top-k."""
+    from hilbert_curve_spark.operators.spatial_join import knn_graph
+
+    return knn_graph(_doc_geo(spark, sf_dir), W.KNN_GRAPH_K, W.KNN_GRAPH_RADIUS)
+
+
+def _knn_graph_oracle() -> str:
+    from hilbert_curve_spark.operators.spatial_join import knn_graph_oracle
+
+    return f"{_doc_geo_cte()}, " + knn_graph_oracle(
+        W.KNN_GRAPH_K, W.KNN_GRAPH_RADIUS
+    )
+
+
+def _zonal_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-weighted zonal overlay: derived doc footprints x literal zone
+    rects, exact integer intersection areas, one hash aggregation."""
+    from hilbert_curve_spark.operators.spatial_join import zonal_overlay
+
+    return zonal_overlay(
+        _doc_geo(spark, sf_dir),
+        W.ZONES,
+        W.OVERLAY_SAMPLE_MOD,
+        W.OVERLAY_MAX_EXTENT,
+    )
+
+
+def _zonal_overlay_oracle() -> str:
+    from hilbert_curve_spark.operators.spatial_join import zonal_overlay_oracle
+
+    return f"{_doc_geo_cte()}, " + zonal_overlay_oracle(
+        W.ZONES, W.OVERLAY_SAMPLE_MOD, W.OVERLAY_MAX_EXTENT
+    )
+
+
 def _heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CMS heavy hitters end-to-end: the documents table replayed
     through a file-source stream builds the depth×width hash histogram and
@@ -1543,6 +1653,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_change": _cell_change,
         "cell_sample": _cell_sample,
         "traj_hausdorff": _traj_hausdorff,
+        "adaptive_cells": _adaptive_cells,
+        "adaptive_assign": _adaptive_assign,
+        "local_moran": _local_moran,
+        "partition_bounds": _partition_bounds,
+        "knn_graph": _knn_graph,
+        "zonal_overlay": _zonal_overlay,
         "heavy_hitters_stream": _heavy_hitters_stream,
         # -- round-3 green ----------------------------------------------------
         "knn_join": _knn_join,
@@ -1762,6 +1878,12 @@ def oracle_sql() -> dict[str, str]:
         "cell_change": _cell_change_oracle(),
         "cell_sample": _cell_sample_oracle(),
         "traj_hausdorff": traj_ops.hausdorff_pairs_oracle(max_h=HAUS_MAX),
+        "adaptive_cells": _adaptive_cells_oracle(),
+        "adaptive_assign": _adaptive_assign_oracle(),
+        "local_moran": _local_moran_oracle(),
+        "partition_bounds": _partition_bounds_oracle(),
+        "knn_graph": _knn_graph_oracle(),
+        "zonal_overlay": _zonal_overlay_oracle(),
         "heavy_hitters_stream": textops.heavy_hitters_cms_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"

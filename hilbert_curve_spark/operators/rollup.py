@@ -347,3 +347,103 @@ def cell_sample_oracle(
   FROM {doc_geo_table}
 )
 SELECT doc_id, cell FROM rk WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Local spatial autocorrelation (LISA quadrants — hot/cold-spot analysis)
+# ---------------------------------------------------------------------------
+
+
+def local_moran(
+    doc_geo: DataFrame, shift: int = 6, config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """Local Moran's-I quadrant per occupied grid cell — the hot/cold-spot
+    classifier over the corpus density surface: ``(gx, gy, n_docs, d_own,
+    d_nbr, quadrant)``.
+
+    Exactness strategy: the study region is the FULL ``M x M`` grid
+    (``M = edge >> shift``; empty cells count 0), and deviations are kept
+    as SCALED integers so no division ever happens:
+
+    * ``d_own  = G*n_c - N``            (G = M*M cells, N = total docs) —
+      the cell's count deviation from the mean, scaled by G;
+    * ``d_nbr  = G*nb8_c - k_c*N``      (nb8 = 8-neighbor count sum, k_c =
+      in-bounds neighbor count, border-corrected) — the neighborhood's
+      scaled deviation, INCLUDING empty in-bounds neighbors (each
+      contributes exactly ``-N``, which the closed form absorbs into
+      ``k_c*N`` — no empty-cell rows are ever materialized).
+
+    The LISA quadrant is the sign pair: HH (hot spot in a hot
+    neighborhood), LL (cold/cold), HL / LH (spatial outliers), NS when
+    either deviation is exactly 0.  The scaled PRODUCT ``d_own*d_nbr`` is
+    deliberately NOT emitted: at extreme corpus sizes it overflows int64
+    (the span_stats lesson, ADVICE r3), while the factors stay < ~8*G*N
+    and the quadrant IS the analytic answer.
+
+    Physical plan: one salted corpus scan into the cell histogram, a 9x
+    explode of that TINY histogram for the neighborhood sums
+    (``focal_stats``), one histogram-sized join, then pure projection —
+    O(cells) after the scan, same shape at 10^12 docs."""
+    m = config.edge >> shift
+    g = m * m
+    cells = focal_stats(doc_geo, shift, config)
+    total = cells.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    k_c = (
+        (F.least(F.col("gx") + 1, F.lit(m - 1)) - F.greatest(F.col("gx") - 1, F.lit(0)) + 1)
+        * (F.least(F.col("gy") + 1, F.lit(m - 1)) - F.greatest(F.col("gy") - 1, F.lit(0)) + 1)
+        - 1
+    )
+    d_own = F.lit(g) * F.col("n_docs") - F.col("n_total")
+    d_nbr = F.lit(g) * (F.col("focal_n") - F.col("n_docs")) - k_c * F.col("n_total")
+    quadrant = (
+        F.when((d_own > 0) & (d_nbr > 0), "HH")
+        .when((d_own < 0) & (d_nbr < 0), "LL")
+        .when((d_own > 0) & (d_nbr < 0), "HL")
+        .when((d_own < 0) & (d_nbr > 0), "LH")
+        .otherwise("NS")
+    )
+    return cells.crossJoin(F.broadcast(total)).select(
+        "gx",
+        "gy",
+        "n_docs",
+        d_own.cast("long").alias("d_own"),
+        d_nbr.cast("long").alias("d_nbr"),
+        quadrant.alias("quadrant"),
+    )
+
+
+def local_moran_oracle(shift: int = 6, config: EngineConfig = DEFAULT) -> str:
+    """Appends to a CTE chain defining ``doc_geo`` (x, y): the focal CTEs
+    plus the identical scaled-deviation projection."""
+    m = config.edge >> shift
+    g = m * m
+    s = int(shift)
+    nine = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""cells AS (
+  SELECT x >> {s} AS gx, y >> {s} AS gy, COUNT(*) AS n_docs
+  FROM doc_geo GROUP BY 1, 2
+), focal AS (
+  SELECT c.gx + o.dx AS tgx, c.gy + o.dy AS tgy,
+         CAST(SUM(c.n_docs) AS BIGINT) AS focal_n
+  FROM cells c, (VALUES {nine}) o(dx, dy)
+  GROUP BY 1, 2
+), tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM cells),
+scored AS (
+  SELECT c.gx, c.gy, c.n_docs,
+         {g} * c.n_docs - t.n_total AS d_own,
+         {g} * (f.focal_n - c.n_docs)
+           - ((LEAST(c.gx + 1, {m - 1}) - GREATEST(c.gx - 1, 0) + 1)
+            * (LEAST(c.gy + 1, {m - 1}) - GREATEST(c.gy - 1, 0) + 1) - 1)
+             * t.n_total AS d_nbr
+  FROM cells c
+  JOIN focal f ON c.gx = f.tgx AND c.gy = f.tgy
+  CROSS JOIN tot t
+)
+SELECT gx, gy, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(d_own AS BIGINT) AS d_own, CAST(d_nbr AS BIGINT) AS d_nbr,
+       CASE WHEN d_own > 0 AND d_nbr > 0 THEN 'HH'
+            WHEN d_own < 0 AND d_nbr < 0 THEN 'LL'
+            WHEN d_own > 0 AND d_nbr < 0 THEN 'HL'
+            WHEN d_own < 0 AND d_nbr > 0 THEN 'LH'
+            ELSE 'NS' END AS quadrant
+FROM scored"""

@@ -849,3 +849,157 @@ rk AS (
   FROM {doc_geo_table} d, roads r WHERE {d2} <= {radius * radius}
 )
 SELECT doc_id, road_id, dist2 FROM rk WHERE rn = 1"""
+
+
+# ---------------------------------------------------------------------------
+# Bulk kNN graph (radius-bounded) — the all-docs neighbor-graph primitive
+# ---------------------------------------------------------------------------
+
+
+def knn_graph(
+    doc_geo: DataFrame, k: int, radius: int, config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """The k-nearest-neighbor graph over EVERY doc, radius-bounded:
+    ``(doc_id, rank, nbr_id, dist2)`` — each doc's up-to-``k`` nearest
+    neighbors among docs within L2 distance ``radius``, ranked by
+    ``(dist2, nbr_id)`` (total order, deterministic).
+
+    This is the bulk form of the reference's per-query kNN
+    (`Scheme/RSKQ/RSKQ_Biginteger.java` curve-neighbor search; batched
+    variant `operators/knn.py::knn`): the neighbor graph feeding density
+    clustering and embedding-dedup pipelines.  Radius-bounding is what
+    makes the exact graph affordable at 10^12 docs — candidate pairs come
+    from the lossless 9-cell blocked self-join (``distance_self_join``),
+    so the work is O(pairs-within-radius), never O(n^2).  Docs with fewer
+    than ``k`` in-radius neighbors emit fewer rows (documented semantics:
+    the radius is part of the graph definition).
+
+    Plan: the blocked pair join, symmetrized (each undirected pair feeds
+    both endpoints), then one window top-k per source doc — the window
+    input is the pair set, already radius-bounded.  At extreme density a
+    partial top-k (per-partition k-truncate before the shuffle) bounds
+    state further; the fixture densities don't need it."""
+    pairs = distance_self_join(doc_geo, radius, config)
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("nbr_id"),
+        "dist2",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("nbr_id"),
+            "dist2",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("dist2", "nbr_id")
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"), "nbr_id", "dist2")
+    )
+
+
+def knn_graph_oracle(k: int, radius: int, doc_geo_table: str = "doc_geo") -> str:
+    """DuckDB oracle: plain quadratic within-radius self-join + identical
+    window rank (exact at oracle scale)."""
+    d2 = "((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))"
+    return f"""sym AS (
+  SELECT a.doc_key AS doc_id, b.doc_key AS nbr_id, {d2} AS dist2
+  FROM {doc_geo_table} a JOIN {doc_geo_table} b
+    ON a.doc_key <> b.doc_key AND {d2} <= {radius * radius}
+), rk AS (
+  SELECT doc_id, nbr_id, CAST(dist2 AS BIGINT) AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist2, nbr_id) AS rank
+  FROM sym
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, nbr_id, dist2 FROM rk
+WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Zonal overlay: area-weighted zone statistics over doc footprints
+# ---------------------------------------------------------------------------
+
+
+def zonal_overlay(
+    doc_geo: DataFrame,
+    zones: list[tuple[str, int, int, int, int]],
+    sample_mod: int = 16,
+    max_extent: int = 40,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Area-weighted zonal statistics — the vector-overlay primitive
+    (raster resampling / land-use-by-region): each derived doc FOOTPRINT
+    rectangle (same md5 derivation as ``rect_self_join``) is intersected
+    with every zone rectangle it overlaps, and zones aggregate the EXACT
+    integer intersection areas — ``(zone_id, n_rects, area_sum)``.
+
+    Unlike ``zonal_stats`` (point-in-polygon: a doc is in exactly one
+    place) this is the partial-containment form: a footprint straddling a
+    zone boundary contributes only its overlapping area, and overlapping
+    zones each count it.  Plan: the zone list is LITERAL (a broadcast-free
+    codegen explode per sampled doc — same shape as ``geofence_counts``),
+    one filter, one hash aggregation with map-side combine; never a join.
+    Thousands-of-zones workloads switch to the cell-bucketed join form
+    (``distance_join`` shape), exactly like the geofence family."""
+    edge = config.edge
+    m = "md5(CAST(doc_id AS BINARY))"
+    sel, w, h = _rect_exprs("m", max_extent)
+    zs = ", ".join(
+        f"named_struct('zone_id', '{zid}', 'zx_lo', {zxl}L, 'zy_lo', {zyl}L, "
+        f"'zx_hi', {zxh}L, 'zy_hi', {zyh}L)"
+        for zid, zxl, zyl, zxh, zyh in zones
+    )
+    rects = (
+        doc_geo.withColumn("m", F.expr(m))
+        .filter(F.expr(f"({sel} % {sample_mod}) = 0"))
+        .select(
+            F.col("x").alias("x_lo"),
+            F.col("y").alias("y_lo"),
+            F.expr(f"LEAST(x + {w}, {edge - 1})").alias("x_hi"),
+            F.expr(f"LEAST(y + {h}, {edge - 1})").alias("y_hi"),
+        )
+    )
+    ix_w = F.least("x_hi", "zx_hi") - F.greatest("x_lo", "zx_lo") + 1
+    ix_h = F.least("y_hi", "zy_hi") - F.greatest("y_lo", "zy_lo") + 1
+    return (
+        rects.withColumn("z", F.explode(F.expr(f"array({zs})")))
+        .select("x_lo", "y_lo", "x_hi", "y_hi", "z.*")
+        .filter((ix_w > 0) & (ix_h > 0))
+        .groupBy("zone_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rects"),
+            F.sum((ix_w * ix_h).cast("long")).cast("long").alias("area_sum"),
+        )
+    )
+
+
+def zonal_overlay_oracle(
+    zones: list[tuple[str, int, int, int, int]],
+    sample_mod: int = 16,
+    max_extent: int = 40,
+    edge: int = DEFAULT.edge,
+    doc_geo_table: str = "doc_geo",
+) -> str:
+    """DuckDB oracle: identical footprint derivation, VALUES zone list,
+    same intersection arithmetic; SUM cast back from HUGEINT."""
+    sel, w, h = _rect_exprs("m", max_extent)
+    vals = ", ".join(
+        f"('{zid}', CAST({zxl} AS BIGINT), CAST({zyl} AS BIGINT), "
+        f"CAST({zxh} AS BIGINT), CAST({zyh} AS BIGINT))"
+        for zid, zxl, zyl, zxh, zyh in zones
+    )
+    ix_w = "(LEAST(r.x_hi, z.zx_hi) - GREATEST(r.x_lo, z.zx_lo) + 1)"
+    ix_h = "(LEAST(r.y_hi, z.zy_hi) - GREATEST(r.y_lo, z.zy_lo) + 1)"
+    return f"""mr AS (
+  SELECT doc_key, x, y, md5(doc_key) AS m FROM {doc_geo_table}
+), rects AS (
+  SELECT x AS x_lo, y AS y_lo,
+         LEAST(x + {w}, {edge - 1}) AS x_hi, LEAST(y + {h}, {edge - 1}) AS y_hi
+  FROM mr WHERE ({sel} % {sample_mod}) = 0
+), zones(zone_id, zx_lo, zy_lo, zx_hi, zy_hi) AS (VALUES {vals})
+SELECT z.zone_id, CAST(COUNT(*) AS BIGINT) AS n_rects,
+       CAST(SUM({ix_w} * {ix_h}) AS BIGINT) AS area_sum
+FROM rects r JOIN zones z
+  ON {ix_w} > 0 AND {ix_h} > 0
+GROUP BY 1"""

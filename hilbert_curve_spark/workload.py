@@ -188,3 +188,31 @@ def box_sql(r: dict, x: str = "x", y: str = "y") -> str:
         f"{x} BETWEEN {r['x_lo']} AND {r['x_hi']} "
         f"AND {y} BETWEEN {r['y_lo']} AND {r['y_hi']}"
     )
+
+
+# Adaptive quadtree tiling: occupancy cap per leaf, finest-grid shift
+# (cell edge 2^shift), level count (coarsest edge 2^(shift+levels-1)).
+ADAPT_CAP = 300
+ADAPT_SHIFT = 4
+ADAPT_LEVELS = 6
+
+# Local Moran hot/cold-spot grid (same 64x64 grid as focal_stats).
+MORAN_SHIFT = 6
+
+# Equi-depth hilbert range-partitioner bucket count.
+PBOUNDS_BUCKETS = 16
+
+# Bulk kNN graph: rank cap + radius bound (shares the pair-join radius).
+KNN_GRAPH_K = 4
+KNN_GRAPH_RADIUS = 12
+
+# Overlay zones: rectangular vector layer over the hot spots.  z1/z3
+# overlap (a footprint credits both), z4 covers sparse territory.
+ZONES = [
+    ("z1", 800, 700, 1400, 1300),
+    ("z2", 2700, 2800, 3500, 3600),
+    ("z3", 1200, 1100, 2200, 2200),
+    ("z4", 0, 3500, 600, 4095),
+]
+OVERLAY_SAMPLE_MOD = 16
+OVERLAY_MAX_EXTENT = 40

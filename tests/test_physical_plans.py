@@ -346,3 +346,42 @@ def test_interval_join_is_equi_hash_no_bnlj(spark, sf_dir):
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_adaptive_assign_broadcast_no_bnlj(sorted_geo):
+    from hilbert_curve_spark.operators.adaptive import adaptive_assign
+
+    q = adaptive_assign(sorted_geo, W.ADAPT_CAP, W.ADAPT_SHIFT, W.ADAPT_LEVELS)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan        # base-cell lookup broadcasts
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zonal_overlay_no_join_no_python(sorted_geo):
+    from hilbert_curve_spark.operators.spatial_join import zonal_overlay
+
+    q = zonal_overlay(sorted_geo, W.ZONES, W.OVERLAY_SAMPLE_MOD, W.OVERLAY_MAX_EXTENT)
+    plan = _plan(q)
+    assert "Join" not in plan                 # literal zones: explode, not join
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_local_moran_no_python_no_bnlj(sorted_geo):
+    from hilbert_curve_spark.operators.rollup import local_moran
+
+    q = local_moran(sorted_geo, W.MORAN_SHIFT)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only nested-loop is the 1-row broadcast of the global total (the
+    # extent pattern) — the cell-side joins must be hash joins
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_partition_bounds_no_python(sorted_geo):
+    from hilbert_curve_spark.operators.partitioning import partition_bounds
+
+    q = partition_bounds(sorted_geo, W.PBOUNDS_BUCKETS)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan                 # explode+filter, not a range join

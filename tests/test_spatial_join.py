@@ -630,3 +630,106 @@ def test_snap_bucketed_plan_no_bnlj(spark):
     assert "BroadcastHashJoin" in plan
     for bad in ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython"):
         assert bad not in plan
+
+
+# ---------------------------------------------------------------------------
+# knn_graph + zonal_overlay (wave 5)
+# ---------------------------------------------------------------------------
+
+
+def test_knn_graph_matches_brute_force(spark):
+    from hilbert_curve_spark.operators.spatial_join import knn_graph
+
+    pts = _lcg_points(120, seed=31, edge=256)  # dense: real neighbor lists
+    k, radius = 3, 24
+    got = {
+        (r.doc_id, r.rank, r.nbr_id, r.dist2)
+        for r in knn_graph(_geo(spark, pts), k, radius).collect()
+    }
+    ids = [f"d{i:04d}" for i in range(len(pts))]
+    want = set()
+    for i in range(len(pts)):
+        cands = []
+        for j in range(len(pts)):
+            if i == j:
+                continue
+            d2 = (pts[i][0] - pts[j][0]) ** 2 + (pts[i][1] - pts[j][1]) ** 2
+            if d2 <= radius * radius:
+                cands.append((d2, ids[j]))
+        for rank, (d2, nid) in enumerate(sorted(cands)[:k], 1):
+            want.add((ids[i], rank, nid, d2))
+    assert got == want
+
+
+def test_knn_graph_symmetric_rank1_pairs(spark):
+    """Mutual nearest neighbors appear in both adjacency lists at rank 1."""
+    from hilbert_curve_spark.operators.spatial_join import knn_graph
+
+    pts = [(10, 10), (12, 10), (200, 200), (203, 200), (400, 50)]
+    rows = knn_graph(_geo(spark, pts), 1, 16).collect()
+    adj = {r.doc_id: r.nbr_id for r in rows}
+    assert adj["d0000"] == "d0001" and adj["d0001"] == "d0000"
+    assert adj["d0002"] == "d0003" and adj["d0003"] == "d0002"
+    assert "d0004" not in adj  # isolated: no in-radius neighbor, no row
+
+
+def test_zonal_overlay_matches_brute_force(spark):
+    import hashlib
+
+    from hilbert_curve_spark.operators.spatial_join import zonal_overlay
+
+    pts = _lcg_points(400, seed=17)
+    zones = [("za", 0, 0, 2047, 2047), ("zb", 1024, 1024, 3071, 3071)]
+    sample_mod, max_extent = 4, 40
+    got = {
+        (r.zone_id, r.n_rects, r.area_sum)
+        for r in zonal_overlay(
+            _geo(spark, pts), zones, sample_mod, max_extent
+        ).collect()
+    }
+    edge = DEFAULT.edge
+    agg = {}
+    for i, (x, y) in enumerate(pts):
+        m = hashlib.md5(f"d{i:04d}".encode()).hexdigest()
+        if int(m[0:8], 16) % sample_mod != 0:
+            continue
+        w = 1 + int(m[8:12], 16) % max_extent
+        h = 1 + int(m[12:16], 16) % max_extent
+        x_hi, y_hi = min(x + w, edge - 1), min(y + h, edge - 1)
+        for zid, zxl, zyl, zxh, zyh in zones:
+            iw = min(x_hi, zxh) - max(x, zxl) + 1
+            ih = min(y_hi, zyh) - max(y, zyl) + 1
+            if iw > 0 and ih > 0:
+                n, a = agg.get(zid, (0, 0))
+                agg[zid] = (n + 1, a + iw * ih)
+    assert got == {(z, n, a) for z, (n, a) in agg.items()}
+
+
+def test_zonal_overlay_straddling_rect_credits_both_zones(spark):
+    """Footprint area splits exactly across adjacent zones: per-zone areas
+    sum to each sampled rect's total area when zones tile the domain."""
+    from hilbert_curve_spark.operators.spatial_join import zonal_overlay
+
+    pts = _lcg_points(300, seed=41)
+    half = DEFAULT.edge // 2
+    tiling = [
+        ("q00", 0, 0, half - 1, half - 1),
+        ("q01", 0, half, half - 1, DEFAULT.edge - 1),
+        ("q10", half, 0, DEFAULT.edge - 1, half - 1),
+        ("q11", half, half, DEFAULT.edge - 1, DEFAULT.edge - 1),
+    ]
+    out = zonal_overlay(_geo(spark, pts), tiling, 4, 40)
+    total_area = out.agg(F.sum("area_sum")).collect()[0][0]
+    import hashlib
+
+    want = 0
+    for i, (x, y) in enumerate(pts):
+        m = hashlib.md5(f"d{i:04d}".encode()).hexdigest()
+        if int(m[0:8], 16) % 4 != 0:
+            continue
+        w = 1 + int(m[8:12], 16) % 40
+        h = 1 + int(m[12:16], 16) % 40
+        want += (min(x + w, DEFAULT.edge - 1) - x + 1) * (
+            min(y + h, DEFAULT.edge - 1) - y + 1
+        )
+    assert total_area == want
