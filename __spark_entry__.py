@@ -1539,6 +1539,43 @@ def _zonal_overlay_oracle() -> str:
     )
 
 
+def _caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption alignment over the interleaved spans: every media span
+    paired with its nearest preceding text span via a per-doc as-of window
+    riding a real doc_id shuffle (`operators/spans.py::caption_pairs` —
+    the first operator that reads the interleaving relationally)."""
+    return spans_ops.caption_pairs(build_documents(spark, sf_dir))
+
+
+def _keyword_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-keyword spatial selectivity statistics (bbox + doc count +
+    distinct-cell spread) — the planner-stats table for keyword-aware
+    probe ordering (`operators/brq.py::keyword_extents`)."""
+    from hilbert_curve_spark.operators.brq import keyword_extents
+
+    return keyword_extents(_doc_geo(spark, sf_dir), W.KW_EXTENT_SHIFT)
+
+
+def _keyword_extents_oracle() -> str:
+    from hilbert_curve_spark.operators.brq import keyword_extents_oracle
+
+    return f"{_doc_geo_cte()}, " + keyword_extents_oracle(W.KW_EXTENT_SHIFT)
+
+
+def _road_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial anti-join: docs with no road within GAP_RADIUS — coverage
+    gaps as one codegen projection + filter, zero shuffle."""
+    from hilbert_curve_spark.operators.spatial_join import road_coverage_gaps
+
+    return road_coverage_gaps(_doc_geo(spark, sf_dir), W.ROADS, W.GAP_RADIUS)
+
+
+def _road_coverage_gaps_oracle() -> str:
+    from hilbert_curve_spark.operators.spatial_join import road_coverage_gaps_oracle
+
+    return f"{_doc_geo_cte()}, " + road_coverage_gaps_oracle(W.ROADS, W.GAP_RADIUS)
+
+
 def _heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CMS heavy hitters end-to-end: the documents table replayed
     through a file-source stream builds the depth×width hash histogram and
@@ -1659,6 +1696,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_bounds": _partition_bounds,
         "knn_graph": _knn_graph,
         "zonal_overlay": _zonal_overlay,
+        "caption_pairs": _caption_pairs,
+        "keyword_extents": _keyword_extents,
+        "road_coverage_gaps": _road_coverage_gaps,
         "heavy_hitters_stream": _heavy_hitters_stream,
         # -- round-3 green ----------------------------------------------------
         "knn_join": _knn_join,
@@ -1884,6 +1924,9 @@ def oracle_sql() -> dict[str, str]:
         "partition_bounds": _partition_bounds_oracle(),
         "knn_graph": _knn_graph_oracle(),
         "zonal_overlay": _zonal_overlay_oracle(),
+        "caption_pairs": spans_ops.caption_pairs_oracle(),
+        "keyword_extents": _keyword_extents_oracle(),
+        "road_coverage_gaps": _road_coverage_gaps_oracle(),
         "heavy_hitters_stream": textops.heavy_hitters_cms_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"

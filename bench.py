@@ -449,6 +449,58 @@ def _storage_queries(spark, geo):
         events = spark.read.parquet(f"{SF_DIR}/events.parquet")
         return hausdorff_pairs(events, max_h=512).count()
 
+    def q_adaptive_cells():
+        from hilbert_curve_spark.operators.adaptive import adaptive_cells
+
+        return adaptive_cells(
+            geo, W.ADAPT_CAP, W.ADAPT_SHIFT, W.ADAPT_LEVELS
+        ).count()
+
+    def q_adaptive_assign():
+        from hilbert_curve_spark.operators.adaptive import adaptive_assign
+
+        return adaptive_assign(
+            geo, W.ADAPT_CAP, W.ADAPT_SHIFT, W.ADAPT_LEVELS
+        ).count()
+
+    def q_local_moran():
+        from hilbert_curve_spark.operators.rollup import local_moran
+
+        return local_moran(geo, W.MORAN_SHIFT).count()
+
+    def q_partition_bounds():
+        from hilbert_curve_spark.operators.partitioning import partition_bounds
+
+        return partition_bounds(geo, W.PBOUNDS_BUCKETS).count()
+
+    def q_knn_graph():
+        from hilbert_curve_spark.operators.spatial_join import knn_graph
+
+        return knn_graph(geo, W.KNN_GRAPH_K, W.KNN_GRAPH_RADIUS).count()
+
+    def q_zonal_overlay():
+        from hilbert_curve_spark.operators.spatial_join import zonal_overlay
+
+        return zonal_overlay(
+            geo, W.ZONES, W.OVERLAY_SAMPLE_MOD, W.OVERLAY_MAX_EXTENT
+        ).count()
+
+    def q_caption_pairs():
+        from hilbert_curve_spark.operators.spans import caption_pairs
+
+        corpus = spark.read.parquet(_corpus_path())
+        return caption_pairs(corpus).count()
+
+    def q_keyword_extents():
+        from hilbert_curve_spark.operators.brq import keyword_extents
+
+        return keyword_extents(geo, W.KW_EXTENT_SHIFT).count()
+
+    def q_road_coverage_gaps():
+        from hilbert_curve_spark.operators.spatial_join import road_coverage_gaps
+
+        return road_coverage_gaps(geo, W.ROADS, W.GAP_RADIUS).count()
+
     return {
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
@@ -458,6 +510,15 @@ def _storage_queries(spark, geo):
         "cell_change": q_cell_change,
         "cell_sample": q_cell_sample,
         "traj_hausdorff": q_traj_hausdorff,
+        "adaptive_cells": q_adaptive_cells,
+        "adaptive_assign": q_adaptive_assign,
+        "local_moran": q_local_moran,
+        "partition_bounds": q_partition_bounds,
+        "knn_graph": q_knn_graph,
+        "zonal_overlay": q_zonal_overlay,
+        "caption_pairs": q_caption_pairs,
+        "keyword_extents": q_keyword_extents,
+        "road_coverage_gaps": q_road_coverage_gaps,
     }
 
 

@@ -228,3 +228,64 @@ def brq_posting_mode(
         )
         return spatial.join(complete, "doc_id", "semi")
     raise ValueError(f"unknown mode {mode!r}")
+
+
+def keyword_extents(
+    doc_geo: DataFrame, shift: int = 6, config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """Per-keyword spatial selectivity statistics — the planner-statistics
+    table behind keyword-aware query optimization: ``(kw, n_docs, x_min,
+    x_max, y_min, y_max, n_cells)``.
+
+    A BRQ planner uses these to decide probe order (rare keyword first),
+    whether the keyword's bounding box even intersects the query region
+    (skip entirely), and how many grid cells a keyword touches
+    (``n_cells`` — its spatial spread at ``2^shift`` resolution, the
+    quantity that prices the cover join).  The reference keeps per-keyword
+    postings (`Scheme/RSKQ/RSKQ_Biginteger.java` PDB keying) but no
+    spatial stats; a 100 TB planner needs them.
+
+    Plan: one explode scan + ONE hash aggregation with map-side combine
+    (min/max/count are all algebraic; the distinct-cell count pre-distincts
+    (kw, cell) pairs first — bounded by postings, the same two-phase shape
+    as ``cell_distinct_kmv``)."""
+    grid = config.edge >> shift
+    gcell = F.shiftright("x", shift) * grid + F.shiftright("y", shift)
+    kw = doc_geo.select(F.explode("keywords").alias("kw"), "x", "y", gcell.alias("gcell"))
+    stats = kw.groupBy("kw").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+    )
+    cells = (
+        kw.select("kw", "gcell")
+        .distinct()
+        .groupBy("kw")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+    )
+    return stats.join(cells, "kw")
+
+
+def keyword_extents_oracle(shift: int = 6, config: EngineConfig = DEFAULT) -> str:
+    """Appends to a CTE chain defining ``doc_geo`` (x, y, kw0..kw3):
+    identical UNION-ALL arm explode + aggregation."""
+    from ..sources import derive as _derive
+
+    grid = config.edge >> shift
+    arms = " UNION ALL ".join(
+        f"SELECT kw{j} AS kw, x, y, (x >> {shift}) * {grid} + (y >> {shift}) AS gcell "
+        f"FROM doc_geo"
+        for j in range(_derive.KW_PER_DOC)
+    )
+    return f"""kwx AS ({arms})
+SELECT s.kw, s.n_docs, s.x_min, s.x_max, s.y_min, s.y_max, c.n_cells
+FROM (
+  SELECT kw, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+  FROM kwx GROUP BY kw
+) s JOIN (
+  SELECT kw, CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM (SELECT DISTINCT kw, gcell FROM kwx) GROUP BY kw
+) c ON s.kw = c.kw"""

@@ -158,3 +158,78 @@ def span_stats_oracle(table: str = "documents", amp: int = derive.AMP) -> str:
         f"CAST(SUM(fpp % {_FP_MOD}) % {_FP_MOD} AS BIGINT) AS fingerprint "
         f"FROM lvl1 GROUP BY kind ORDER BY kind"
     )
+
+
+def caption_pairs(docs: DataFrame, partitions: int = 32) -> DataFrame:
+    """Caption alignment over the interleaved sequence: every ``media`` span
+    paired with the nearest PRECEDING ``text`` span in its document's span
+    order — ``(doc_id, media_ref, caption, media_offset, caption_offset)``.
+
+    This is the multimodal-curation primitive over the input_hint shape
+    (`BASELINE.json`): interleaved text+media training pipelines attach each
+    image to its closest preceding caption text, which is exactly an AS-OF
+    along the span sequence.  The reference round-trips its interleaved
+    payloads opaquely (`Scheme/RSKQ/RSKQ_Biginteger.java:120-161`); this
+    operator is the first one that READS the interleaving relationally.
+
+    Plan: the arrays ride a real hash shuffle on doc_id (same integrity
+    path ``span_stats`` checks), one native explode, then a per-doc window
+    with ``last(..., ignorenulls) OVER (ROWS UNBOUNDED PRECEDING TO 1
+    PRECEDING)`` — the running as-of pointer, no self-join.  The window
+    partition is ONE document's spans (tiny, bounded by the doc format), so
+    state never exceeds a document regardless of corpus size; with a
+    doc-bucketed layout the shuffle disappears (partitioning reuse).
+    Media spans with no preceding text (none in this corpus — offset 0 is
+    always the geo span, texts precede media) would carry NULL captions."""
+    from pyspark.sql import Window
+
+    shuffled = docs.repartition(partitions, "doc_id")
+    flat = shuffled.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("off"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    txt = F.when(F.col("kind") == "text", F.col("text"))
+    toff = F.when(F.col("kind") == "text", F.col("off"))
+    return (
+        flat.withColumn("caption", F.last(txt, ignorenulls=True).over(w))
+        .withColumn("caption_offset", F.last(toff, ignorenulls=True).over(w))
+        .filter(F.col("kind") == "media")
+        .select(
+            "doc_id",
+            "media_ref",
+            "caption",
+            F.col("off").alias("media_offset"),
+            "caption_offset",
+        )
+    )
+
+
+def caption_pairs_oracle(table: str = "documents", amp: int = derive.AMP) -> str:
+    """DuckDB oracle: rebuilds the pairs analytically from the span
+    derivation (`sources/interleave.spans_expr`) — media span ``n`` sits at
+    offset ``KW_PER_DOC + 1 + n`` and its nearest preceding text span is
+    always the last keyword (offset ``KW_PER_DOC``), because the derived
+    layout is [geo, text x4, media x n_media].  The engine must discover
+    that relationally through the shuffle + window; the oracle knows it in
+    closed form — same division of labor as span_stats."""
+    base = derive.KW_PER_DOC + 1
+    media_ns = ", ".join(f"({n})" for n in range(derive.MEDIA_MOD - 1))
+    return f"""WITH corpus AS (
+  SELECT doc_id * 8192 + rep AS sid
+  FROM {table}, (SELECT unnest(range(0, {amp})) AS rep)
+)
+SELECT {derive.doc_key_sql()} AS doc_id,
+       ('m://' || {derive.doc_key_sql()} || '/' || m.n) AS media_ref,
+       {derive.keyword_sql(derive.KW_PER_DOC - 1)} AS caption,
+       CAST({base} + m.n AS INT) AS media_offset,
+       CAST({derive.KW_PER_DOC} AS INT) AS caption_offset
+FROM corpus, (VALUES {media_ns}) m(n)
+WHERE m.n < {derive.n_media_sql()}"""

@@ -874,21 +874,50 @@ def knn_graph(
     than ``k`` in-radius neighbors emit fewer rows (documented semantics:
     the radius is part of the graph definition).
 
-    Plan: the blocked pair join, symmetrized (each undirected pair feeds
-    both endpoints), then one window top-k per source doc — the window
-    input is the pair set, already radius-bounded.  At extreme density a
-    partial top-k (per-partition k-truncate before the shuffle) bounds
-    state further; the fixture densities don't need it."""
-    pairs = distance_self_join(doc_geo, radius, config)
-    sym = pairs.select(
-        F.col("doc_a").alias("doc_id"),
-        F.col("doc_b").alias("nbr_id"),
-        "dist2",
-    ).unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_id"),
-            F.col("doc_a").alias("nbr_id"),
-            "dist2",
+    Plan: ONE directed blocked join — the probe side replicates to the
+    FULL 9-cell neighborhood (not the half-neighborhood of the unordered
+    pair join), so each ordered (doc, neighbor) pair materializes exactly
+    once in a single pass; a ``union`` of the two directions of the
+    unordered join would execute the join lineage twice (measured 12 s vs
+    the single-pass form on the 640k bench corpus).  Then one window
+    top-k per source doc over the radius-bounded directed set.  At
+    extreme density a partial top-k (per-partition k-truncate before the
+    shuffle) bounds state further; the fixture densities don't need it."""
+    s = _cell_shift(radius)
+    edge = config.edge
+    r2 = radius * radius
+
+    def keyed(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(f"id_{tag}"),
+            F.col("x").alias(f"x_{tag}"),
+            F.col("y").alias(f"y_{tag}"),
+            F.shiftright("x", s).alias(f"cx_{tag}"),
+            F.shiftright("y", s).alias(f"cy_{tag}"),
+        )
+
+    offs = ", ".join(
+        f"named_struct('dx', {dx}L, 'dy', {dy}L)"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    probe = (
+        keyed(doc_geo, "a")
+        .withColumn("o", F.explode(F.expr(f"array({offs})")))
+        .withColumn(
+            "ck",
+            (F.col("cx_a") + F.col("o.dx")) * edge + F.col("cy_a") + F.col("o.dy"),
+        )
+    )
+    home = keyed(doc_geo, "b").withColumn("ck", F.col("cx_b") * edge + F.col("cy_b"))
+    dist2 = (F.col("x_a") - F.col("x_b")) ** 2 + (F.col("y_a") - F.col("y_b")) ** 2
+    sym = (
+        probe.join(home, "ck")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("dist2", dist2.cast("long"))
+        .filter(F.col("dist2") <= r2)
+        .select(
+            F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr_id"), "dist2"
         )
     )
     w = Window.partitionBy("doc_id").orderBy("dist2", "nbr_id")
@@ -1003,3 +1032,71 @@ SELECT z.zone_id, CAST(COUNT(*) AS BIGINT) AS n_rects,
 FROM rects r JOIN zones z
   ON {ix_w} > 0 AND {ix_h} > 0
 GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Road coverage gaps — the spatial anti-join
+# ---------------------------------------------------------------------------
+
+
+def road_coverage_gaps(
+    doc_geo: DataFrame,
+    roads: list[tuple[str, int, int, int, int]],
+    radius: int,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Docs with NO road segment within ``radius`` — the spatial ANTI-join
+    (coverage-gap / site-selection analysis): ``(doc_id, x, y,
+    nearest_dist2)`` with ``nearest_dist2 > radius^2``.
+
+    Same exact integer clamp distance as ``snap_to_road`` (axis-aligned
+    segments, asserted); the whole operator is one codegen projection +
+    filter over the literal road array — zero shuffle, zero join.  Large
+    road networks invert the bucketed form instead: docs LEFT-join the
+    broadcast cell->road table and keep the nulls (anti of a covering set
+    is empty by construction — the gap query only makes sense for sparse
+    networks, which fit the literal path)."""
+    for rid, ax, ay, bx, by in roads:
+        if ax != bx and ay != by:
+            raise ValueError(f"road {rid} is not axis-aligned")
+    structs = ", ".join(
+        f"named_struct('xlo', {min(ax, bx)}L, 'xhi', {max(ax, bx)}L, "
+        f"'ylo', {min(ay, by)}L, 'yhi', {max(ay, by)}L)"
+        for _, ax, ay, bx, by in roads
+    )
+    dx = "greatest(r.xlo - x, x - r.xhi, 0L)"
+    dy = "greatest(r.ylo - y, y - r.yhi, 0L)"
+    nearest = F.expr(
+        f"array_min(transform(array({structs}), r -> {dx} * {dx} + {dy} * {dy}))"
+    )
+    return (
+        doc_geo.withColumn("nearest_dist2", nearest)
+        .filter(F.col("nearest_dist2") > radius * radius)
+        .select("doc_id", "x", "y", "nearest_dist2")
+    )
+
+
+def road_coverage_gaps_oracle(
+    roads: list[tuple[str, int, int, int, int]],
+    radius: int,
+    doc_geo_table: str = "doc_geo",
+) -> str:
+    """DuckDB oracle: identical clamp arithmetic, MIN over a VALUES road
+    list, HAVING-style gap filter."""
+    vals = ", ".join(
+        "({v})".format(
+            v=", ".join(
+                f"CAST({v} AS BIGINT)"
+                for v in (min(ax, bx), max(ax, bx), min(ay, by), max(ay, by))
+            )
+        )
+        for _, ax, ay, bx, by in roads
+    )
+    dx = "greatest(r.xlo - d.x, d.x - r.xhi, 0)"
+    dy = "greatest(r.ylo - d.y, d.y - r.yhi, 0)"
+    return f"""roads(xlo, xhi, ylo, yhi) AS (VALUES {vals})
+SELECT d.doc_key AS doc_id, d.x, d.y,
+       MIN({dx} * {dx} + {dy} * {dy}) AS nearest_dist2
+FROM {doc_geo_table} d CROSS JOIN roads r
+GROUP BY 1, 2, 3
+HAVING MIN({dx} * {dx} + {dy} * {dy}) > {radius * radius}"""

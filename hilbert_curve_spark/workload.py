@@ -216,3 +216,9 @@ ZONES = [
 ]
 OVERLAY_SAMPLE_MOD = 16
 OVERLAY_MAX_EXTENT = 40
+
+# Road coverage gaps: the spatial anti-join radius over ROADS.
+GAP_RADIUS = 500
+
+# Keyword selectivity stats grid (same 64x64 grid as the cover join).
+KW_EXTENT_SHIFT = 6

@@ -385,3 +385,13 @@ def test_partition_bounds_no_python(sorted_geo):
     plan = _plan(q)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan                 # explode+filter, not a range join
+
+
+def test_road_coverage_gaps_no_shuffle_no_python(sorted_geo):
+    from hilbert_curve_spark.operators.spatial_join import road_coverage_gaps
+
+    q = road_coverage_gaps(sorted_geo, W.ROADS, W.GAP_RADIUS)
+    plan = _plan(q)
+    assert "Exchange" not in plan             # pure projection + filter
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

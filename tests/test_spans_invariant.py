@@ -5,6 +5,7 @@ structurally — spans are never rebuilt, only carried or joined by doc_id
 (SURVEY §1.2) — and this test pins it behaviorally."""
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from hilbert_curve_spark.operators.encode import encode_documents
 from hilbert_curve_spark.sources.interleave import build_documents
@@ -78,3 +79,58 @@ def test_span_stats_aggregates(spark, sf_dir):
     ) * 1  # docs with 2 spans contribute offsets 5+6
     assert rows["media"].sum_text_len == 0
     assert rows["geo"].sum_ref_len == 0 == rows["text"].sum_ref_len
+
+
+def test_caption_pairs_arbitrary_interleavings(spark):
+    """Brute-force parity on hand-built interleavings, including media
+    before any text (NULL caption) and multiple text/media alternations."""
+    from hilbert_curve_spark.operators.spans import caption_pairs
+
+    def doc(doc_id, seq):
+        return (doc_id, [
+            {"kind": k, "text": t, "media_ref": m, "offset": o}
+            for k, t, m, o in seq
+        ])
+
+    rows = [
+        doc("a", [("media", "", "m0", 0), ("text", "t1", "", 1),
+                  ("media", "", "m1", 2), ("text", "t2", "", 3),
+                  ("media", "", "m2", 4)]),
+        doc("b", [("text", "tb", "", 0), ("media", "", "mb", 1)]),
+        doc("c", [("geo", "g", "", 0), ("media", "", "mc", 1)]),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = {
+        (r.doc_id, r.media_ref, r.caption, r.media_offset, r.caption_offset)
+        for r in caption_pairs(docs, partitions=4).collect()
+    }
+    assert got == {
+        ("a", "m0", None, 0, None),      # media first: no preceding text
+        ("a", "m1", "t1", 2, 1),
+        ("a", "m2", "t2", 4, 3),
+        ("b", "mb", "tb", 1, 0),
+        ("c", "mc", None, 1, None),      # geo span is not a caption
+    }
+
+
+def test_caption_pairs_matches_derived_layout(spark, sf_dir):
+    """On the derived corpus every media span captions to the LAST text
+    keyword — exactly what the analytic oracle assumes."""
+    from hilbert_curve_spark.operators.spans import caption_pairs
+    from hilbert_curve_spark.sources.interleave import build_documents
+
+    docs = build_documents(spark, sf_dir, amp=2)
+    out = caption_pairs(docs)
+    bad = out.filter(
+        F.col("caption").isNull() | (F.col("caption_offset") != 4)
+    ).count()
+    assert bad == 0
+    # media count conservation: one output row per media span
+    n_media = docs.select(
+        F.explode("spans").alias("s")
+    ).filter(F.col("s.kind") == "media").count()
+    assert out.count() == n_media

@@ -733,3 +733,58 @@ def test_zonal_overlay_straddling_rect_credits_both_zones(spark):
             min(y + h, DEFAULT.edge - 1) - y + 1
         )
     assert total_area == want
+
+
+def test_road_coverage_gaps_matches_brute_force(spark):
+    from hilbert_curve_spark.operators.spatial_join import road_coverage_gaps
+
+    pts = _lcg_points(300, seed=53)
+    roads = [("r1", 100, 500, 3000, 500), ("r2", 2000, 0, 2000, 4000)]
+    radius = 300
+    got = {
+        (r.doc_id, r.x, r.y, r.nearest_dist2)
+        for r in road_coverage_gaps(_geo(spark, pts), roads, radius).collect()
+    }
+    want = set()
+    for i, (x, y) in enumerate(pts):
+        best = min(
+            max(min(ax, bx) - x, x - max(ax, bx), 0) ** 2
+            + max(min(ay, by) - y, y - max(ay, by), 0) ** 2
+            for _, ax, ay, bx, by in roads
+        )
+        if best > radius * radius:
+            want.add((f"d{i:04d}", x, y, best))
+    assert got == want
+    assert want  # the fixture actually has gaps
+
+
+def test_keyword_extents_brute_force(spark):
+    from hilbert_curve_spark.operators.brq import keyword_extents
+
+    pts = _lcg_points(200, seed=61)
+    shift = 6
+    grid = DEFAULT.edge >> shift
+    rows = [
+        (f"d{i:04d}", x, y, [f"k{i % 5}", f"k{(i + 1) % 5}"])
+        for i, (x, y) in enumerate(pts)
+    ]
+    geo = spark.createDataFrame(
+        rows, "doc_id string, x long, y long, keywords array<string>"
+    )
+    got = {
+        (r.kw, r.n_docs, r.x_min, r.x_max, r.y_min, r.y_max, r.n_cells)
+        for r in keyword_extents(geo, shift).collect()
+    }
+    agg = {}
+    for i, (x, y) in enumerate(pts):
+        for kw in (f"k{i % 5}", f"k{(i + 1) % 5}"):
+            n, xs, ys, cells = agg.setdefault(kw, [0, [], [], set()])
+            agg[kw][0] += 1
+            xs.append(x)
+            ys.append(y)
+            cells.add((x >> shift) * grid + (y >> shift))
+    want = {
+        (kw, n, min(xs), max(xs), min(ys), max(ys), len(cells))
+        for kw, (n, xs, ys, cells) in agg.items()
+    }
+    assert got == want
