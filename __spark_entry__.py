@@ -1576,6 +1576,21 @@ def _road_coverage_gaps_oracle() -> str:
     return f"{_doc_geo_cte()}, " + road_coverage_gaps_oracle(W.ROADS, W.GAP_RADIUS)
 
 
+def _cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any-radius focal sums via the integral image (summed-area table):
+    O(cells) total, independent of the kernel radius — the heatmap base
+    layer (`operators/rollup.py::box_density`)."""
+    from hilbert_curve_spark.operators.rollup import box_density
+
+    return box_density(_doc_geo(spark, sf_dir), W.DENSITY_R, W.MORAN_SHIFT)
+
+
+def _cell_density_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import box_density_oracle
+
+    return f"{_doc_geo_cte()}, " + box_density_oracle(W.DENSITY_R, W.MORAN_SHIFT)
+
+
 def _heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CMS heavy hitters end-to-end: the documents table replayed
     through a file-source stream builds the depth×width hash histogram and
@@ -1699,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_pairs": _caption_pairs,
         "keyword_extents": _keyword_extents,
         "road_coverage_gaps": _road_coverage_gaps,
+        "cell_density": _cell_density,
         "heavy_hitters_stream": _heavy_hitters_stream,
         # -- round-3 green ----------------------------------------------------
         "knn_join": _knn_join,
@@ -1927,6 +1943,7 @@ def oracle_sql() -> dict[str, str]:
         "caption_pairs": spans_ops.caption_pairs_oracle(),
         "keyword_extents": _keyword_extents_oracle(),
         "road_coverage_gaps": _road_coverage_gaps_oracle(),
+        "cell_density": _cell_density_oracle(),
         "heavy_hitters_stream": textops.heavy_hitters_cms_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"

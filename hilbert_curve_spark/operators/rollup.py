@@ -447,3 +447,121 @@ SELECT gx, gy, CAST(n_docs AS BIGINT) AS n_docs,
             WHEN d_own < 0 AND d_nbr > 0 THEN 'LH'
             ELSE 'NS' END AS quadrant
 FROM scored"""
+
+
+# ---------------------------------------------------------------------------
+# Integral-image (summed-area table) box density — any-radius focal sums
+# ---------------------------------------------------------------------------
+
+
+def box_density(
+    doc_geo: DataFrame, r: int, shift: int = 6, config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """Per occupied grid cell, the doc count within CHEBYSHEV radius ``r``
+    cells — the any-radius generalization of ``focal_stats`` (heatmap /
+    kernel-density base layer): ``(gx, gy, n_docs, box_n)``.
+
+    The naive neighborhood sum explodes the histogram ``(2r+1)^2`` ways —
+    O(cells * r^2), ruinous for wide kernels.  This operator builds the
+    classic INTEGRAL IMAGE (summed-area table) instead: two cumulative
+    passes over the dense grid give ``S(gx,gy) = sum_{i<=gx, j<=gy} n``,
+    and any box sum is four SAT lookups — O(cells) TOTAL, independent of
+    ``r`` (Crow, SIGGRAPH'84).
+
+    Physical plan: one salted corpus scan -> occupied-cell histogram; the
+    dense ``M x M`` domain (a ``spark.range`` of M^2 rows — the GRID, not
+    the corpus) left-joins the histogram; two window cumsums (partition by
+    row, order by column, then transposed) build the SAT; four hash
+    self-joins on clamped corner keys read it back.  Every post-scan stage
+    is O(M^2); at shift 6 that is 4096 rows regardless of corpus size.
+    Border cells clamp to the domain edge (the SAT-corner terms for
+    negative indices vanish), so results are exact at the borders too —
+    pinned against ``focal_stats`` at r=1."""
+    m = config.edge >> shift
+    spark = doc_geo.sparkSession
+    hist = (
+        doc_geo.withColumn(
+            "salt", F.pmod(F.hash("doc_id"), F.lit(config.salt_buckets))
+        )
+        .groupBy(
+            F.shiftright("x", shift).alias("gx"),
+            F.shiftright("y", shift).alias("gy"),
+            "salt",
+        )
+        .agg(F.count("*").alias("pn"))
+        .groupBy("gx", "gy")
+        .agg(F.sum("pn").alias("n_docs"))
+    )
+    dense = spark.range(m * m).select(
+        F.expr(f"id div {m}").alias("gx"), F.pmod("id", F.lit(m)).alias("gy")
+    )
+    grid = dense.join(hist, ["gx", "gy"], "left").select(
+        "gx", "gy", F.coalesce("n_docs", F.lit(0)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    wy = Window.partitionBy("gx").orderBy("gy").rowsBetween(Window.unboundedPreceding, 0)
+    wx = Window.partitionBy("gy").orderBy("gx").rowsBetween(Window.unboundedPreceding, 0)
+    sat = (
+        grid.withColumn("cy", F.sum("n").over(wy))
+        .withColumn("s", F.sum("cy").over(wx))
+        .select("gx", "gy", "s")
+    )
+
+    lo_x = F.col("gx") - r - 1
+    lo_y = F.col("gy") - r - 1
+    hi_x = F.least(F.col("gx") + r, F.lit(m - 1))
+    hi_y = F.least(F.col("gy") + r, F.lit(m - 1))
+    out = hist
+    # four SAT corners; lo-side terms drop out when the index is negative
+    for tag, ex, ey, sign in [
+        ("a", hi_x, hi_y, 1),
+        ("b", lo_x, hi_y, -1),
+        ("c", hi_x, lo_y, -1),
+        ("d", lo_x, lo_y, 1),
+    ]:
+        cdf = sat.select(
+            F.col("gx").alias(f"{tag}_gx"),
+            F.col("gy").alias(f"{tag}_gy"),
+            (F.col("s") * sign).alias(f"{tag}_s"),
+        )
+        out = out.withColumn(f"{tag}_gx", ex).withColumn(f"{tag}_gy", ey).join(
+            cdf, [f"{tag}_gx", f"{tag}_gy"], "left"
+        )
+    box = sum(F.coalesce(F.col(f"{t}_s"), F.lit(0)) for t in "abcd")
+    return out.select(
+        "gx", "gy", "n_docs", box.cast("long").alias("box_n")
+    )
+
+
+def box_density_oracle(r: int, shift: int = 6, config: EngineConfig = DEFAULT) -> str:
+    """Appends to a CTE chain defining ``doc_geo`` (x, y): identical dense
+    grid, two window cumsums, four clamped SAT lookups."""
+    m = config.edge >> shift
+    s = int(shift)
+    return f"""hist AS (
+  SELECT x >> {s} AS gx, y >> {s} AS gy, COUNT(*) AS n_docs
+  FROM doc_geo GROUP BY 1, 2
+), dense AS (
+  SELECT gxs.gx, gys.gy FROM (SELECT unnest(range(0, {m})) AS gx) gxs,
+       (SELECT unnest(range(0, {m})) AS gy) gys
+), grid AS (
+  SELECT d.gx, d.gy, COALESCE(h.n_docs, 0) AS n
+  FROM dense d LEFT JOIN hist h ON d.gx = h.gx AND d.gy = h.gy
+), sat1 AS (
+  SELECT gx, gy,
+         SUM(n) OVER (PARTITION BY gx ORDER BY gy ROWS UNBOUNDED PRECEDING) AS cy
+  FROM grid
+), sat AS (
+  SELECT gx, gy,
+         SUM(cy) OVER (PARTITION BY gy ORDER BY gx ROWS UNBOUNDED PRECEDING) AS s
+  FROM sat1
+)
+SELECT h.gx, h.gy, CAST(h.n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(sa.s, 0) - COALESCE(sb.s, 0) - COALESCE(sc.s, 0)
+          + COALESCE(sd.s, 0) AS BIGINT) AS box_n
+FROM hist h
+LEFT JOIN sat sa ON sa.gx = LEAST(h.gx + {r}, {m - 1}) AND sa.gy = LEAST(h.gy + {r}, {m - 1})
+LEFT JOIN sat sb ON sb.gx = h.gx - {r} - 1 AND sb.gy = LEAST(h.gy + {r}, {m - 1})
+LEFT JOIN sat sc ON sc.gx = LEAST(h.gx + {r}, {m - 1}) AND sc.gy = h.gy - {r} - 1
+LEFT JOIN sat sd ON sd.gx = h.gx - {r} - 1 AND sd.gy = h.gy - {r} - 1"""

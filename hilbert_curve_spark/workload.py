@@ -222,3 +222,6 @@ GAP_RADIUS = 500
 
 # Keyword selectivity stats grid (same 64x64 grid as the cover join).
 KW_EXTENT_SHIFT = 6
+
+# Integral-image box density: Chebyshev radius (9x9 window at r=4).
+DENSITY_R = 4

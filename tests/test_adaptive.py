@@ -152,3 +152,47 @@ def test_partition_bounds_equi_depth(spark):
         thr = max((k * n_total) // buckets, 1)
         want = next((c, r) for c, p, r in cum if p < thr <= r)
         assert (bound, cdocs) == want
+
+
+def test_box_density_r1_equals_focal_stats(spark):
+    """The SAT box sum at r=1 must equal the 3x3 focal sum exactly,
+    borders included."""
+    from hilbert_curve_spark.operators.rollup import box_density, focal_stats
+
+    pts = _lcg_points(400, seed=29, edge=DEFAULT.edge)
+    geo = _geo(spark, pts)
+    shift = 9  # 8x8 grid: borders well represented
+    got = {
+        (r.gx, r.gy, r.n_docs, r.box_n)
+        for r in box_density(geo, 1, shift).collect()
+    }
+    want = {
+        (r.gx, r.gy, r.n_docs, r.focal_n)
+        for r in focal_stats(geo, shift).collect()
+    }
+    assert got == want
+
+
+def test_box_density_matches_brute_force(spark):
+    from hilbert_curve_spark.operators.rollup import box_density
+
+    pts = _lcg_points(300, seed=37, edge=DEFAULT.edge)
+    shift, r = 9, 3
+    m = DEFAULT.edge >> shift
+    hist = {}
+    for x, y in pts:
+        k = (x >> shift, y >> shift)
+        hist[k] = hist.get(k, 0) + 1
+    got = {
+        (row.gx, row.gy, row.n_docs, row.box_n)
+        for row in box_density(_geo(spark, pts), r, shift).collect()
+    }
+    want = {
+        (gx, gy, n, sum(
+            hist.get((i, j), 0)
+            for i in range(max(0, gx - r), min(m - 1, gx + r) + 1)
+            for j in range(max(0, gy - r), min(m - 1, gy + r) + 1)
+        ))
+        for (gx, gy), n in hist.items()
+    }
+    assert got == want
