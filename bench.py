@@ -501,6 +501,11 @@ def _storage_queries(spark, geo):
 
         return road_coverage_gaps(geo, W.ROADS, W.GAP_RADIUS).count()
 
+    def q_cell_density():
+        from hilbert_curve_spark.operators.rollup import box_density
+
+        return box_density(geo, W.DENSITY_R, W.MORAN_SHIFT).count()
+
     return {
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
@@ -519,6 +524,7 @@ def _storage_queries(spark, geo):
         "caption_pairs": q_caption_pairs,
         "keyword_extents": q_keyword_extents,
         "road_coverage_gaps": q_road_coverage_gaps,
+        "cell_density": q_cell_density,
     }
 
 
