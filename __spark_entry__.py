@@ -1591,6 +1591,23 @@ def _cell_density_oracle() -> str:
     return f"{_doc_geo_cte()}, " + box_density_oracle(W.DENSITY_R, W.MORAN_SHIFT)
 
 
+def _hotspot_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster region labeling: 4-connected components of dense grid cells
+    via the large/small-star CC machinery — the zone-delineation step after
+    local_moran (`operators/rollup.py::hotspot_regions`)."""
+    from hilbert_curve_spark.operators.rollup import hotspot_regions
+
+    return hotspot_regions(_doc_geo(spark, sf_dir), W.HOTSPOT_MIN, W.MORAN_SHIFT)
+
+
+def _hotspot_regions_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import hotspot_regions_oracle
+
+    # the min-label closure needs RECURSIVE on the (single) WITH keyword
+    cte = _doc_geo_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"{cte}, " + hotspot_regions_oracle(W.HOTSPOT_MIN, W.MORAN_SHIFT)
+
+
 def _heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CMS heavy hitters end-to-end: the documents table replayed
     through a file-source stream builds the depth×width hash histogram and
@@ -1715,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_extents": _keyword_extents,
         "road_coverage_gaps": _road_coverage_gaps,
         "cell_density": _cell_density,
+        "hotspot_regions": _hotspot_regions,
         "heavy_hitters_stream": _heavy_hitters_stream,
         # -- round-3 green ----------------------------------------------------
         "knn_join": _knn_join,
@@ -1944,6 +1962,7 @@ def oracle_sql() -> dict[str, str]:
         "keyword_extents": _keyword_extents_oracle(),
         "road_coverage_gaps": _road_coverage_gaps_oracle(),
         "cell_density": _cell_density_oracle(),
+        "hotspot_regions": _hotspot_regions_oracle(),
         "heavy_hitters_stream": textops.heavy_hitters_cms_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"

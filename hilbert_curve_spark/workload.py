@@ -225,3 +225,6 @@ KW_EXTENT_SHIFT = 6
 
 # Integral-image box density: Chebyshev radius (9x9 window at r=4).
 DENSITY_R = 4
+
+# Hot-spot region labeling: density threshold on the 64x64 grid.
+HOTSPOT_MIN = 10
