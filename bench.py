@@ -506,6 +506,17 @@ def _storage_queries(spark, geo):
 
         return box_density(geo, W.DENSITY_R, W.MORAN_SHIFT).count()
 
+    # density-scaled threshold (2x the mean cell occupancy), like dbscan's
+    # eps/min_pts: the fixture threshold W.HOTSPOT_MIN is calibrated for the
+    # 8k-doc sf0.01 corpus and would mark EVERY occupied cell dense here
+    m_cells = (DEFAULT.edge >> W.MORAN_SHIFT) ** 2
+    hotspot_thr = max(W.HOTSPOT_MIN, 2 * geo.count() // m_cells)
+
+    def q_hotspot_regions():
+        from hilbert_curve_spark.operators.rollup import hotspot_regions
+
+        return hotspot_regions(geo, hotspot_thr, W.MORAN_SHIFT).count()
+
     return {
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
@@ -525,6 +536,7 @@ def _storage_queries(spark, geo):
         "keyword_extents": q_keyword_extents,
         "road_coverage_gaps": q_road_coverage_gaps,
         "cell_density": q_cell_density,
+        "hotspot_regions": q_hotspot_regions,
     }
 
 
