@@ -1661,6 +1661,54 @@ def _span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans_ops.span_stats(build_documents(spark, sf_dir))
 
 
+def _span_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding of the interleaved corpus (the multimodal
+    chunking op): spans ride a doc_id shuffle, one per-doc running-sum
+    window assigns exact-integer chunk ids, chunk-level aggregates out
+    (`operators/spans.py::span_chunks`)."""
+    return spans_ops.span_chunks(
+        build_documents(spark, sf_dir), W.CHUNK_BUDGET, W.MEDIA_TOKEN_COST
+    )
+
+
+def _span_chunks_oracle() -> str:
+    return spans_ops.span_chunks_oracle(W.CHUNK_BUDGET, W.MEDIA_TOKEN_COST)
+
+
+def _media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level media dedup keyed on DECODED content through the Arrow
+    mapInPandas decode path, quantized to the 12-bit perceptual
+    fingerprint (`operators/media.py::media_dedup`)."""
+    from hilbert_curve_spark.operators.media import media_dedup
+
+    return media_dedup(build_documents(spark, sf_dir))
+
+
+def _media_dedup_oracle() -> str:
+    from hilbert_curve_spark.operators.media import media_dedup_oracle
+
+    return media_dedup_oracle()
+
+
+def _skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-cell skew diagnostics: top-k cells with exact FLOOR-ppm shares
+    from the shared salted histogram (`operators/partitioning.py`)."""
+    from hilbert_curve_spark.operators.partitioning import skew_report
+
+    return skew_report(_doc_geo(spark, sf_dir), W.SKEW_TOPK)
+
+
+def _skew_report_oracle() -> str:
+    from hilbert_curve_spark.operators.partitioning import skew_report_oracle
+
+    hcte = tiles_ops.hilbert_sql_cte(
+        DEFAULT.order,
+        "SELECT x AS cx, y AS cy FROM doc_geo",
+        pre_ctes=f"doc_geo AS ({derive.doc_geo_select_sql('documents')}), ",
+    )
+    return f"{hcte}, {skew_report_oracle(W.SKEW_TOPK)}"
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BRQ (rectangle AND any-of-keywords) on sf0.001."""
     return _brq_any(spark, "/root/testdata/sf0.001")
@@ -1736,6 +1784,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_density": _cell_density,
         "hotspot_regions": _hotspot_regions,
         "heavy_hitters_stream": _heavy_hitters_stream,
+        # -- wave 8 (landed after the window filled; first in line past it) --
+        "span_chunks": _span_chunks,
+        "media_dedup": _media_dedup,
+        "skew_report": _skew_report,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -1973,6 +2025,9 @@ def oracle_sql() -> dict[str, str]:
         "cell_density": _cell_density_oracle(),
         "hotspot_regions": _hotspot_regions_oracle(),
         "heavy_hitters_stream": textops.heavy_hitters_cms_oracle(),
+        "span_chunks": _span_chunks_oracle(),
+        "media_dedup": _media_dedup_oracle(),
+        "skew_report": _skew_report_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

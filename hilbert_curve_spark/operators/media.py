@@ -226,6 +226,83 @@ def sample_frames_oracle(table: str = "documents", max_frames: int = 8) -> str:
     )
 
 
+#: perceptual-fingerprint quantization: content keys collapse to 12 bits so
+#: near-identical decoded content buckets together (the pHash-style knob a
+#: real pipeline turns; the stub's bijective content hash has no raw-key
+#: collisions over the structured sid lattice, so dedup happens at the
+#: quantized granularity — exactly how perceptual dedup works in practice).
+CONTENT_FP_MOD = 4096
+
+
+def media_dedup(docs_with_spans: DataFrame) -> DataFrame:
+    """Span-level media dedup across documents, keyed on DECODED content:
+    every media span is decoded through the real Arrow ``mapInPandas`` path
+    (:func:`extract_media_features`), its content fingerprint is the
+    12-bit quantization of the decoded signal, and fingerprints held by
+    two or more spans are reported with a deterministic canonical owner —
+    ``(content_fp, n_copies, n_docs, canonical_doc, canonical_ref)``.
+
+    This is the multimodal arm of the dedup family (`operators/dedup.py`
+    handles text): interleaved corpora reuse images across documents, and
+    training pipelines keep ONE copy (the canonical ``min(doc_id,
+    media_ref)`` pair) plus a reference count.  The stub decoder's
+    width/height are an exact affine encoding of its content hash
+    (``h = (width-64) + (height-64)*1024`` — `decode_stub`), which is what
+    makes the op driver-checkable end to end THROUGH the Arrow batch path.
+
+    100 TB shape: the only Python is the vectorized decode the pipeline
+    already pays for feature extraction; after it, one hash aggregation on
+    the fingerprint with map-side combine (``min(struct)`` canonical — no
+    window, no self-join).  Fingerprint cardinality is bounded
+    (``CONTENT_FP_MOD``), so the post-agg frame is tiny; the reference
+    round-trips payloads byte-identically
+    (`Scheme/RSKQ/RSKQ_Biginteger.java:120-161`) and never dedups them —
+    this op is the Spark-side curation step its corpus shape calls for."""
+    feats = extract_media_features(docs_with_spans)
+    fp = F.expr(
+        f"CAST(((width - 64) + CAST(height - 64 AS BIGINT) * 1024) "
+        f"% {CONTENT_FP_MOD} AS BIGINT)"
+    )
+    return (
+        feats.select("doc_id", "media_ref", fp.alias("content_fp"))
+        .groupBy("content_fp")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min(F.struct("doc_id", "media_ref")).alias("c"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .select(
+            "content_fp",
+            "n_copies",
+            "n_docs",
+            F.col("c.doc_id").alias("canonical_doc"),
+            F.col("c.media_ref").alias("canonical_ref"),
+        )
+    )
+
+
+def media_dedup_oracle(table: str = "documents") -> str:
+    """DuckDB oracle: replay the stub content hash from the shared media-dims
+    CTE, quantize identically, and pick the canonical pair by the same
+    (doc_id, media_ref) total order (unique per span, so deterministic)."""
+    return f"""
+WITH m AS ({_media_dims_sql(table)}),
+fp AS (SELECT doc_id, media_ref, CAST(h % {CONTENT_FP_MOD} AS BIGINT) AS content_fp FROM m),
+agg AS (SELECT content_fp, CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM fp GROUP BY content_fp),
+canon AS (SELECT content_fp, doc_id, media_ref,
+                 ROW_NUMBER() OVER (PARTITION BY content_fp
+                                    ORDER BY doc_id, media_ref) AS rn
+          FROM fp)
+SELECT a.content_fp, a.n_copies, a.n_docs,
+       c.doc_id AS canonical_doc, c.media_ref AS canonical_ref
+FROM agg a JOIN canon c ON a.content_fp = c.content_fp AND c.rn = 1
+WHERE a.n_copies >= 2
+"""
+
+
 def media_features_oracle(table: str = "documents") -> str:
     """DuckDB oracle for :func:`media_features_checked`: the shared
     media-dims CTE (single-sourced stub arithmetic) crossed with the

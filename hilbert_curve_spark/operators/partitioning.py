@@ -89,3 +89,63 @@ SELECT CAST(k.k AS INT) AS bucket, c.cell AS bound_cell, c.cum AS cum_docs
 FROM cum c JOIN (SELECT unnest(range(1, {buckets})) AS k) k
   ON GREATEST((k.k * c.n_total) // {buckets}, 1) > c.prev
  AND GREATEST((k.k * c.n_total) // {buckets}, 1) <= c.cum"""
+
+
+def skew_report(
+    doc_geo: DataFrame, topk: int, config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """Hot-cell skew diagnostics: the ``topk`` most populated cells with
+    exact integer shares — ``(rank, cell, n_docs, share_ppm, cum_ppm)``.
+
+    This is the planning read-out that DRIVES the engine's explicit skew
+    handling (`operators/skew.py`): a cell whose ``share_ppm`` exceeds
+    ~1/shuffle-partitions of the corpus is exactly the key a naive
+    ``groupBy(cell)``/cell-join would serialize onto one reducer, so the
+    salt factor and AQE skew thresholds are sized from this report.  The
+    corpus's deliberate multi-gaussian hot spots
+    (`SpatialDataProcessor/StaticData/DataSetAccess.java:149-162`) make the
+    report non-trivial at every scale.
+
+    Plan: ONE salted corpus scan (the shared histogram), then a
+    single-partition window over the O(cells) histogram — thousands of
+    rows regardless of corpus size, the same documented shape as
+    ``partition_bounds``.  Shares are FLOOR-ppm (integer DIV), so the
+    DuckDB oracle matches bit-for-bit; ties rank by cell id —
+    deterministic total order."""
+    cells = salted_cell_counts(doc_geo, config)
+    w = Window.orderBy(F.desc("n_docs"), F.asc("cell"))
+    ranked = (
+        cells.withColumn("n_total", F.sum("n_docs").over(Window.partitionBy()))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum", F.sum("n_docs").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    return ranked.filter(F.col("rank") <= topk).select(
+        F.col("rank").cast("int").alias("rank"),
+        F.col("cell").cast("long").alias("cell"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.expr("CAST((n_docs * 1000000) DIV n_total AS BIGINT)").alias("share_ppm"),
+        F.expr("CAST((cum * 1000000) DIV n_total AS BIGINT)").alias("cum_ppm"),
+    )
+
+
+def skew_report_oracle(topk: int) -> str:
+    """SELECT body over the same hilbert CTE chain as
+    :func:`partition_bounds_oracle` — identical histogram, ranking order,
+    and FLOOR-ppm arithmetic."""
+    return f"""chist AS (
+  SELECT hv.hilbert >> {2 * DEFAULT.cell_shift} AS cell, COUNT(*) AS n
+  FROM doc_geo d JOIN hv ON d.x = hv.cx AND d.y = hv.cy GROUP BY 1
+), ranked AS (
+  SELECT cell, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, cell) AS rank,
+         CAST(SUM(n) OVER (ORDER BY n DESC, cell ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(n) OVER () AS BIGINT) AS n_total
+  FROM chist
+)
+SELECT CAST(rank AS INT) AS rank, CAST(cell AS BIGINT) AS cell,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST((n * 1000000) // n_total AS BIGINT) AS share_ppm,
+       CAST((cum * 1000000) // n_total AS BIGINT) AS cum_ppm
+FROM ranked WHERE rank <= {topk}"""

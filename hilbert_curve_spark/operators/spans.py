@@ -116,6 +116,34 @@ def span_stats_oracle(table: str = "documents", amp: int = derive.AMP) -> str:
     """DuckDB oracle: rebuild every span as a flat row (geo arm + one arm per
     keyword slot + a range-joined media arm — no arrays anywhere) and fold the
     identical canonical strings."""
+    return (
+        f"WITH {flat_spans_sql(table, amp)}, "
+        f"hashed AS (SELECT *, md5({_CANON}) AS m, "
+        f"{_bucket_sql('doc_id')} AS bkt FROM spans), "
+        f"lvl1 AS (SELECT kind, bkt, COUNT(*) AS n_spans, "
+        f"COUNT(DISTINCT doc_id) AS n_docs, "
+        f"CAST(SUM(off) AS BIGINT) AS sum_offset, "
+        f"CAST(SUM(length(text)) AS BIGINT) AS sum_text_len, "
+        f"CAST(SUM(length(media_ref)) AS BIGINT) AS sum_ref_len, "
+        f"CAST(SUM({_fp_sql('m')}) AS BIGINT) AS fpp "
+        f"FROM hashed GROUP BY kind, bkt) "
+        f"SELECT kind, CAST(SUM(n_spans) AS BIGINT) AS n_spans, "
+        f"CAST(SUM(n_docs) AS BIGINT) AS n_docs, "
+        f"CAST(SUM(sum_offset) AS BIGINT) AS sum_offset, "
+        f"CAST(SUM(sum_text_len) AS BIGINT) AS sum_text_len, "
+        f"CAST(SUM(sum_ref_len) AS BIGINT) AS sum_ref_len, "
+        f"CAST(0 AS BIGINT) AS n_order_breaks, "
+        f"CAST(SUM(fpp % {_FP_MOD}) % {_FP_MOD} AS BIGINT) AS fingerprint "
+        f"FROM lvl1 GROUP BY kind ORDER BY kind"
+    )
+
+
+def flat_spans_sql(table: str = "documents", amp: int = derive.AMP) -> str:
+    """WITH-body fragment defining ``ids`` (the amplified sid stream) and
+    ``spans(doc_id, kind, text, media_ref, off)`` — every span of every
+    derived document as a flat row, no arrays.  Single source of the
+    oracle-side span reconstruction shared by ``span_stats_oracle`` and
+    ``span_chunks_oracle`` so the derivation cannot desynchronize."""
     doc_id = derive.doc_key_sql()
     geo_text = (
         f"('x=' || CAST({derive.x_sql()} AS STRING) || ' y=' || "
@@ -137,26 +165,93 @@ def span_stats_oracle(table: str = "documents", amp: int = derive.AMP) -> str:
         f"WHERE n < {derive.n_media_sql()}"
     )
     union = " UNION ALL ".join(arms)
+    return f"ids AS {derive.corpus_sql(table, amp)}, spans AS ({union})"
+
+
+def span_chunks(
+    docs: DataFrame,
+    budget: int,
+    media_cost: int = 16,
+    partitions: int = 32,
+) -> DataFrame:
+    """Token-budget sharding of interleaved documents — THE chunking step of
+    a multimodal training-data pipeline: each document's span sequence is
+    split into consecutive chunks of ~``budget`` tokens without ever
+    splitting a span, where a text/geo span costs ``length(text)`` proxy
+    tokens and a media span costs the flat ``media_cost`` (the fixed
+    image-token budget of a vision-language encoder).
+
+    Chunk assignment is the deterministic closed form ``chunk_id =
+    (tokens strictly before this span) DIV budget`` — exact integers, so a
+    span always lands with its whole cost in one chunk and chunk ids are
+    dense from 0 per document.  Output is chunk-level: ``(doc_id, chunk_id,
+    n_spans, n_media, chunk_tokens, first_offset, last_offset)``.
+
+    Plan: the arrays ride one hash shuffle on doc_id (the span_stats
+    integrity path), a native explode, ONE per-document running-sum window
+    (state bounded by a single document's spans regardless of corpus size),
+    then a hash aggregation with map-side combine.  No Python anywhere.
+    Reference parity: the reference ships payloads opaquely
+    (`Scheme/RSKQ/RSKQ_Biginteger.java:120-161`); chunking is the
+    training-pipeline op its interleaved payload shape exists to feed."""
+    from pyspark.sql import Window
+
+    shuffled = docs.repartition(partitions, "doc_id")
+    flat = shuffled.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.offset").alias("off"),
+    )
+    cost = F.when(F.col("kind") == "media", F.lit(media_cost)).otherwise(
+        F.length("text")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = (
+        flat.withColumn("cost", cost)
+        .withColumn("cum_before", F.coalesce(F.sum("cost").over(w), F.lit(0)))
+        .withColumn("chunk_id", F.expr(f"CAST(cum_before DIV {budget} AS INT)"))
+    )
+    return chunked.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("kind") == "media", 1).otherwise(0))
+        .cast("long")
+        .alias("n_media"),
+        F.sum("cost").cast("long").alias("chunk_tokens"),
+        F.min("off").cast("int").alias("first_offset"),
+        F.max("off").cast("int").alias("last_offset"),
+    )
+
+
+def span_chunks_oracle(
+    budget: int,
+    media_cost: int = 16,
+    table: str = "documents",
+    amp: int = derive.AMP,
+) -> str:
+    """DuckDB oracle: identical cost/window/DIV arithmetic over the flat
+    span reconstruction (:func:`flat_spans_sql`) — integer-exact, same
+    empty-frame COALESCE for each document's first span."""
     return (
-        f"WITH ids AS {derive.corpus_sql(table, amp)}, "
-        f"spans AS ({union}), "
-        f"hashed AS (SELECT *, md5({_CANON}) AS m, "
-        f"{_bucket_sql('doc_id')} AS bkt FROM spans), "
-        f"lvl1 AS (SELECT kind, bkt, COUNT(*) AS n_spans, "
-        f"COUNT(DISTINCT doc_id) AS n_docs, "
-        f"CAST(SUM(off) AS BIGINT) AS sum_offset, "
-        f"CAST(SUM(length(text)) AS BIGINT) AS sum_text_len, "
-        f"CAST(SUM(length(media_ref)) AS BIGINT) AS sum_ref_len, "
-        f"CAST(SUM({_fp_sql('m')}) AS BIGINT) AS fpp "
-        f"FROM hashed GROUP BY kind, bkt) "
-        f"SELECT kind, CAST(SUM(n_spans) AS BIGINT) AS n_spans, "
-        f"CAST(SUM(n_docs) AS BIGINT) AS n_docs, "
-        f"CAST(SUM(sum_offset) AS BIGINT) AS sum_offset, "
-        f"CAST(SUM(sum_text_len) AS BIGINT) AS sum_text_len, "
-        f"CAST(SUM(sum_ref_len) AS BIGINT) AS sum_ref_len, "
-        f"CAST(0 AS BIGINT) AS n_order_breaks, "
-        f"CAST(SUM(fpp % {_FP_MOD}) % {_FP_MOD} AS BIGINT) AS fingerprint "
-        f"FROM lvl1 GROUP BY kind ORDER BY kind"
+        f"WITH {flat_spans_sql(table, amp)}, "
+        f"costed AS (SELECT doc_id, kind, off, "
+        f"CASE WHEN kind = 'media' THEN {media_cost} ELSE length(text) END AS cost "
+        f"FROM spans), "
+        f"cum AS (SELECT doc_id, kind, off, cost, "
+        f"COALESCE(SUM(cost) OVER (PARTITION BY doc_id ORDER BY off "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before "
+        f"FROM costed) "
+        f"SELECT doc_id, CAST(cum_before // {budget} AS INT) AS chunk_id, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_spans, "
+        f"CAST(SUM(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT) AS n_media, "
+        f"CAST(SUM(cost) AS BIGINT) AS chunk_tokens, "
+        f"CAST(MIN(off) AS INT) AS first_offset, "
+        f"CAST(MAX(off) AS INT) AS last_offset "
+        f"FROM cum GROUP BY doc_id, CAST(cum_before // {budget} AS INT)"
     )
 
 

@@ -228,3 +228,11 @@ DENSITY_R = 4
 
 # Hot-spot region labeling: density threshold on the 64x64 grid.
 HOTSPOT_MIN = 10
+
+# Token-budget chunking of interleaved docs: chunk size in proxy tokens
+# (text cost = length(text), media cost = flat image-token budget).
+CHUNK_BUDGET = 24
+MEDIA_TOKEN_COST = 16
+
+# Hot-cell skew report: how many top cells to emit.
+SKEW_TOPK = 20
