@@ -1709,6 +1709,58 @@ def _skew_report_oracle() -> str:
     return f"{hcte}, {skew_report_oracle(W.SKEW_TOPK)}"
 
 
+def _keyword_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k co-occurring keyword pairs — market-basket statistics over the
+    text spans, the SKQ-selectivity planner input
+    (`operators/brq.py::keyword_cooccurrence`)."""
+    from hilbert_curve_spark.operators.brq import keyword_cooccurrence
+
+    return keyword_cooccurrence(_doc_geo(spark, sf_dir), W.COOC_TOPK)
+
+
+def _keyword_cooccurrence_oracle() -> str:
+    from hilbert_curve_spark.operators.brq import keyword_cooccurrence_oracle
+
+    return f"{_doc_geo_cte()}, " + keyword_cooccurrence_oracle(W.COOC_TOPK)
+
+
+def _cell_top_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant keyword per grid cell — the thematic raster with exact
+    FLOOR-ppm shares (`operators/brq.py::cell_top_keyword`)."""
+    from hilbert_curve_spark.operators.brq import cell_top_keyword
+
+    return cell_top_keyword(_doc_geo(spark, sf_dir), W.TOPKW_SHIFT)
+
+
+def _cell_top_keyword_oracle() -> str:
+    from hilbert_curve_spark.operators.brq import cell_top_keyword_oracle
+
+    return f"{_doc_geo_cte()}, " + cell_top_keyword_oracle(W.TOPKW_SHIFT)
+
+
+def _cell_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell quantized embedding sums — the regional semantic centroid
+    (spatial x embedding interleaving); aggregate-before-join so only the
+    corpus scan touches corpus-sized data
+    (`operators/similarity.py::cell_embedding_profile`)."""
+    from hilbert_curve_spark.operators.similarity import cell_embedding_profile
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cell_embedding_profile(
+        _doc_geo(spark, sf_dir), emb, W.EMB_SHIFT, W.EMB_SCALE
+    )
+
+
+def _cell_embedding_profile_oracle() -> str:
+    from hilbert_curve_spark.operators.similarity import (
+        cell_embedding_profile_oracle,
+    )
+
+    return f"{_doc_geo_cte()}, " + cell_embedding_profile_oracle(
+        W.EMB_SHIFT, W.EMB_SCALE
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BRQ (rectangle AND any-of-keywords) on sf0.001."""
     return _brq_any(spark, "/root/testdata/sf0.001")
@@ -1788,6 +1840,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_chunks": _span_chunks,
         "media_dedup": _media_dedup,
         "skew_report": _skew_report,
+        # -- wave 9 --
+        "keyword_cooccurrence": _keyword_cooccurrence,
+        "cell_top_keyword": _cell_top_keyword,
+        "cell_embedding_profile": _cell_embedding_profile,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -2028,6 +2084,9 @@ def oracle_sql() -> dict[str, str]:
         "span_chunks": _span_chunks_oracle(),
         "media_dedup": _media_dedup_oracle(),
         "skew_report": _skew_report_oracle(),
+        "keyword_cooccurrence": _keyword_cooccurrence_oracle(),
+        "cell_top_keyword": _cell_top_keyword_oracle(),
+        "cell_embedding_profile": _cell_embedding_profile_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

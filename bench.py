@@ -517,6 +517,39 @@ def _storage_queries(spark, geo):
 
         return hotspot_regions(geo, hotspot_thr, W.MORAN_SHIFT).count()
 
+    def q_span_chunks():
+        from hilbert_curve_spark.operators.spans import span_chunks
+
+        corpus = spark.read.parquet(_corpus_path())
+        return span_chunks(corpus, W.CHUNK_BUDGET, W.MEDIA_TOKEN_COST).count()
+
+    def q_media_dedup():
+        from hilbert_curve_spark.operators.media import media_dedup
+
+        corpus = spark.read.parquet(_corpus_path())
+        return media_dedup(corpus).count()
+
+    def q_skew_report():
+        from hilbert_curve_spark.operators.partitioning import skew_report
+
+        return skew_report(geo, W.SKEW_TOPK).count()
+
+    def q_keyword_cooccurrence():
+        from hilbert_curve_spark.operators.brq import keyword_cooccurrence
+
+        return keyword_cooccurrence(geo, W.COOC_TOPK).count()
+
+    def q_cell_top_keyword():
+        from hilbert_curve_spark.operators.brq import cell_top_keyword
+
+        return cell_top_keyword(geo, W.TOPKW_SHIFT).count()
+
+    def q_cell_embedding_profile():
+        from hilbert_curve_spark.operators.similarity import cell_embedding_profile
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        return cell_embedding_profile(geo, emb, W.EMB_SHIFT, W.EMB_SCALE).count()
+
     return {
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
@@ -537,6 +570,12 @@ def _storage_queries(spark, geo):
         "road_coverage_gaps": q_road_coverage_gaps,
         "cell_density": q_cell_density,
         "hotspot_regions": q_hotspot_regions,
+        "span_chunks": q_span_chunks,
+        "media_dedup": q_media_dedup,
+        "skew_report": q_skew_report,
+        "keyword_cooccurrence": q_keyword_cooccurrence,
+        "cell_top_keyword": q_cell_top_keyword,
+        "cell_embedding_profile": q_cell_embedding_profile,
     }
 
 

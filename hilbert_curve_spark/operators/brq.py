@@ -289,3 +289,142 @@ FROM (
   SELECT kw, CAST(COUNT(*) AS BIGINT) AS n_cells
   FROM (SELECT DISTINCT kw, gcell FROM kwx) GROUP BY kw
 ) c ON s.kw = c.kw"""
+
+
+def keyword_cooccurrence(doc_geo: DataFrame, topk: int) -> DataFrame:
+    """Top-k co-occurring keyword pairs — the market-basket statistic over
+    the interleaved corpus's text spans: ``(rank, kw_a, kw_b, n_docs)``
+    where ``n_docs`` counts documents whose keyword set contains BOTH
+    keywords (per-document multiplicity ignored, pair ordered ``kw_a <
+    kw_b``).
+
+    A curation pipeline reads this to find redundant topic clusters and a
+    BRQ planner to estimate conjunctive (SKQ, `Scheme/SKQ/
+    SKQ_Biginteger.Search:239-401`) selectivity from pair- instead of
+    independence-assumption statistics.
+
+    Plan: pair generation is PER-ROW array algebra on the sorted distinct
+    keyword array — zero joins, zero extra shuffle, at most C(k,2) pairs a
+    doc (k = spans per doc, 4 here) — then ONE hash aggregation with
+    map-side combine and a partial top-k (``orderBy().limit()`` pushes a
+    per-partition top-k before the single-partition merge; the rank window
+    runs over k rows only).  Deterministic total order: count desc, then
+    the pair itself."""
+    from pyspark.sql import Window
+
+    ks = F.array_sort(F.array_distinct("keywords"))
+    pairs = F.expr(
+        "flatten(transform(ks, (a, i) -> "
+        "transform(slice(ks, i + 2, size(ks) - i - 1), "
+        "b -> struct(a AS kw_a, b AS kw_b))))"
+    )
+    agg = (
+        doc_geo.withColumn("ks", ks)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.kw_a", "p.kw_b")
+        .groupBy("kw_a", "kw_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    order = [F.desc("n_docs"), F.asc("kw_a"), F.asc("kw_b")]
+    w = Window.orderBy(*order)
+    return (
+        agg.orderBy(*order)
+        .limit(topk)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "kw_a", "kw_b", "n_docs")
+    )
+
+
+def keyword_cooccurrence_oracle(topk: int) -> str:
+    """Appends to a CTE chain defining ``doc_geo`` (doc_key, kw0..kw3):
+    per-document DISTINCT LEAST/GREATEST slot pairs — provably the same
+    pair set as the engine's sorted-distinct-array generation — then the
+    identical count/rank order."""
+    from ..sources import derive as _derive
+
+    k = _derive.KW_PER_DOC
+    arms = " UNION ALL ".join(
+        f"SELECT doc_key, kw{i} AS a, kw{j} AS b FROM doc_geo"
+        for i in range(k)
+        for j in range(i + 1, k)
+    )
+    return f"""pairs AS (
+  SELECT DISTINCT doc_key, LEAST(a, b) AS kw_a, GREATEST(a, b) AS kw_b
+  FROM ({arms}) WHERE a <> b
+), cagg AS (
+  SELECT kw_a, kw_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pairs GROUP BY kw_a, kw_b
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_docs DESC, kw_a, kw_b) AS rank
+  FROM cagg
+)
+SELECT CAST(rank AS INT) AS rank, kw_a, kw_b, n_docs
+FROM ranked WHERE rank <= {topk}"""
+
+
+def cell_top_keyword(
+    doc_geo: DataFrame, shift: int = 6, config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """Dominant keyword per grid cell — the thematic raster over the
+    interleaved corpus: ``(gcell, top_kw, kw_count, cell_total,
+    share_ppm)`` with keyword-slot multiplicity counted and the tie broken
+    toward the lexicographically smallest keyword (deterministic).
+
+    Plan: one explode scan -> hash aggregation on (cell, keyword) with
+    map-side combine, then ONE window over the aggregated frame — bounded
+    by distinct (cell, keyword) pairs, never the corpus.  ``share_ppm`` is
+    FLOOR-ppm integer arithmetic so the DuckDB oracle matches
+    bit-for-bit."""
+    from pyspark.sql import Window
+
+    grid = config.edge >> shift
+    gcell = (F.shiftright("x", shift) * grid + F.shiftright("y", shift)).cast(
+        "long"
+    )
+    counts = (
+        doc_geo.select(F.explode("keywords").alias("kw"), gcell.alias("gcell"))
+        .groupBy("gcell", "kw")
+        .agg(F.count(F.lit(1)).cast("long").alias("kw_count"))
+    )
+    w = Window.partitionBy("gcell").orderBy(F.desc("kw_count"), F.asc("kw"))
+    return (
+        counts.withColumn(
+            "cell_total",
+            F.sum("kw_count").over(Window.partitionBy("gcell")).cast("long"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "gcell",
+            F.col("kw").alias("top_kw"),
+            "kw_count",
+            "cell_total",
+            F.expr("CAST((kw_count * 1000000) DIV cell_total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+def cell_top_keyword_oracle(shift: int = 6, config: EngineConfig = DEFAULT) -> str:
+    """Appends to a CTE chain defining ``doc_geo``: identical UNION-arm
+    slot explode (multiplicity preserved), window order, and FLOOR-ppm."""
+    from ..sources import derive as _derive
+
+    grid = config.edge >> shift
+    arms = " UNION ALL ".join(
+        f"SELECT (x >> {shift}) * {grid} + (y >> {shift}) AS gcell, kw{j} AS kw "
+        f"FROM doc_geo"
+        for j in range(_derive.KW_PER_DOC)
+    )
+    return f"""kwc AS (
+  SELECT CAST(gcell AS BIGINT) AS gcell, kw, CAST(COUNT(*) AS BIGINT) AS kw_count
+  FROM ({arms}) GROUP BY gcell, kw
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY gcell ORDER BY kw_count DESC, kw) AS rn,
+         CAST(SUM(kw_count) OVER (PARTITION BY gcell) AS BIGINT) AS cell_total
+  FROM kwc
+)
+SELECT gcell, kw AS top_kw, kw_count, cell_total,
+       CAST((kw_count * 1000000) // cell_total AS BIGINT) AS share_ppm
+FROM ranked WHERE rn = 1"""

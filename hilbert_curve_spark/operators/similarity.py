@@ -451,3 +451,82 @@ def ivf_topk_stored(
     ]
     cand = stored.filter(F.col("cid").isin(probe))
     return cosine_topk(cand.select("vec_id", "embedding"), query_vec, k)
+
+
+def cell_embedding_profile(
+    doc_geo: DataFrame,
+    embeddings: DataFrame,
+    shift: int = 8,
+    scale: int = 4096,
+    edge: int = 4096,
+) -> DataFrame:
+    """Regional embedding profile — the spatial x embedding interleaving:
+    per grid cell and embedding dimension, the document count and the
+    exact integer-quantized component sum ``(gcell, dim, n_docs, qsum)``
+    with ``qsum = SUM(FLOOR(component * scale))``.
+
+    A geo-aware curation pipeline reads this as the per-region semantic
+    centroid (divide ``qsum`` by ``n_docs * scale`` downstream) — which
+    regions' documents cluster in embedding space, where to rebalance
+    sampling.  ``scale`` is a power of two so ``float -> double * scale``
+    is EXACT and FLOOR is engine-neutral (CLAUDE.md: DuckDB rounds,
+    Spark truncates — FLOOR first).
+
+    Plan — aggregate BEFORE join: docs collapse to per-(cell, vec_id)
+    counts first (bounded by cells x |embeddings|, not the corpus), then
+    join the exploded embedding table (|embeddings| x dim rows — the
+    broadcastable dim side) and weight by count.  The corpus is touched
+    exactly once; nothing downstream scales with it.  Reference corpus
+    shape: `SpatialDataProcessor/StaticData/DataSetAccess.java:149-162`
+    (the hot-spot clusters this profiles)."""
+    n_vecs = embeddings.count()  # dim-table size: bounded driver control read
+    grid = edge >> shift
+    gcell = (F.shiftright("x", shift) * grid + F.shiftright("y", shift)).cast(
+        "long"
+    )
+    sid = F.expr("CAST(substring(doc_id, 4, 10) AS BIGINT)")
+    cnts = (
+        doc_geo.select(gcell.alias("gcell"), (sid % n_vecs).alias("vec_id"))
+        .groupBy("gcell", "vec_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ev = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).withColumn(
+        "qv", F.expr(f"CAST(FLOOR(CAST(val AS DOUBLE) * {scale}) AS BIGINT)")
+    )
+    return (
+        cnts.join(ev, "vec_id")
+        .groupBy("gcell", "dim")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_docs"),
+            F.sum(F.col("cnt") * F.col("qv")).cast("long").alias("qsum"),
+        )
+        .select("gcell", F.col("dim").cast("int").alias("dim"), "n_docs", "qsum")
+    )
+
+
+def cell_embedding_profile_oracle(
+    shift: int = 8, scale: int = 4096, edge: int = 4096, table: str = "embeddings"
+) -> str:
+    """Appends to a CTE chain defining ``doc_geo`` (doc_key, x, y): the
+    identical vec assignment (sid % COUNT(*)), 0-based dim subscripts, and
+    FLOOR-quantized sums — all BIGINT-cast so DuckDB's HUGEINT sums never
+    drift to float64."""
+    grid = edge >> shift
+    return f"""prof AS (
+  SELECT (x >> {shift}) * {grid} + (y >> {shift}) AS gcell,
+         CAST(substring(doc_key, 4, 10) AS BIGINT)
+           % (SELECT COUNT(*) FROM {table}) AS vec_id,
+         COUNT(*) AS cnt
+  FROM doc_geo GROUP BY 1, 2
+), ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT) AS qv
+  FROM {table}
+)
+SELECT CAST(p.gcell AS BIGINT) AS gcell, CAST(e.dim AS INT) AS dim,
+       CAST(SUM(p.cnt) AS BIGINT) AS n_docs,
+       CAST(SUM(p.cnt * e.qv) AS BIGINT) AS qsum
+FROM prof p JOIN ev e ON p.vec_id = e.vec_id
+GROUP BY p.gcell, e.dim"""

@@ -236,3 +236,14 @@ MEDIA_TOKEN_COST = 16
 
 # Hot-cell skew report: how many top cells to emit.
 SKEW_TOPK = 20
+
+# Keyword co-occurrence: how many top pairs to emit.
+COOC_TOPK = 30
+
+# Dominant-keyword raster shift (64x64 grid, the MORAN_SHIFT resolution).
+TOPKW_SHIFT = 6
+
+# Regional embedding profile: 16x16 grid; power-of-two quantization scale
+# so float->double*scale is exact and FLOOR is engine-neutral.
+EMB_SHIFT = 8
+EMB_SCALE = 4096
