@@ -1675,6 +1675,33 @@ def _span_chunks_oracle() -> str:
     return spans_ops.span_chunks_oracle(W.CHUNK_BUDGET, W.MEDIA_TOKEN_COST)
 
 
+def _span_chunks_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle per-row chunker — the same chunks as `span_chunks`
+    computed entirely in array algebra, no repartition/window/agg
+    (`operators/spans.py::span_chunks_inline`); plan is a single narrow
+    projection.  Same oracle as the shuffled form."""
+    return spans_ops.span_chunks_inline(
+        build_documents(spark, sf_dir), W.CHUNK_BUDGET, W.MEDIA_TOKEN_COST
+    )
+
+
+def _span_chunks_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming chunking end-to-end: the flat documents replay through a
+    file-source stream, the interleaved derivation + per-row chunker run
+    as a stateless append-mode stream (windows are unsupported in
+    streaming — the array-algebra form is how chunking streams), and the
+    finished result equals the batch chunker bit-for-bit (same oracle)."""
+    from hilbert_curve_spark.sources.interleave import derive_documents
+    from hilbert_curve_spark.streaming.doc_streams import read_docs_stream
+
+    chunked = spans_ops.span_chunks_inline(
+        derive_documents(read_docs_stream(spark, sf_dir)),
+        W.CHUNK_BUDGET,
+        W.MEDIA_TOKEN_COST,
+    )
+    return _run_stream_to_df(spark, chunked, "append", "drv_chunks")
+
+
 def _media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level media dedup keyed on DECODED content through the Arrow
     mapInPandas decode path, quantized to the 12-bit perceptual
@@ -1844,6 +1871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_cooccurrence": _keyword_cooccurrence,
         "cell_top_keyword": _cell_top_keyword,
         "cell_embedding_profile": _cell_embedding_profile,
+        # -- wave 10 --
+        "span_chunks_inline": _span_chunks_inline,
+        "span_chunks_stream": _span_chunks_stream,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -2087,6 +2117,8 @@ def oracle_sql() -> dict[str, str]:
         "keyword_cooccurrence": _keyword_cooccurrence_oracle(),
         "cell_top_keyword": _cell_top_keyword_oracle(),
         "cell_embedding_profile": _cell_embedding_profile_oracle(),
+        "span_chunks_inline": _span_chunks_oracle(),
+        "span_chunks_stream": _span_chunks_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

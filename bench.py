@@ -534,6 +534,12 @@ def _storage_queries(spark, geo):
 
         return skew_report(geo, W.SKEW_TOPK).count()
 
+    def q_span_chunks_inline():
+        from hilbert_curve_spark.operators.spans import span_chunks_inline
+
+        corpus = spark.read.parquet(_corpus_path())
+        return span_chunks_inline(corpus, W.CHUNK_BUDGET, W.MEDIA_TOKEN_COST).count()
+
     def q_keyword_cooccurrence():
         from hilbert_curve_spark.operators.brq import keyword_cooccurrence
 
@@ -573,6 +579,7 @@ def _storage_queries(spark, geo):
         "span_chunks": q_span_chunks,
         "media_dedup": q_media_dedup,
         "skew_report": q_skew_report,
+        "span_chunks_inline": q_span_chunks_inline,
         "keyword_cooccurrence": q_keyword_cooccurrence,
         "cell_top_keyword": q_cell_top_keyword,
         "cell_embedding_profile": q_cell_embedding_profile,

@@ -328,3 +328,73 @@ SELECT {derive.doc_key_sql()} AS doc_id,
        CAST({derive.KW_PER_DOC} AS INT) AS caption_offset
 FROM corpus, (VALUES {media_ns}) m(n)
 WHERE m.n < {derive.n_media_sql()}"""
+
+
+def span_chunks_inline(
+    docs: DataFrame, budget: int, media_cost: int = 16
+) -> DataFrame:
+    """Zero-shuffle form of :func:`span_chunks`: the whole per-document
+    chunk computation is per-ROW array algebra (sort, prefix-fold, group by
+    chunk id) over the spans array — no repartition, no window, no
+    aggregation, so the plan is a single narrow projection that runs
+    unchanged over a Structured Streaming source (windows are unsupported
+    in streaming; this form is how chunking streams).
+
+    Output is bit-identical to :func:`span_chunks` (same oracle).  Cost is
+    O(spans^2) per document (the prefix fold materializes an index array
+    per chunk), which is the right trade only while spans-per-doc is
+    bounded — the interleaved corpus shape (~7 spans) and any real
+    VLM-training corpus qualify; a million-span document should take the
+    shuffled window form instead.  At 10^12 docs this plan's wall time is
+    scan bandwidth — there is literally nothing else in it."""
+    sorted_spans = (
+        "array_sort(transform(spans, s -> "
+        "struct(s.offset AS off, s.kind AS kind, s.text AS text)))"
+    )
+    costs = (
+        f"transform(srt, s -> CAST(CASE WHEN s.kind = 'media' "
+        f"THEN {media_cost} ELSE length(s.text) END AS BIGINT))"
+    )
+    pre = (
+        "aggregate(costs, array(CAST(0 AS BIGINT)), "
+        "(acc, c) -> array_append(acc, element_at(acc, -1) + c))"
+    )
+    # 1-based span index i: cum_before = pre[i]; empty-guard because
+    # sequence(1, 0) is DESCENDING in Spark, not empty
+    cids = (
+        f"CASE WHEN size(costs) = 0 THEN CAST(array() AS array<int>) "
+        f"ELSE transform(sequence(1, size(costs)), "
+        f"i -> CAST(element_at(pre, i) DIV {budget} AS INT)) END"
+    )
+    grps = (
+        "transform(array_distinct(cids), "
+        "cid -> filter(sequence(1, size(cids)), i -> element_at(cids, i) = cid))"
+    )
+    chunks = (
+        "transform(grps, g -> struct("
+        "element_at(cids, element_at(g, 1)) AS chunk_id, "
+        "CAST(size(g) AS BIGINT) AS n_spans, "
+        "CAST(size(filter(g, i -> element_at(srt, i).kind = 'media')) AS BIGINT)"
+        " AS n_media, "
+        "CAST(aggregate(g, CAST(0 AS BIGINT), (a, i) -> a + element_at(costs, i))"
+        " AS BIGINT) AS chunk_tokens, "
+        "CAST(element_at(srt, element_at(g, 1)).off AS INT) AS first_offset, "
+        "CAST(element_at(srt, element_at(g, -1)).off AS INT) AS last_offset))"
+    )
+    return (
+        docs.withColumn("srt", F.expr(sorted_spans))
+        .withColumn("costs", F.expr(costs))
+        .withColumn("pre", F.expr(pre))
+        .withColumn("cids", F.expr(cids))
+        .withColumn("grps", F.expr(grps))
+        .select("doc_id", F.explode(F.expr(chunks)).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.n_spans").alias("n_spans"),
+            F.col("c.n_media").alias("n_media"),
+            F.col("c.chunk_tokens").alias("chunk_tokens"),
+            F.col("c.first_offset").alias("first_offset"),
+            F.col("c.last_offset").alias("last_offset"),
+        )
+    )

@@ -61,6 +61,26 @@ def spans_expr(id_col: str = "sid") -> str:
     )
 
 
+def derive_documents(
+    flat: DataFrame, amp: int = derive.AMP, partitions: int | None = None
+) -> DataFrame:
+    """Flat documents frame (batch OR streaming) -> amplified interleaved
+    documents(doc_id, spans).  Pure per-row span construction after the sid
+    fan-out, so the same derivation runs unchanged over a Structured
+    Streaming source (`span_chunks_stream`)."""
+    sids = flat.select(
+        F.expr(f"explode(sequence(0, {amp - 1}))").alias("rep"), "doc_id"
+    ).select(F.expr(derive.SID_SQL).alias("sid"))
+    if not flat.isStreaming:
+        n_part = partitions or flat.sparkSession.sparkContext.defaultParallelism * 2
+        if amp * flat.rdd.getNumPartitions() >= n_part:
+            sids = sids.repartition(n_part)
+    return sids.select(
+        F.expr(derive.doc_key_sql()).alias("doc_id"),
+        F.expr(spans_expr()).alias("spans"),
+    )
+
+
 def build_documents(
     spark: SparkSession, sf_dir: str, amp: int = derive.AMP, partitions: int | None = None
 ) -> DataFrame:
@@ -74,14 +94,6 @@ def build_documents(
     the (comparatively expensive) span construction.  A real 100 TB input
     arrives already partitioned and skips this shuffle (the rows shuffled
     here are single int64s — the cheapest possible stage boundary)."""
-    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sids = flat.select(
-        F.expr(f"explode(sequence(0, {amp - 1}))").alias("rep"), "doc_id"
-    ).select(F.expr(derive.SID_SQL).alias("sid"))
-    n_part = partitions or spark.sparkContext.defaultParallelism * 2
-    if amp * flat.rdd.getNumPartitions() >= n_part:
-        sids = sids.repartition(n_part)
-    return sids.select(
-        F.expr(derive.doc_key_sql()).alias("doc_id"),
-        F.expr(spans_expr()).alias("spans"),
+    return derive_documents(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), amp, partitions
     )

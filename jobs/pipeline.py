@@ -12,7 +12,8 @@ stages are skipped via their lineage manifests):
 1. corpus   — flat parquet -> interleaved documents(doc_id, spans)
 2. doc_geo  — encode stage (hilbert, cell, keywords), hilbert-sorted layout
 3. indexes  — prefix + keyword posting tables
-4. queries  — the workload suite; results + timings written as JSON
+4. chunks   — token-budget training shards of the interleaved corpus
+5. queries  — the workload suite; results + timings written as JSON
 """
 
 from __future__ import annotations
@@ -40,6 +41,7 @@ def main() -> None:
     from hilbert_curve_spark.operators import brq as brq_ops
     from hilbert_curve_spark.operators import range_query as rq
     from hilbert_curve_spark.operators import tiles as tiles_ops
+    from hilbert_curve_spark.operators import spans as spans_ops
     from hilbert_curve_spark.operators.encode import encode_documents_native
     from hilbert_curve_spark.sources.interleave import build_documents
 
@@ -52,6 +54,14 @@ def main() -> None:
         Stage("doc_geo", lambda s, o: encode_documents_native(o["corpus"]), sort_key="hilbert"),
         Stage("prefix_index", lambda s, o: rq.prefix_index(o["doc_geo"])),
         Stage("keyword_index", lambda s, o: brq_ops.keyword_index(o["doc_geo"])),
+        # training-shard materialization: token-budget chunks of the
+        # interleaved corpus (zero-shuffle per-row form)
+        Stage(
+            "chunks",
+            lambda s, o: spans_ops.span_chunks_inline(
+                o["corpus"], W.CHUNK_BUDGET, W.MEDIA_TOKEN_COST
+            ),
+        ),
     ]
     runner = CheckpointRunner(spark, os.path.join(args.output, "stages"))
     outs = runner.run(stages, {"sf_dir": args.sf_dir, "amp": str(args.amp)})
@@ -75,6 +85,7 @@ def main() -> None:
         "nearest_poi": nearest_join(geo, W.POIS).count(),
         "prefix_rows": outs["prefix_index"].count(),
         "keyword_rows": outs["keyword_index"].count(),
+        "chunk_rows": outs["chunks"].count(),
     }
     summary = {
         "results": results,

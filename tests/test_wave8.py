@@ -171,3 +171,49 @@ def test_skew_report_plan_no_python(spark, sf_dir):
     geo = encode_documents(build_documents(spark, sf_dir, amp=2))
     plan = _plan(skew_report(geo, 5))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_span_chunks_inline_brute_force(spark):
+    from hilbert_curve_spark.operators.spans import span_chunks_inline
+
+    rows = [
+        ("a", [("geo", "x=12 y=7", "", 0), ("text", "hello", "", 1),
+               ("media", "", "m://doc0000000001/0", 2),
+               ("text", "worldwide", "", 3), ("media", "", "m://doc0000000001/1", 4)]),
+        ("b", [("text", "t", "", 0)]),
+        ("c", [("text", "exactly-ten!", "", 0), ("text", "next", "", 1)]),
+        ("d", [("media", "", "m://doc0000000004/0", 0)]),
+        ("e", [("text", "spans-out-of-order", "", 1), ("text", "first", "", 0)]),
+    ]
+    budget, media_cost = 12, 5
+    got = {
+        (r.doc_id, r.chunk_id, r.n_spans, r.n_media, r.chunk_tokens,
+         r.first_offset, r.last_offset)
+        for r in span_chunks_inline(_mk_docs(spark, rows), budget,
+                                    media_cost).collect()
+    }
+    assert got == _chunk_brute(rows, budget, media_cost)
+
+
+def test_span_chunks_inline_equals_window_form(spark, sf_dir):
+    from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators.spans import span_chunks_inline
+
+    docs = build_documents(spark, sf_dir, amp=2)
+    cols = ("doc_id", "chunk_id", "n_spans", "n_media", "chunk_tokens",
+            "first_offset", "last_offset")
+    a = {tuple(r[c] for c in cols)
+         for r in span_chunks(docs, W.CHUNK_BUDGET, W.MEDIA_TOKEN_COST).collect()}
+    b = {tuple(r[c] for c in cols)
+         for r in span_chunks_inline(docs, W.CHUNK_BUDGET,
+                                     W.MEDIA_TOKEN_COST).collect()}
+    assert a == b
+
+
+def test_span_chunks_inline_plan_no_shuffle_no_python(spark):
+    from hilbert_curve_spark.operators.spans import span_chunks_inline
+
+    docs = _mk_docs(spark, [("a", [("text", "abc", "", 0)])])
+    plan = _plan(span_chunks_inline(docs, 12, 5))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
