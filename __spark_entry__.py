@@ -1788,6 +1788,38 @@ def _cell_embedding_profile_oracle() -> str:
     )
 
 
+def _global_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I as exact integers — corpus-size-independent
+    magnitudes via per-10k quantization, empty cells absorbed in closed
+    form (`operators/rollup.py::global_moran`)."""
+    from hilbert_curve_spark.operators.rollup import global_moran
+
+    return global_moran(_doc_geo(spark, sf_dir), W.GMORAN_SHIFT, W.GMORAN_Q)
+
+
+def _global_moran_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import global_moran_oracle
+
+    return f"{_doc_geo_cte()}, " + global_moran_oracle(W.GMORAN_SHIFT, W.GMORAN_Q)
+
+
+def _pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley-style multi-radius pair counts: one blocked pair join at the
+    largest radius, CASE bins, |radii|-row cumulative window
+    (`operators/spatial_join.py::pair_distance_histogram`)."""
+    from hilbert_curve_spark.operators.spatial_join import pair_distance_histogram
+
+    return pair_distance_histogram(_doc_geo(spark, sf_dir), W.RIPLEY_RADII)
+
+
+def _pair_histogram_oracle() -> str:
+    from hilbert_curve_spark.operators.spatial_join import (
+        pair_distance_histogram_oracle,
+    )
+
+    return f"{_doc_geo_cte()}, " + pair_distance_histogram_oracle(W.RIPLEY_RADII)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BRQ (rectangle AND any-of-keywords) on sf0.001."""
     return _brq_any(spark, "/root/testdata/sf0.001")
@@ -1874,6 +1906,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- wave 10 --
         "span_chunks_inline": _span_chunks_inline,
         "span_chunks_stream": _span_chunks_stream,
+        # -- wave 11 --
+        "global_moran": _global_moran,
+        "pair_histogram": _pair_histogram,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -2119,6 +2154,8 @@ def oracle_sql() -> dict[str, str]:
         "cell_embedding_profile": _cell_embedding_profile_oracle(),
         "span_chunks_inline": _span_chunks_oracle(),
         "span_chunks_stream": _span_chunks_oracle(),
+        "global_moran": _global_moran_oracle(),
+        "pair_histogram": _pair_histogram_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

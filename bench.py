@@ -556,6 +556,18 @@ def _storage_queries(spark, geo):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         return cell_embedding_profile(geo, emb, W.EMB_SHIFT, W.EMB_SCALE).count()
 
+    def q_global_moran():
+        from hilbert_curve_spark.operators.rollup import global_moran
+
+        return global_moran(geo, W.GMORAN_SHIFT, W.GMORAN_Q).count()
+
+    def q_pair_histogram():
+        from hilbert_curve_spark.operators.spatial_join import (
+            pair_distance_histogram,
+        )
+
+        return pair_distance_histogram(geo, W.RIPLEY_RADII).count()
+
     return {
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
@@ -583,6 +595,8 @@ def _storage_queries(spark, geo):
         "keyword_cooccurrence": q_keyword_cooccurrence,
         "cell_top_keyword": q_cell_top_keyword,
         "cell_embedding_profile": q_cell_embedding_profile,
+        "global_moran": q_global_moran,
+        "pair_histogram": q_pair_histogram,
     }
 
 

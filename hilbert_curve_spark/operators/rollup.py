@@ -667,3 +667,147 @@ def hotspot_regions_oracle(
 SELECT d.gx, d.gy, CAST(d.n_docs AS BIGINT) AS n_docs,
        CAST(COALESCE(l.rep, d.k) AS BIGINT) AS region
 FROM dense d LEFT JOIN labels l ON l.node = d.k"""
+
+
+def global_moran(
+    doc_geo: DataFrame,
+    shift: int = 8,
+    q_scale: int = 10000,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Global Moran's I over the corpus density raster, as EXACT integers:
+    one row ``(moran_num, moran_den, w_pairs, g_cells, s_total)`` where
+    ``I = (g_cells / w_pairs) * moran_num / moran_den`` — the global
+    spatial-autocorrelation statistic whose per-cell decomposition is
+    :func:`local_moran`.
+
+    Exactness strategy (this is the overflow-proof form): cell counts are
+    first quantized to per-``q_scale`` shares ``q_i = (n_i * q_scale) DIV
+    N`` — making every downstream magnitude INDEPENDENT of corpus size —
+    and deviations stay scaled integers ``d_i = G*q_i - S`` (``S = sum q``,
+    so the quantization remainder cannot bias the mean).  The study region
+    is the full ``M x M`` lattice with rook (4-neighbor) weights; empty
+    cells (``d = -S``) are absorbed in closed form, never materialized:
+
+        num = A - S*G*(B - C) + S^2*(W - D)          over occupied-only
+        den = E + (G - n_occ)*S^2                     aggregates A..E
+
+    with A = sum d_i*(G*nb4q_i - k_i*S), B = sum q_i*k_i, C = sum nb4q_i,
+    D = sum k_i, E = sum d_i^2, W = 4*M*(M-1) directed rook pairs, k_i the
+    in-bounds rook degree.  Worst-case |num| < G^2 * (q_scale*5)^2 ~ 2^53
+    at the defaults — int64-safe at ANY corpus size (the span_stats
+    overflow lesson, ADVICE r3).
+
+    Plan: one corpus scan into the cell histogram; everything after is
+    O(occupied cells) — two broadcast scalar joins, one 4-offset explode of
+    the tiny histogram, one final single-row aggregate."""
+    m = config.edge >> shift
+    g = m * m
+    w_pairs = 4 * m * (m - 1)
+    cells = doc_geo.groupBy(
+        F.shiftright("x", shift).alias("gx"),
+        F.shiftright("y", shift).alias("gy"),
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = cells.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    qc = cells.crossJoin(F.broadcast(tot)).select(
+        "gx",
+        "gy",
+        F.expr(f"CAST((n_docs * {q_scale}) DIV n_total AS BIGINT)").alias("q"),
+    )
+    s_tot = qc.agg(F.sum("q").cast("long").alias("s_total"))
+    offs = ", ".join(
+        f"named_struct('dx', {dx}L, 'dy', {dy}L)"
+        for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1))
+    )
+    nb = (
+        qc.withColumn("o", F.explode(F.expr(f"array({offs})")))
+        .select(
+            (F.col("gx") + F.col("o.dx")).alias("tgx"),
+            (F.col("gy") + F.col("o.dy")).alias("tgy"),
+            "q",
+        )
+        .filter(
+            F.col("tgx").between(0, m - 1) & F.col("tgy").between(0, m - 1)
+        )
+        .groupBy("tgx", "tgy")
+        .agg(F.sum("q").alias("nb4q"))
+    )
+    k_expr = (
+        F.when(F.col("gx") > 0, 1).otherwise(0)
+        + F.when(F.col("gx") < m - 1, 1).otherwise(0)
+        + F.when(F.col("gy") > 0, 1).otherwise(0)
+        + F.when(F.col("gy") < m - 1, 1).otherwise(0)
+    ).cast("long")
+    j = (
+        qc.join(nb, (qc.gx == nb.tgx) & (qc.gy == nb.tgy), "left")
+        .withColumn("nb4q", F.coalesce(F.col("nb4q"), F.lit(0)).cast("long"))
+        .withColumn("k", k_expr)
+        .crossJoin(F.broadcast(s_tot))
+    )
+    d = F.lit(g) * F.col("q") - F.col("s_total")
+    nbrd = F.lit(g) * F.col("nb4q") - F.col("k") * F.col("s_total")
+    agg = j.agg(
+        F.sum(d * nbrd).cast("long").alias("a_occ"),
+        F.sum(F.col("q") * F.col("k")).cast("long").alias("b_qk"),
+        F.sum("nb4q").cast("long").alias("c_nb"),
+        F.sum("k").cast("long").alias("d_k"),
+        F.sum(d * d).cast("long").alias("e_d2"),
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.min("s_total").alias("s_total"),
+    )
+    return agg.select(
+        F.expr(
+            f"CAST(a_occ - s_total * {g} * (b_qk - c_nb) "
+            f"+ s_total * s_total * ({w_pairs} - d_k) AS BIGINT)"
+        ).alias("moran_num"),
+        F.expr(
+            f"CAST(e_d2 + ({g} - n_occ) * s_total * s_total AS BIGINT)"
+        ).alias("moran_den"),
+        F.lit(w_pairs).cast("long").alias("w_pairs"),
+        F.lit(g).cast("long").alias("g_cells"),
+        F.col("s_total").cast("long").alias("s_total"),
+    )
+
+
+def global_moran_oracle(
+    shift: int = 8, q_scale: int = 10000, config: EngineConfig = DEFAULT
+) -> str:
+    """Appends to a CTE chain defining ``doc_geo`` (x, y): the identical
+    quantization, closed-form empty-cell absorption, and final arithmetic."""
+    m = config.edge >> shift
+    g = m * m
+    w = 4 * m * (m - 1)
+    s = int(shift)
+    return f"""gm_cells AS (
+  SELECT x >> {s} AS gx, y >> {s} AS gy, COUNT(*) AS n_docs FROM doc_geo GROUP BY 1, 2
+), gm_tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM gm_cells),
+gm_q AS (
+  SELECT gx, gy, CAST((n_docs * {q_scale}) // n_total AS BIGINT) AS q
+  FROM gm_cells, gm_tot
+), gm_s AS (SELECT CAST(SUM(q) AS BIGINT) AS s_total FROM gm_q),
+gm_nb AS (
+  SELECT c.gx + o.dx AS tgx, c.gy + o.dy AS tgy, CAST(SUM(c.q) AS BIGINT) AS nb4q
+  FROM gm_q c, (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)) o(dx, dy)
+  WHERE c.gx + o.dx BETWEEN 0 AND {m - 1} AND c.gy + o.dy BETWEEN 0 AND {m - 1}
+  GROUP BY 1, 2
+), gm_j AS (
+  SELECT c.q, COALESCE(n.nb4q, 0) AS nb4q,
+         (CASE WHEN c.gx > 0 THEN 1 ELSE 0 END + CASE WHEN c.gx < {m - 1} THEN 1 ELSE 0 END
+          + CASE WHEN c.gy > 0 THEN 1 ELSE 0 END + CASE WHEN c.gy < {m - 1} THEN 1 ELSE 0 END) AS k,
+         s.s_total
+  FROM gm_q c LEFT JOIN gm_nb n ON c.gx = n.tgx AND c.gy = n.tgy, gm_s s
+), gm_agg AS (
+  SELECT CAST(SUM(({g} * q - s_total) * ({g} * nb4q - k * s_total)) AS BIGINT) AS a_occ,
+         CAST(SUM(q * k) AS BIGINT) AS b_qk,
+         CAST(SUM(nb4q) AS BIGINT) AS c_nb,
+         CAST(SUM(k) AS BIGINT) AS d_k,
+         CAST(SUM(({g} * q - s_total) * ({g} * q - s_total)) AS BIGINT) AS e_d2,
+         CAST(COUNT(*) AS BIGINT) AS n_occ,
+         CAST(MIN(s_total) AS BIGINT) AS s_total
+  FROM gm_j
+)
+SELECT CAST(a_occ - s_total * {g} * (b_qk - c_nb) + s_total * s_total * ({w} - d_k) AS BIGINT) AS moran_num,
+       CAST(e_d2 + ({g} - n_occ) * s_total * s_total AS BIGINT) AS moran_den,
+       CAST({w} AS BIGINT) AS w_pairs, CAST({g} AS BIGINT) AS g_cells,
+       CAST(s_total AS BIGINT) AS s_total
+FROM gm_agg"""

@@ -247,3 +247,12 @@ TOPKW_SHIFT = 6
 # so float->double*scale is exact and FLOOR is engine-neutral.
 EMB_SHIFT = 8
 EMB_SCALE = 4096
+
+# Global Moran's I: raster shift (16x16 grid) + per-10k quantization
+# (makes every downstream integer independent of corpus size).
+GMORAN_SHIFT = 8
+GMORAN_Q = 10000
+
+# Ripley-style pair-distance histogram radii (max radius prices the
+# blocked pair join).
+RIPLEY_RADII = (4, 8, 12, 16)
