@@ -1820,6 +1820,27 @@ def _pair_histogram_oracle() -> str:
     return f"{_doc_geo_cte()}, " + pair_distance_histogram_oracle(W.RIPLEY_RADII)
 
 
+def _emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-horizon emerging-hot-spot map over the event stream: exact
+    midpoint split + per-cell conditional aggregation, +/-20% integer
+    cross-multiplied trend (`operators/trajectory.py::emerging_hotspots`)."""
+    return traj_ops.emerging_hotspots(_events(spark, sf_dir), cell_shift=8)
+
+
+def _emerging_hotspots_oracle() -> str:
+    return traj_ops.emerging_hotspots_oracle(cell_shift=8)
+
+
+def _user_home_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user home-cell inference: most-visited cell with deterministic
+    ties and FLOOR-ppm share (`operators/trajectory.py::user_home_cells`)."""
+    return traj_ops.user_home_cells(_events(spark, sf_dir), cell_shift=8)
+
+
+def _user_home_cells_oracle() -> str:
+    return traj_ops.user_home_cells_oracle(cell_shift=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BRQ (rectangle AND any-of-keywords) on sf0.001."""
     return _brq_any(spark, "/root/testdata/sf0.001")
@@ -1909,6 +1930,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- wave 11 --
         "global_moran": _global_moran,
         "pair_histogram": _pair_histogram,
+        # -- wave 12 --
+        "emerging_hotspots": _emerging_hotspots,
+        "user_home_cells": _user_home_cells,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -2156,6 +2180,8 @@ def oracle_sql() -> dict[str, str]:
         "span_chunks_stream": _span_chunks_oracle(),
         "global_moran": _global_moran_oracle(),
         "pair_histogram": _pair_histogram_oracle(),
+        "emerging_hotspots": _emerging_hotspots_oracle(),
+        "user_home_cells": _user_home_cells_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

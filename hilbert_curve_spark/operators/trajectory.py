@@ -559,3 +559,156 @@ def hausdorff_pairs_oracle(
 SELECT x.user_a, x.user_b, GREATEST(x.h_ab, y.h_ba) AS haus2
 FROM dab x JOIN dba y ON x.user_a = y.user_a AND x.user_b = y.user_b
 WHERE GREATEST(x.h_ab, y.h_ba) <= {h2}"""
+
+
+def emerging_hotspots(events: DataFrame, cell_shift: int = 8) -> DataFrame:
+    """Two-horizon emerging-hot-spot map over the event stream: the
+    observation range splits at its exact midpoint epoch ``mid = (min_ep +
+    max_ep) DIV 2`` and every occupied cell is classified by comparing its
+    first- and second-half event counts — ``(cell, n_first, n_second,
+    delta, trend)`` with ``trend`` = ``emerging`` when ``n_second * 10 >=
+    n_first * 12`` (a +20% integer cross-multiplied threshold),
+    ``fading`` symmetrically, else ``stable``.
+
+    This is the temporal arm of the raster family (`rollup.cell_change`
+    compares two UPDATE-LOG horizons; this compares two halves of event
+    TIME) — the where-is-activity-growing read-out a monitoring pipeline
+    refreshes per window.
+
+    Plan: one tiny min/max aggregate (2 values broadcast), then ONE scan
+    into a per-cell conditional aggregation with map-side combine — a
+    single shuffle bounded by occupied cells; no window, no join on the
+    big side.  Integer cross-multiplication keeps the threshold exact in
+    both engines."""
+    pts = _with_coords_epoch(events)
+    rng = pts.agg(
+        F.min("ep").cast("long").alias("ep_lo"),
+        F.max("ep").cast("long").alias("ep_hi"),
+    )
+    step = 1 << int(cell_shift)
+    from ..sources.derive import EDGE
+
+    # integer halves: ep <= mid -> first, else second
+    tagged = pts.crossJoin(F.broadcast(rng)).withColumn(
+        "is_first", (F.col("ep") <= F.expr("(ep_lo + ep_hi) DIV 2")).cast("long")
+    )
+    agg = (
+        tagged.select(F.expr(f"CAST(ex DIV {step} AS BIGINT) * {EDGE} + CAST(ey DIV {step} AS BIGINT)").alias("cell"), "is_first")
+        .groupBy("cell")
+        .agg(
+            F.sum("is_first").cast("long").alias("n_first"),
+            F.sum(1 - F.col("is_first")).cast("long").alias("n_second"),
+        )
+    )
+    trend = (
+        F.when(F.col("n_second") * 10 >= F.col("n_first") * 12, "emerging")
+        .when(F.col("n_first") * 10 >= F.col("n_second") * 12, "fading")
+        .otherwise("stable")
+    )
+    # NOTE: a cell can satisfy both cross-multiplications only when both
+    # counts are tiny (e.g. 0/0 is impossible — the cell is occupied); the
+    # WHEN order makes the tie deterministic and the oracle replays it.
+    return agg.select(
+        "cell",
+        "n_first",
+        "n_second",
+        (F.col("n_second") - F.col("n_first")).cast("long").alias("delta"),
+        trend.alias("trend"),
+    )
+
+
+def emerging_hotspots_oracle(cell_shift: int = 8, table: str = "events") -> str:
+    """Identical midpoint split, cell derivation, and CASE order."""
+    from ..sources import derive
+    from ..sources.derive import EDGE
+
+    step = 1 << int(cell_shift)
+    return f"""WITH pts AS (
+  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep,
+         CAST(({derive.x_sql('event_id')} // {step}) * {EDGE}
+              + ({derive.y_sql('event_id')} // {step}) AS BIGINT) AS cell
+  FROM {table}
+), rng AS (
+  SELECT CAST(MIN(ep) AS BIGINT) AS ep_lo, CAST(MAX(ep) AS BIGINT) AS ep_hi FROM pts
+), agg AS (
+  SELECT cell,
+         CAST(SUM(CASE WHEN ep <= (ep_lo + ep_hi) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+         CAST(SUM(CASE WHEN ep <= (ep_lo + ep_hi) // 2 THEN 0 ELSE 1 END) AS BIGINT) AS n_second
+  FROM pts, rng GROUP BY cell
+)
+SELECT cell, n_first, n_second,
+       CAST(n_second - n_first AS BIGINT) AS delta,
+       CASE WHEN n_second * 10 >= n_first * 12 THEN 'emerging'
+            WHEN n_first * 10 >= n_second * 12 THEN 'fading'
+            ELSE 'stable' END AS trend
+FROM agg"""
+
+
+def user_home_cells(events: DataFrame, cell_shift: int = 8) -> DataFrame:
+    """Per-user home-cell inference — each user's most-visited grid cell:
+    ``(user_id, home_cell, n_visits, n_total, share_ppm)`` with the tie
+    broken toward the smallest cell id (deterministic) and the share in
+    exact FLOOR-ppm.
+
+    The classic location-analytics primitive (home/work inference, user
+    geo-bucketing for privacy-aware aggregation).  Plan: one scan into a
+    (user, cell) hash agg with map-side combine, then ONE window over the
+    aggregated frame — bounded by distinct (user, cell) pairs, partitioned
+    by user.  With the events table bucketed by user_id the shuffle
+    disappears (the trajectory-family note)."""
+    pts = _with_coords_epoch(events)
+    step = 1 << int(cell_shift)
+    from ..sources.derive import EDGE
+
+    counts = (
+        pts.select(
+            "user_id",
+            F.expr(
+                f"CAST(ex DIV {step} AS BIGINT) * {EDGE} "
+                f"+ CAST(ey DIV {step} AS BIGINT)"
+            ).alias("cell"),
+        )
+        .groupBy("user_id", "cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_visits"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_visits"), F.asc("cell"))
+    tot = Window.partitionBy("user_id")
+    return (
+        counts.withColumn("n_total", F.sum("n_visits").over(tot).cast("long"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("cell").alias("home_cell"),
+            "n_visits",
+            "n_total",
+            F.expr("CAST((n_visits * 1000000) DIV n_total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+def user_home_cells_oracle(cell_shift: int = 8, table: str = "events") -> str:
+    """Identical cell derivation, window order, and FLOOR-ppm."""
+    from ..sources import derive
+    from ..sources.derive import EDGE
+
+    step = 1 << int(cell_shift)
+    return f"""WITH pts AS (
+  SELECT user_id,
+         CAST(({derive.x_sql('event_id')} // {step}) * {EDGE}
+              + ({derive.y_sql('event_id')} // {step}) AS BIGINT) AS cell
+  FROM {table}
+), counts AS (
+  SELECT user_id, cell, CAST(COUNT(*) AS BIGINT) AS n_visits
+  FROM pts GROUP BY user_id, cell
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY n_visits DESC, cell) AS rn,
+         CAST(SUM(n_visits) OVER (PARTITION BY user_id) AS BIGINT) AS n_total
+  FROM counts
+)
+SELECT user_id, cell AS home_cell, n_visits, n_total,
+       CAST((n_visits * 1000000) // n_total AS BIGINT) AS share_ppm
+FROM ranked WHERE rn = 1"""

@@ -78,3 +78,60 @@ def test_pair_histogram_empty_bins(spark):
     )
     # only (a, b) at dist 5 is within range: the 4-bin is empty, 8 holds it
     assert got == [(4, 0, 0), (8, 1, 1), (16, 0, 1)]
+
+
+def _event_pts(spark, sf_dir):
+    from hilbert_curve_spark.operators.trajectory import _with_coords_epoch
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = _with_coords_epoch(events)
+    return events, [
+        (r.user_id, r.ep, r.ex, r.ey)
+        for r in pts.select("user_id", "ep", "ex", "ey").collect()
+    ]
+
+
+def test_emerging_hotspots_brute_force(spark, sf_dir):
+    from hilbert_curve_spark.operators.trajectory import emerging_hotspots
+
+    shift, edge = 8, 4096
+    events, rows = _event_pts(spark, sf_dir)
+    eps = [ep for _, ep, _, _ in rows]
+    mid = (min(eps) + max(eps)) // 2
+    agg = {}
+    for _, ep, ex, ey in rows:
+        cell = (ex >> shift) * edge + (ey >> shift)
+        a, b = agg.get(cell, (0, 0))
+        agg[cell] = (a + (ep <= mid), b + (ep > mid))
+    expect = set()
+    for cell, (n1, n2) in agg.items():
+        trend = ("emerging" if n2 * 10 >= n1 * 12
+                 else "fading" if n1 * 10 >= n2 * 12 else "stable")
+        expect.add((cell, n1, n2, n2 - n1, trend))
+    got = {
+        (r.cell, r.n_first, r.n_second, r.delta, r.trend)
+        for r in emerging_hotspots(events, cell_shift=shift).collect()
+    }
+    assert got == expect
+
+
+def test_user_home_cells_brute_force(spark, sf_dir):
+    from hilbert_curve_spark.operators.trajectory import user_home_cells
+
+    shift, edge = 8, 4096
+    events, rows = _event_pts(spark, sf_dir)
+    per_user = {}
+    for uid, _, ex, ey in rows:
+        cell = (ex >> shift) * edge + (ey >> shift)
+        per_user.setdefault(uid, {}).setdefault(cell, [0])[0] += 1
+    expect = set()
+    for uid, cells in per_user.items():
+        n, cell = max(((v[0], -c) for c, v in cells.items()))
+        cell = -cell
+        total = sum(v[0] for v in cells.values())
+        expect.add((uid, cell, n, total, n * 1_000_000 // total))
+    got = {
+        (r.user_id, r.home_cell, r.n_visits, r.n_total, r.share_ppm)
+        for r in user_home_cells(events, cell_shift=shift).collect()
+    }
+    assert got == expect
