@@ -1841,6 +1841,107 @@ def _user_home_cells_oracle() -> str:
     return traj_ops.user_home_cells_oracle(cell_shift=8)
 
 
+def _st_cube_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-time-cube Mann-Kendall trend per cell: 8 equal time bins, full
+    zero-filled count vectors, integer S statistic
+    (`operators/trajectory.py::st_cube_trend`)."""
+    return traj_ops.st_cube_trend(
+        _events(spark, sf_dir), cell_shift=8, n_bins=8, s_min=6
+    )
+
+
+def _st_cube_trend_oracle() -> str:
+    return traj_ops.st_cube_trend_oracle(cell_shift=8, n_bins=8, s_min=6)
+
+
+def _bearing_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell 8-octant movement-direction histogram with exact integer
+    octant classification (`operators/trajectory.py::bearing_histogram`)."""
+    return traj_ops.bearing_histogram(_events(spark, sf_dir), cell_shift=8)
+
+
+def _bearing_histogram_oracle() -> str:
+    return traj_ops.bearing_histogram_oracle(cell_shift=8)
+
+
+def _radius_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user radius of gyration, one-pass integer centroid expansion
+    (`operators/trajectory.py::radius_gyration`)."""
+    return traj_ops.radius_gyration(_events(spark, sf_dir))
+
+
+def _radius_gyration_oracle() -> str:
+    return traj_ops.radius_gyration_oracle()
+
+
+def _rknn_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse-nearest-neighbor catchment sizes per POI, zero-catchment
+    POIs preserved (`operators/spatial_join.py::rknn_counts`)."""
+    from hilbert_curve_spark.operators.spatial_join import rknn_counts
+
+    return rknn_counts(_doc_geo(spark, sf_dir), W.POIS)
+
+
+def _rknn_counts_oracle() -> str:
+    from hilbert_curve_spark.operators.spatial_join import rknn_counts_oracle
+
+    return f"{_doc_geo_cte()}, " + rknn_counts_oracle(W.POIS)
+
+
+def _covisit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-pair co-visitation Jaccard over distinct visited cells
+    (`operators/trajectory.py::covisit_pairs`)."""
+    return traj_ops.covisit_pairs(_events(spark, sf_dir), cell_shift=8, min_shared=2)
+
+
+def _covisit_pairs_oracle() -> str:
+    return traj_ops.covisit_pairs_oracle(cell_shift=8, min_shared=2)
+
+
+def _cell_visit_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell revisit-interval profile with exact lower-median gap
+    (`operators/trajectory.py::cell_visit_gaps`)."""
+    return traj_ops.cell_visit_gaps(_events(spark, sf_dir), cell_shift=8)
+
+
+def _cell_visit_gaps_oracle() -> str:
+    return traj_ops.cell_visit_gaps_oracle(cell_shift=8)
+
+
+def _knox_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox space-time interaction counts — blocked space pairs, bucketed
+    time pairs, closed-form total (`operators/trajectory.py::knox_stat`)."""
+    return traj_ops.knox_stat(_events(spark, sf_dir), s_radius=64, t_window=3600)
+
+
+def _knox_stat_oracle() -> str:
+    return traj_ops.knox_stat_oracle(s_radius=64, t_window=3600)
+
+
+def _impossible_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impossible-travel segments: division-free speed violation via
+    integer cross-multiplication (`operators/trajectory.py::impossible_travel`)."""
+    return traj_ops.impossible_travel(_events(spark, sf_dir), vmax=2)
+
+
+def _impossible_travel_oracle() -> str:
+    return traj_ops.impossible_travel_oracle(vmax=2)
+
+
+def _idw_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW interpolation raster over occupied cells, integer weights
+    (`operators/spatial_join.py::idw_surface`)."""
+    from hilbert_curve_spark.operators.spatial_join import idw_surface
+
+    return idw_surface(_doc_geo(spark, sf_dir), grid_shift=8, radius=96)
+
+
+def _idw_surface_oracle() -> str:
+    from hilbert_curve_spark.operators.spatial_join import idw_surface_oracle
+
+    return f"{_doc_geo_cte()}, " + idw_surface_oracle(grid_shift=8, radius=96)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BRQ (rectangle AND any-of-keywords) on sf0.001."""
     return _brq_any(spark, "/root/testdata/sf0.001")
@@ -1933,6 +2034,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- wave 12 --
         "emerging_hotspots": _emerging_hotspots,
         "user_home_cells": _user_home_cells,
+        # -- wave 13 --
+        "st_cube_trend": _st_cube_trend,
+        "bearing_histogram": _bearing_histogram,
+        "radius_gyration": _radius_gyration,
+        # -- wave 14 --
+        "rknn_counts": _rknn_counts,
+        "covisit_pairs": _covisit_pairs,
+        "cell_visit_gaps": _cell_visit_gaps,
+        # -- wave 15 --
+        "knox_stat": _knox_stat,
+        "impossible_travel": _impossible_travel,
+        "idw_surface": _idw_surface,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -2182,6 +2295,15 @@ def oracle_sql() -> dict[str, str]:
         "pair_histogram": _pair_histogram_oracle(),
         "emerging_hotspots": _emerging_hotspots_oracle(),
         "user_home_cells": _user_home_cells_oracle(),
+        "st_cube_trend": _st_cube_trend_oracle(),
+        "bearing_histogram": _bearing_histogram_oracle(),
+        "radius_gyration": _radius_gyration_oracle(),
+        "rknn_counts": _rknn_counts_oracle(),
+        "covisit_pairs": _covisit_pairs_oracle(),
+        "cell_visit_gaps": _cell_visit_gaps_oracle(),
+        "knox_stat": _knox_stat_oracle(),
+        "impossible_travel": _impossible_travel_oracle(),
+        "idw_surface": _idw_surface_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

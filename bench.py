@@ -233,6 +233,60 @@ def _pipeline_queries(spark):
 
         return heavy_hitters_cms(flat).count()
 
+    def q_emerging_hotspots():
+        from hilbert_curve_spark.operators.trajectory import emerging_hotspots
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return emerging_hotspots(events, cell_shift=8).count()
+
+    def q_user_home_cells():
+        from hilbert_curve_spark.operators.trajectory import user_home_cells
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return user_home_cells(events, cell_shift=8).count()
+
+    def q_st_cube_trend():
+        from hilbert_curve_spark.operators.trajectory import st_cube_trend
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return st_cube_trend(events, cell_shift=8, n_bins=8, s_min=6).count()
+
+    def q_bearing_histogram():
+        from hilbert_curve_spark.operators.trajectory import bearing_histogram
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return bearing_histogram(events, cell_shift=8).count()
+
+    def q_radius_gyration():
+        from hilbert_curve_spark.operators.trajectory import radius_gyration
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return radius_gyration(events).count()
+
+    def q_knox_stat():
+        from hilbert_curve_spark.operators.trajectory import knox_stat
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return knox_stat(events, s_radius=64, t_window=3600).count()
+
+    def q_impossible_travel():
+        from hilbert_curve_spark.operators.trajectory import impossible_travel
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return impossible_travel(events, vmax=2).count()
+
+    def q_covisit_pairs():
+        from hilbert_curve_spark.operators.trajectory import covisit_pairs
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return covisit_pairs(events, cell_shift=8, min_shared=2).count()
+
+    def q_cell_visit_gaps():
+        from hilbert_curve_spark.operators.trajectory import cell_visit_gaps
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return cell_visit_gaps(events, cell_shift=8).count()
+
     return {
         "geofence_join": q_geofence_join,
         "events_interval_join": q_interval_join,
@@ -240,6 +294,15 @@ def _pipeline_queries(spark):
         "od_flows": q_od_flows,
         "colocation_pairs": q_colocation,
         "trips": q_trips,
+        "emerging_hotspots": q_emerging_hotspots,
+        "user_home_cells": q_user_home_cells,
+        "st_cube_trend": q_st_cube_trend,
+        "bearing_histogram": q_bearing_histogram,
+        "radius_gyration": q_radius_gyration,
+        "covisit_pairs": q_covisit_pairs,
+        "cell_visit_gaps": q_cell_visit_gaps,
+        "knox_stat": q_knox_stat,
+        "impossible_travel": q_impossible_travel,
         "heavy_hitters": q_heavy_hitters,
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -311,6 +374,16 @@ def _spatial_join_queries(geo):
     def q_nearest_poi():
         return nearest_join(geo, W.POIS).count()
 
+    def q_rknn_counts():
+        from hilbert_curve_spark.operators.spatial_join import rknn_counts
+
+        return rknn_counts(geo, W.POIS).count()
+
+    def q_idw_surface():
+        from hilbert_curve_spark.operators.spatial_join import idw_surface
+
+        return idw_surface(geo, grid_shift=8, radius=96).count()
+
     def q_corridor_search():
         return corridor_search(geo, W.ROUTE, W.CORRIDOR_R).count()
 
@@ -365,6 +438,8 @@ def _spatial_join_queries(geo):
         "distance_pairs": q_distance_pairs,
         "rect_join": q_rect_join,
         "nearest_poi": q_nearest_poi,
+        "rknn_counts": q_rknn_counts,
+        "idw_surface": q_idw_surface,
         "poi_distance_join": q_poi_distance_join,
         "radius_brq": q_radius_brq,
         "zonal_stats": q_zonal_stats,

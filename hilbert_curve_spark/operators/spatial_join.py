@@ -1171,3 +1171,186 @@ SELECT CAST(r.radius AS BIGINT) AS radius,
        CAST(SUM(COALESCE(c.n_pairs, 0)) OVER (ORDER BY r.radius
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pairs
 FROM (VALUES {vals}) r(radius) LEFT JOIN pdh_counts c ON r.radius = c.radius"""
+
+
+def rknn_counts(
+    doc_geo: DataFrame,
+    pois: list[tuple[str, int, int]],
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Reverse-nearest-neighbor catchment report: for every POI, the size
+    and distance profile of the doc set whose NEAREST poi it is —
+    ``(poi_id, n_rnn, min_d2, max_d2, mean_d2)`` with ``mean_d2`` the
+    integer ``SUM DIV COUNT``; POIs with an empty catchment appear with
+    zero counts and NULL distances (a catchment report that silently drops
+    starved facilities is wrong).
+
+    The monochromatic RkNN-count primitive (facility catchment / load
+    estimation).  Plan: reuses :func:`nearest_join`'s zero-shuffle codegen
+    argmin, then ONE hash aggregation on poi_id (|P| groups, map-side
+    combine) and a broadcast left join from the |P|-row literal frame —
+    nothing after the corpus scan scales with the corpus.  Same >~100-POI
+    guidance as nearest_join: beyond literal folding, generate candidates
+    with the cell-bucketed ``nearest_join_bucketed`` and keep this
+    aggregation unchanged."""
+    assigned = nearest_join(doc_geo, pois, config)
+    agg = assigned.groupBy("poi_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rnn"),
+        F.min("dist2").cast("long").alias("min_d2"),
+        F.max("dist2").cast("long").alias("max_d2"),
+        F.expr("CAST(SUM(dist2) DIV COUNT(*) AS BIGINT)").alias("mean_d2"),
+    )
+    structs = ", ".join(f"named_struct('poi_id', '{pid}')" for pid, _, _ in pois)
+    all_pois = (
+        doc_geo.sparkSession.range(1)
+        .select(F.explode(F.expr(f"array({structs})")).alias("p"))
+        .select(F.col("p.poi_id").alias("poi_id"))
+    )
+    return all_pois.join(F.broadcast(agg), "poi_id", "left").select(
+        "poi_id",
+        F.coalesce("n_rnn", F.lit(0)).cast("long").alias("n_rnn"),
+        "min_d2",
+        "max_d2",
+        "mean_d2",
+    )
+
+
+def rknn_counts_oracle(
+    pois: list[tuple[str, int, int]], doc_geo_table: str = "doc_geo"
+) -> str:
+    """Same argmin (nearest_join_oracle's rk CTE) + LEFT JOIN from the
+    VALUES poi table so empty catchments survive."""
+    vals = ", ".join(f"('{pid}', {px}, {py})" for pid, px, py in pois)
+    d2 = "(d.x - p.px) * (d.x - p.px) + (d.y - p.py) * (d.y - p.py)"
+    return f"""poi(poi_id, px, py) AS (VALUES {vals}),
+rk AS (
+  SELECT d.doc_key AS doc_id, p.poi_id, {d2} AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY d.doc_key ORDER BY {d2}, p.poi_id) AS rn
+  FROM {doc_geo_table} d, poi p
+), agg AS (
+  SELECT poi_id, CAST(COUNT(*) AS BIGINT) AS n_rnn,
+         CAST(MIN(dist2) AS BIGINT) AS min_d2,
+         CAST(MAX(dist2) AS BIGINT) AS max_d2,
+         CAST(SUM(dist2) // COUNT(*) AS BIGINT) AS mean_d2
+  FROM rk WHERE rn = 1 GROUP BY poi_id
+)
+SELECT poi.poi_id, CAST(COALESCE(agg.n_rnn, 0) AS BIGINT) AS n_rnn,
+       agg.min_d2, agg.max_d2, agg.mean_d2
+FROM poi LEFT JOIN agg ON poi.poi_id = agg.poi_id"""
+
+
+_IDW_VALUE_SQL = "((x * 31 + y * 17) % 1000)"  # deterministic synthetic field
+
+
+def idw_surface(
+    doc_geo: DataFrame,
+    grid_shift: int = 8,
+    radius: int = 96,
+    scale: int = 1_000_000,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation raster (Shepard 1968): every
+    OCCUPIED grid cell at resolution ``2^grid_shift`` gets an estimate at
+    its center from all sample points within ``radius`` —
+    ``(cell, n_samples, est)`` with integer weights ``w = scale DIV
+    (1 + d2)`` and ``est = SUM(w * v) DIV SUM(w)``; the sample value ``v``
+    is the deterministic synthetic field ``_IDW_VALUE_SQL`` (in production
+    the value column comes from the data; the field exercises the exact
+    arithmetic).  ``scale > radius^2`` is asserted so every in-range
+    weight is >= 1 and the denominator can never be zero.
+
+    The terrain / sensor-field interpolation primitive.  Plan: the query
+    side is the OCCUPIED-cell aggregate (bounded by cells, tiny next to
+    the corpus) exploded over the 9 block offsets at a block size >=
+    radius; ONE equi hash join against the block-keyed corpus, a codegen
+    distance filter, then a hash agg back to cells.  Overflow: w <= scale,
+    v < 1000, so SUM(w*v) <= 1e9 * samples-in-disc — at 10^12-doc scale
+    pre-aggregate samples per fine cell first (the documented dial) or
+    lower ``scale``."""
+    if int(scale) <= int(radius) * int(radius):
+        raise ValueError("idw_surface requires scale > radius^2 (weights >= 1)")
+    g = int(grid_shift)
+    r2 = int(radius) * int(radius)
+    b = _cell_shift(int(radius))
+    edge = config.edge
+    half = 1 << (g - 1) if g > 0 else 0
+
+    centers = (
+        doc_geo.select(
+            F.shiftright("x", g).alias("gx"), F.shiftright("y", g).alias("gy")
+        )
+        .distinct()
+        .select(
+            (F.col("gx") * edge + F.col("gy")).alias("cell"),
+            (F.col("gx") * (1 << g) + half).alias("qx"),
+            (F.col("gy") * (1 << g) + half).alias("qy"),
+        )
+    )
+    nine = ", ".join(
+        f"named_struct('dx', {dx}L, 'dy', {dy}L)"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    probe = centers.withColumn("o", F.explode(F.expr(f"array({nine})"))).withColumn(
+        "bk",
+        (F.shiftright("qx", b) + F.col("o.dx")) * edge
+        + F.shiftright("qy", b)
+        + F.col("o.dy"),
+    )
+    samples = doc_geo.select(
+        "x", "y", F.expr(_IDW_VALUE_SQL).cast("long").alias("v")
+    ).withColumn("bk", F.shiftright("x", b) * edge + F.shiftright("y", b))
+    joined = probe.join(samples, "bk").filter(
+        (F.col("qx") - F.col("x")) * (F.col("qx") - F.col("x"))
+        + (F.col("qy") - F.col("y")) * (F.col("qy") - F.col("y"))
+        <= F.lit(r2)
+    )
+    w_expr = (
+        f"CAST({int(scale)} DIV (1 + (qx - x) * (qx - x) + (qy - y) * (qy - y))"
+        f" AS BIGINT)"
+    )
+    return (
+        joined.withColumn("w", F.expr(w_expr))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.expr("CAST(SUM(w * v) DIV SUM(w) AS BIGINT)").alias("est"),
+        )
+    )
+
+
+def idw_surface_oracle(
+    grid_shift: int = 8,
+    radius: int = 96,
+    scale: int = 1_000_000,
+    doc_geo_table: str = "doc_geo",
+) -> str:
+    """Appends to a CTE chain defining ``doc_geo``: identical occupied-cell
+    centers, 9-offset block join, weight formula, and FLOOR division."""
+    g = int(grid_shift)
+    r2 = int(radius) * int(radius)
+    b = _cell_shift(int(radius))
+    edge = DEFAULT.edge
+    half = 1 << (g - 1) if g > 0 else 0
+    nine = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    d2 = "(c.qx - s.x) * (c.qx - s.x) + (c.qy - s.y) * (c.qy - s.y)"
+    return f"""idw_centers AS (
+  SELECT DISTINCT (x >> {g}) * {edge} + (y >> {g}) AS cell,
+         (x >> {g}) * {1 << g} + {half} AS qx,
+         (y >> {g}) * {1 << g} + {half} AS qy
+  FROM {doc_geo_table}
+), idw_probe AS (
+  SELECT cell, qx, qy, ((qx >> {b}) + dx) * {edge} + (qy >> {b}) + dy AS bk
+  FROM idw_centers, (VALUES {nine}) o(dx, dy)
+), idw_samples AS (
+  SELECT x, y, CAST({_IDW_VALUE_SQL} AS BIGINT) AS v,
+         (x >> {b}) * {edge} + (y >> {b}) AS bk
+  FROM {doc_geo_table}
+), idw_w AS (
+  SELECT c.cell, CAST({int(scale)} // (1 + {d2}) AS BIGINT) AS w, s.v
+  FROM idw_probe c JOIN idw_samples s ON c.bk = s.bk
+  WHERE {d2} <= {r2}
+)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(w * v) // SUM(w) AS BIGINT) AS est
+FROM idw_w GROUP BY cell"""

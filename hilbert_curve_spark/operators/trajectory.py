@@ -712,3 +712,657 @@ def user_home_cells_oracle(cell_shift: int = 8, table: str = "events") -> str:
 SELECT user_id, cell AS home_cell, n_visits, n_total,
        CAST((n_visits * 1000000) // n_total AS BIGINT) AS share_ppm
 FROM ranked WHERE rn = 1"""
+
+
+def st_cube_trend(
+    events: DataFrame,
+    cell_shift: int = 8,
+    n_bins: int = 8,
+    s_min: int = 6,
+) -> DataFrame:
+    """Space-time-cube trend map: the observation range splits into
+    ``n_bins`` equal-width time bins (exact integer binning ``((ep -
+    ep_lo) * n_bins) DIV span``, last instant clamped into the top bin by
+    the +1 span), each occupied cell gets its full per-bin count vector
+    (missing bins are REAL zeros — required for a correct statistic), and
+    the Mann-Kendall S statistic ``S = sum_{i<j} sign(c_j - c_i)`` over the
+    C(n_bins, 2) bin pairs classifies the cell ``up`` / ``down`` / ``flat``
+    at the integer threshold ``|S| >= s_min``.
+
+    This is the ArcGIS-style "emerging hot spot analysis" core (Mann 1945 /
+    Kendall's tau over the cube's time axis), the multi-bin generalization
+    of :func:`emerging_hotspots`'s two-horizon split.  The reference has no
+    temporal surface; this derives from the same event lattice as the
+    geofence family.
+
+    Plan: one 2-value min/max broadcast, then ONE scan into a per-cell
+    conditional aggregation (``n_bins`` SUM(CASE) columns, map-side
+    combine) — a single shuffle bounded by occupied cells; S is a literal
+    codegen expression over the aggregated columns (28 CASE terms at the
+    default 8 bins), never a join or window.  Every quantity is int64: S
+    is bounded by C(n_bins,2) regardless of corpus size."""
+    if n_bins < 2:
+        raise ValueError("st_cube_trend requires n_bins >= 2")
+    pts = _with_coords_epoch(events)
+    rng = pts.agg(
+        F.min("ep").cast("long").alias("ep_lo"),
+        F.max("ep").cast("long").alias("ep_hi"),
+    )
+    step = 1 << int(cell_shift)
+    from ..sources.derive import EDGE
+
+    binned = pts.crossJoin(F.broadcast(rng)).select(
+        F.expr(
+            f"CAST(ex DIV {step} AS BIGINT) * {EDGE} + CAST(ey DIV {step} AS BIGINT)"
+        ).alias("cell"),
+        F.expr(
+            f"CAST(((ep - ep_lo) * {int(n_bins)}) DIV (ep_hi - ep_lo + 1) AS INT)"
+        ).alias("bin"),
+    )
+    agg = binned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        *[
+            F.sum(F.when(F.col("bin") == i, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{i}")
+            for i in range(int(n_bins))
+        ],
+    )
+    s_terms = " + ".join(
+        f"(CASE WHEN c{j} > c{i} THEN 1 WHEN c{j} < c{i} THEN -1 ELSE 0 END)"
+        for i in range(int(n_bins))
+        for j in range(i + 1, int(n_bins))
+    )
+    s = F.expr(f"CAST({s_terms} AS BIGINT)")
+    trend = (
+        F.when(F.col("s_stat") >= int(s_min), "up")
+        .when(F.col("s_stat") <= -int(s_min), "down")
+        .otherwise("flat")
+    )
+    return (
+        agg.withColumn("s_stat", s)
+        .withColumn("trend", trend)
+        .select("cell", "n_total", "s_stat", "trend")
+    )
+
+
+def st_cube_trend_oracle(
+    cell_shift: int = 8, n_bins: int = 8, s_min: int = 6, table: str = "events"
+) -> str:
+    """Identical binning, conditional aggregation, and S expression."""
+    from ..sources import derive
+    from ..sources.derive import EDGE
+
+    step = 1 << int(cell_shift)
+    csums = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+        for i in range(int(n_bins))
+    )
+    s_terms = " + ".join(
+        f"(CASE WHEN c{j} > c{i} THEN 1 WHEN c{j} < c{i} THEN -1 ELSE 0 END)"
+        for i in range(int(n_bins))
+        for j in range(i + 1, int(n_bins))
+    )
+    return f"""WITH pts AS (
+  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep,
+         CAST(({derive.x_sql('event_id')} // {step}) * {EDGE}
+              + ({derive.y_sql('event_id')} // {step}) AS BIGINT) AS cell
+  FROM {table}
+), rng AS (
+  SELECT CAST(MIN(ep) AS BIGINT) AS ep_lo, CAST(MAX(ep) AS BIGINT) AS ep_hi FROM pts
+), binned AS (
+  SELECT cell, CAST(((ep - ep_lo) * {int(n_bins)}) // (ep_hi - ep_lo + 1) AS INT) AS bin
+  FROM pts, rng
+), agg AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_total,
+         {csums}
+  FROM binned GROUP BY cell
+)
+SELECT cell, n_total, CAST({s_terms} AS BIGINT) AS s_stat,
+       CASE WHEN CAST({s_terms} AS BIGINT) >= {int(s_min)} THEN 'up'
+            WHEN CAST({s_terms} AS BIGINT) <= -{int(s_min)} THEN 'down'
+            ELSE 'flat' END AS trend
+FROM agg"""
+
+
+_OCTANT_SQL = """CASE
+  WHEN dx = 0 AND dy = 0 THEN 8
+  WHEN dx >= 0 AND dy >= 0 THEN (CASE WHEN dx > dy THEN 0 ELSE 1 END)
+  WHEN dx < 0 AND dy >= 0 THEN (CASE WHEN dy >= -dx THEN 2 ELSE 3 END)
+  WHEN dx < 0 AND dy < 0 THEN (CASE WHEN -dx > -dy THEN 4 ELSE 5 END)
+  ELSE (CASE WHEN -dy >= dx THEN 6 ELSE 7 END)
+END"""
+
+
+def bearing_histogram(events: DataFrame, cell_shift: int = 8) -> DataFrame:
+    """Per-cell movement-direction histogram (flow-direction raster): each
+    user's consecutive event pair (time-ordered, ``(ts, event_id)``
+    tie-break) yields a displacement ``(dx, dy)`` classified into one of 8
+    half-open 45-degree octants (0 = east-northeast quadrant edge,
+    counter-clockwise; deterministic boundary rule in ``_OCTANT_SQL``,
+    exact — only sign tests and |dx| vs |dy| comparisons, no trig) plus
+    octant 8 for stationary pairs; counts group by the ORIGIN point's grid
+    cell — ``(cell, octant, n_moves)``.
+
+    The classic flow-map read-out (where does traffic in this cell head
+    next).  Plan: ONE user_id shuffle for the lag window, then a hash
+    aggregation with map-side combine on (cell, octant) — output bounded
+    by 9 x occupied cells.  With the events table bucketed by user_id the
+    window shuffle disappears."""
+    pts = _with_coords_epoch(events)
+    step = 1 << int(cell_shift)
+    from ..sources.derive import EDGE
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        pts.withColumn("px", F.lag("ex").over(w))
+        .withColumn("py", F.lag("ey").over(w))
+        .filter(F.col("px").isNotNull())
+        .withColumn("dx", F.col("ex") - F.col("px"))
+        .withColumn("dy", F.col("ey") - F.col("py"))
+    )
+    return (
+        seg.select(
+            F.expr(
+                f"CAST(px DIV {step} AS BIGINT) * {EDGE} "
+                f"+ CAST(py DIV {step} AS BIGINT)"
+            ).alias("cell"),
+            F.expr(f"CAST({_OCTANT_SQL} AS INT)").alias("octant"),
+        )
+        .groupBy("cell", "octant")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_moves"))
+    )
+
+
+def bearing_histogram_oracle(cell_shift: int = 8, table: str = "events") -> str:
+    """Identical lag window, octant CASE, and origin-cell derivation."""
+    from ..sources import derive
+    from ..sources.derive import EDGE
+
+    step = 1 << int(cell_shift)
+    return f"""WITH pts AS (
+  SELECT user_id, ts, event_id,
+         {derive.x_sql('event_id')} AS ex, {derive.y_sql('event_id')} AS ey
+  FROM {table}
+), seg AS (
+  SELECT LAG(ex) OVER w AS px, LAG(ey) OVER w AS py, ex, ey
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), moves AS (
+  SELECT CAST((px // {step}) * {EDGE} + (py // {step}) AS BIGINT) AS cell,
+         ex - px AS dx, ey - py AS dy
+  FROM seg WHERE px IS NOT NULL
+), tagged AS (
+  SELECT cell, CAST({_OCTANT_SQL} AS INT) AS octant FROM moves
+)
+SELECT cell, octant, CAST(COUNT(*) AS BIGINT) AS n_moves
+FROM tagged GROUP BY cell, octant"""
+
+
+def radius_gyration(events: DataFrame) -> DataFrame:
+    """Per-user radius of gyration (Gonzalez et al., Nature 2008 — the
+    standard human-mobility spread metric), exact-integer form:
+    ``(user_id, n_events, cx, cy, rg2)`` where the centroid is the integer
+    mean (``SUM DIV COUNT``) and ``rg2`` is the mean squared deviation
+    from that integer centroid, computed in ONE pass via the expansion
+    ``SUM((x-cx)^2) = sx2 - 2*cx*sx + n*cx^2`` (all int64: coords are
+    lattice values < 2^12, so sx2 <= n * 2^24 — safe past 2^38 events per
+    user).
+
+    Plan: a single hash aggregation on user_id with map-side combine —
+    one shuffle, no window, no second pass (the centroid algebra avoids
+    re-scanning)."""
+    pts = _with_coords_epoch(events)
+    agg = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ex").cast("long").alias("sx"),
+        F.sum("ey").cast("long").alias("sy"),
+        F.sum(F.col("ex") * F.col("ex")).cast("long").alias("sx2"),
+        F.sum(F.col("ey") * F.col("ey")).cast("long").alias("sy2"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.expr("CAST(sx DIV n AS BIGINT)").alias("cx"),
+        F.expr("CAST(sy DIV n AS BIGINT)").alias("cy"),
+        F.expr(
+            "CAST(((sx2 - 2 * (sx DIV n) * sx + n * (sx DIV n) * (sx DIV n))"
+            " + (sy2 - 2 * (sy DIV n) * sy + n * (sy DIV n) * (sy DIV n)))"
+            " DIV n AS BIGINT)"
+        ).alias("rg2"),
+    )
+
+
+def radius_gyration_oracle(table: str = "events") -> str:
+    """Identical one-pass centroid expansion in integer arithmetic."""
+    from ..sources import derive
+
+    return f"""WITH pts AS (
+  SELECT user_id,
+         {derive.x_sql('event_id')} AS ex, {derive.y_sql('event_id')} AS ey
+  FROM {table}
+), agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(ex) AS BIGINT) AS sx, CAST(SUM(ey) AS BIGINT) AS sy,
+         CAST(SUM(ex * ex) AS BIGINT) AS sx2, CAST(SUM(ey * ey) AS BIGINT) AS sy2
+  FROM pts GROUP BY user_id
+)
+SELECT user_id, n AS n_events,
+       CAST(sx // n AS BIGINT) AS cx, CAST(sy // n AS BIGINT) AS cy,
+       CAST(((sx2 - 2 * (sx // n) * sx + n * (sx // n) * (sx // n))
+             + (sy2 - 2 * (sy // n) * sy + n * (sy // n) * (sy // n)))
+            // n AS BIGINT) AS rg2
+FROM agg"""
+
+
+def covisit_pairs(
+    events: DataFrame,
+    cell_shift: int = 8,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Co-visitation similarity join: user pairs ranked by the overlap of
+    their DISTINCT visited-cell sets — ``(user_a, user_b, shared_cells,
+    cells_a, cells_b, jac_pct)`` for pairs sharing at least ``min_shared``
+    cells, with ``jac_pct = FLOOR(100 * |A∩B| / |A∪B|)`` exact by
+    cross-multiplication-free integer division and ``user_a < user_b``.
+
+    The space-only companion of :func:`colocation_pairs` (which requires
+    time overlap): an inverted-index set-similarity join — the same shape
+    as the n-gram Jaccard join in ``dedup.py`` with cells as tokens.
+
+    Plan: corpus collapses to DISTINCT (user, cell) first (hash agg with
+    map-side combine — everything after is bounded by distinct pairs, not
+    events), then a cell-keyed equi self-join generates candidates and one
+    hash agg counts shared cells; per-user set sizes come from the tiny
+    aggregated frame via broadcast-ready joins.  Skew: a cell visited by u
+    users emits C(u,2) candidates — the standard inverted-index cost; at
+    100 TB cap it with a document-frequency cut on super-hot cells (drop
+    cells above a visitor-count ceiling BEFORE the join — a lossy recall
+    trade documented in the dedup family) or salt via AQE skew-join; exact
+    as written at the workload's cell granularity."""
+    pts = _with_coords_epoch(events)
+    step = 1 << int(cell_shift)
+    from ..sources.derive import EDGE
+
+    visits = (
+        pts.select(
+            "user_id",
+            F.expr(
+                f"CAST(ex DIV {step} AS BIGINT) * {EDGE} "
+                f"+ CAST(ey DIV {step} AS BIGINT)"
+            ).alias("cell"),
+        )
+        .distinct()
+    )
+    sizes = visits.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells")
+    )
+    a = visits.alias("a")
+    b = visits.alias("b")
+    shared = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.user_id") < F.col("b.user_id")))
+        .groupBy(
+            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_cells"))
+        .filter(F.col("shared_cells") >= int(min_shared))
+    )
+    sa = sizes.select(F.col("user_id").alias("user_a"), F.col("n_cells").alias("cells_a"))
+    sb = sizes.select(F.col("user_id").alias("user_b"), F.col("n_cells").alias("cells_b"))
+    return (
+        shared.join(F.broadcast(sa), "user_a")
+        .join(F.broadcast(sb), "user_b")
+        .select(
+            "user_a",
+            "user_b",
+            "shared_cells",
+            "cells_a",
+            "cells_b",
+            F.expr(
+                "CAST((100 * shared_cells) DIV (cells_a + cells_b - shared_cells)"
+                " AS BIGINT)"
+            ).alias("jac_pct"),
+        )
+    )
+
+
+def covisit_pairs_oracle(
+    cell_shift: int = 8, min_shared: int = 2, table: str = "events"
+) -> str:
+    """Identical distinct-visit derivation, pair join, and FLOOR Jaccard."""
+    from ..sources import derive
+    from ..sources.derive import EDGE
+
+    step = 1 << int(cell_shift)
+    return f"""WITH visits AS (
+  SELECT DISTINCT user_id,
+         CAST(({derive.x_sql('event_id')} // {step}) * {EDGE}
+              + ({derive.y_sql('event_id')} // {step}) AS BIGINT) AS cell
+  FROM {table}
+), sizes AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_cells FROM visits GROUP BY user_id
+), shared AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_cells
+  FROM visits a JOIN visits b
+    ON a.cell = b.cell AND a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id
+  HAVING COUNT(*) >= {int(min_shared)}
+)
+SELECT s.user_a, s.user_b, s.shared_cells,
+       sa.n_cells AS cells_a, sb.n_cells AS cells_b,
+       CAST((100 * s.shared_cells) // (sa.n_cells + sb.n_cells - s.shared_cells)
+            AS BIGINT) AS jac_pct
+FROM shared s
+JOIN sizes sa ON s.user_a = sa.user_id
+JOIN sizes sb ON s.user_b = sb.user_id"""
+
+
+def cell_visit_gaps(events: DataFrame, cell_shift: int = 8) -> DataFrame:
+    """Per-cell revisit-interval profile: order each cell's events by
+    ``(epoch, event_id)``, take consecutive gaps in whole seconds, and
+    report ``(cell, n_gaps, median_gap, max_gap)`` with the DETERMINISTIC
+    lower-median element (rank ``(n+1) DIV 2`` under ``(gap, event_id)``
+    order — the zonal_median convention; element medians are exact and
+    oracle-checkable where interpolated ones are float territory).
+
+    The freshness/update-frequency raster (how often is each area
+    observed) a monitoring pipeline uses to steer sampling.  Plan: ONE
+    cell shuffle that BOTH windows reuse — the lag and the median rank
+    partition identically, so Spark plans a single Exchange with two sorts
+    — then one hash aggregation; everything after the scan is bounded by
+    events-in-occupied-cells."""
+    pts = _with_coords_epoch(events)
+    step = 1 << int(cell_shift)
+    from ..sources.derive import EDGE
+
+    cells = pts.select(
+        "event_id",
+        "ep",
+        F.expr(
+            f"CAST(ex DIV {step} AS BIGINT) * {EDGE} "
+            f"+ CAST(ey DIV {step} AS BIGINT)"
+        ).alias("cell"),
+    )
+    w = Window.partitionBy("cell").orderBy("ep", "event_id")
+    gaps = (
+        cells.withColumn("prev", F.lag("ep").over(w))
+        .filter(F.col("prev").isNotNull())
+        .withColumn("gap", (F.col("ep") - F.col("prev")).cast("long"))
+    )
+    wr = Window.partitionBy("cell").orderBy("gap", "event_id")
+    wc = Window.partitionBy("cell")
+    ranked = gaps.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    mid = F.expr("(n + 1) DIV 2")
+    return ranked.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.max(F.when(F.col("rn") == mid, F.col("gap"))).cast("long").alias("median_gap"),
+        F.max("gap").cast("long").alias("max_gap"),
+    )
+
+
+def cell_visit_gaps_oracle(cell_shift: int = 8, table: str = "events") -> str:
+    """Identical lag, rank, and lower-median selection."""
+    from ..sources import derive
+    from ..sources.derive import EDGE
+
+    step = 1 << int(cell_shift)
+    return f"""WITH pts AS (
+  SELECT event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep,
+         CAST(({derive.x_sql('event_id')} // {step}) * {EDGE}
+              + ({derive.y_sql('event_id')} // {step}) AS BIGINT) AS cell
+  FROM {table}
+), lagged AS (
+  SELECT cell, event_id, ep, LAG(ep) OVER (PARTITION BY cell ORDER BY ep, event_id) AS prev
+  FROM pts
+), gaps AS (
+  SELECT cell, event_id, CAST(ep - prev AS BIGINT) AS gap
+  FROM lagged WHERE prev IS NOT NULL
+), ranked AS (
+  SELECT cell, gap,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY gap, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY cell) AS n
+  FROM gaps
+)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MAX(CASE WHEN rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT) THEN gap END) AS BIGINT) AS median_gap,
+       CAST(MAX(gap) AS BIGINT) AS max_gap
+FROM ranked GROUP BY cell"""
+
+
+def knox_stat(
+    events: DataFrame,
+    s_radius: int = 64,
+    t_window: int = 3600,
+) -> DataFrame:
+    """Knox space-time interaction test (Knox 1964, the epidemiology /
+    crime-analytics standard): over all unordered event pairs, count how
+    many are close in space (``d2 <= s_radius^2``), close in time
+    (``|Δepoch| <= t_window``), and close in BOTH — one row
+    ``(n_pairs, n_space, n_time, n_both)`` with ``n_pairs = C(n,2)`` in
+    closed form.  An excess of ``n_both`` over ``n_space * n_time /
+    n_pairs`` evidences space-time clustering (contagion); all four counts
+    are exact integers so the caller can apply any reference distribution.
+
+    Plan: NEVER all-pairs on the engine side —
+    - space pairs: the lossless 4-half-offset cell blocking of
+      ``distance_self_join`` at a cell size >= s_radius;
+    - time pairs: the 1-D analogue — epoch buckets of width ``t_window``,
+      each event probes its own and previous bucket (half-open dedup on
+      event_id), so every qualifying pair meets in exactly one bucket;
+    - n_both folds its predicate into the space join's output.
+    Each side is one equi hash join bounded by its bucket occupancy, then
+    a 1-row aggregate; the three 1-row frames cross-broadcast into the
+    final row.  Pair volume inside hot buckets is the statistic's honest
+    cost (same note as pair_distance_histogram)."""
+    from ..sources.derive import EDGE
+
+    s = max(int(s_radius), 1).bit_length()
+    if (1 << s) < int(s_radius):
+        s += 1
+    r2 = int(s_radius) * int(s_radius)
+    tw = int(t_window)
+    pts = _with_coords_epoch(events).select("event_id", "ex", "ey", "ep")
+
+    n = pts.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n_pairs = n.select(
+        F.expr("CAST(n * (n - 1) DIV 2 AS BIGINT)").alias("n_pairs")
+    )
+
+    # --- space side: half-offset cell blocking (each unordered pair meets
+    # once: same-cell pairs via (0,0)+id<, cross-cell via the 4 half offsets)
+    offs = "named_struct('dx', 0L, 'dy', 0L), named_struct('dx', 1L, 'dy', 0L), " \
+           "named_struct('dx', 1L, 'dy', 1L), named_struct('dx', 0L, 'dy', 1L), " \
+           "named_struct('dx', 1L, 'dy', -1L)"
+    a = pts.select(
+        F.col("event_id").alias("id_a"),
+        F.col("ex").alias("x_a"), F.col("ey").alias("y_a"),
+        F.col("ep").alias("ep_a"),
+        F.shiftright("ex", s).alias("cx"), F.shiftright("ey", s).alias("cy"),
+    ).withColumn("o", F.explode(F.expr(f"array({offs})"))).withColumn(
+        "ck", (F.col("cx") + F.col("o.dx")) * EDGE + F.col("cy") + F.col("o.dy")
+    )
+    b = pts.select(
+        F.col("event_id").alias("id_b"),
+        F.col("ex").alias("x_b"), F.col("ey").alias("y_b"),
+        F.col("ep").alias("ep_b"),
+        (F.shiftright("ex", s) * EDGE + F.shiftright("ey", s)).alias("ck"),
+    )
+    same_cell = (F.col("o.dx") == 0) & (F.col("o.dy") == 0)
+    sp = (
+        a.join(b, "ck")
+        .filter(
+            (~same_cell | (F.col("id_a") < F.col("id_b")))
+            & (F.col("id_a") != F.col("id_b"))
+        )
+        .filter(
+            (F.col("x_a") - F.col("x_b")) * (F.col("x_a") - F.col("x_b"))
+            + (F.col("y_a") - F.col("y_b")) * (F.col("y_a") - F.col("y_b"))
+            <= F.lit(r2)
+        )
+    )
+    space_agg = sp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_space"),
+        F.sum(
+            F.when(
+                F.abs(F.col("ep_a") - F.col("ep_b")) <= F.lit(tw), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+    )
+
+    # --- time side: bucket width tw, probe own + next bucket
+    ta = pts.select(
+        F.col("event_id").alias("id_a"), F.col("ep").alias("ep_a")
+    ).withColumn("o", F.explode(F.expr("array(0L, 1L)"))).withColumn(
+        "tb", F.expr(f"ep_a DIV {tw}") + F.col("o")
+    )
+    tb_ = pts.select(
+        F.col("event_id").alias("id_b"),
+        F.col("ep").alias("ep_b"),
+        F.expr(f"ep DIV {tw}").alias("tb"),
+    )
+    tm = (
+        ta.join(tb_, "tb")
+        .filter(
+            ((F.col("o") == 0) & (F.col("id_a") < F.col("id_b")))
+            | (F.col("o") == 1)
+        )
+        .filter(F.abs(F.col("ep_a") - F.col("ep_b")) <= F.lit(tw))
+    )
+    time_agg = tm.agg(F.count(F.lit(1)).cast("long").alias("n_time"))
+
+    return (
+        n_pairs.crossJoin(F.broadcast(space_agg))
+        .crossJoin(F.broadcast(time_agg))
+        .select("n_pairs", "n_space", "n_time", "n_both")
+    )
+
+
+def knox_stat_oracle(
+    s_radius: int = 64, t_window: int = 3600, table: str = "events"
+) -> str:
+    """Same counts via the obvious quadratic-free forms: a 9-offset blocked
+    space join (pair_distance_histogram's oracle idiom) and a +/-1 time
+    bucket join, both deduped on event_id order."""
+    from ..sources import derive
+
+    s = max(int(s_radius), 1).bit_length()
+    if (1 << s) < int(s_radius):
+        s += 1
+    r2 = int(s_radius) * int(s_radius)
+    tw = int(t_window)
+    nine = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""WITH pts AS (
+  SELECT event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep,
+         {derive.x_sql('event_id')} AS ex, {derive.y_sql('event_id')} AS ey
+  FROM {table}
+), prb AS (
+  SELECT event_id, ex, ey, ep, (ex >> {s}) + dx AS cx, (ey >> {s}) + dy AS cy
+  FROM pts, (VALUES {nine}) o(dx, dy)
+), hom AS (
+  SELECT event_id, ex, ey, ep, ex >> {s} AS cx, ey >> {s} AS cy FROM pts
+), sp AS (
+  SELECT ABS(p.ep - h.ep) AS dt
+  FROM prb p JOIN hom h ON p.cx = h.cx AND p.cy = h.cy AND p.event_id < h.event_id
+  WHERE (p.ex - h.ex) * (p.ex - h.ex) + (p.ey - h.ey) * (p.ey - h.ey) <= {r2}
+), space_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_space,
+         CAST(SUM(CASE WHEN dt <= {tw} THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM sp
+), tprb AS (
+  -- with the blanket event_id< dedup the probe must reach BOTH adjacent
+  -- buckets: the smaller-id event may sit in the later bucket
+  SELECT event_id, ep, (ep // {tw}) + o AS tb FROM pts, (VALUES (-1), (0), (1)) v(o)
+), thom AS (
+  SELECT event_id, ep, ep // {tw} AS tb FROM pts
+), tm AS (
+  SELECT 1 FROM tprb p JOIN thom h
+    ON p.tb = h.tb AND p.event_id < h.event_id
+  WHERE ABS(p.ep - h.ep) <= {tw}
+), time_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_time FROM tm
+), np AS (
+  SELECT CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS n_pairs FROM pts
+)
+SELECT np.n_pairs, space_agg.n_space, time_agg.n_time, space_agg.n_both
+FROM np, space_agg, time_agg"""
+
+
+def impossible_travel(
+    events: DataFrame,
+    vmax: int = 2,
+) -> DataFrame:
+    """Impossible-travel detection (the account-security / data-quality
+    primitive): per user, flag every consecutive event pair whose implied
+    speed exceeds ``vmax`` lattice-units/second — division-free via the
+    integer cross-multiplication ``d2 > vmax^2 * dt^2`` (a zero ``dt``
+    with any displacement is flagged, as it should be).  Output
+    ``(user_id, from_event, to_event, dt_s, dist2)`` for flagged segments.
+
+    Plan: ONE user_id shuffle for the lag window, then a codegen filter —
+    nothing else; output is bounded by violations.  Overflow audit:
+    d2 < 2^25 on the 2^12 lattice, so the comparison is safe while
+    ``vmax * dt < 2^19`` — dt is capped by the corpus time range (~2^17 s
+    at the fixtures) and the predicate short-circuits mathematically for
+    larger dt (big dt only LOWERS implied speed; we clamp the product at
+    2^25 + 1 to stay exact and overflow-proof at any dt)."""
+    v2 = int(vmax) * int(vmax)
+    pts = _with_coords_epoch(events)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        pts.withColumn("pe", F.lag("event_id").over(w))
+        .withColumn("px", F.lag("ex").over(w))
+        .withColumn("py", F.lag("ey").over(w))
+        .withColumn("pp", F.lag("ep").over(w))
+        .filter(F.col("pe").isNotNull())
+        .withColumn("dt_s", (F.col("ep") - F.col("pp")).cast("long"))
+        .withColumn(
+            "dist2",
+            (
+                (F.col("ex") - F.col("px")) * (F.col("ex") - F.col("px"))
+                + (F.col("ey") - F.col("py")) * (F.col("ey") - F.col("py"))
+            ).cast("long"),
+        )
+    )
+    # LEAST caps v2*dt2 at 2^25+1 (> any possible d2): exact AND immune to
+    # int64 overflow for arbitrarily large dt
+    cap = (1 << 25) + 1
+    flagged = seg.filter(
+        F.col("dist2")
+        > F.expr(f"LEAST(CAST({cap} AS BIGINT), {v2} * dt_s * dt_s)")
+    )
+    return flagged.select(
+        "user_id",
+        F.col("pe").alias("from_event"),
+        F.col("event_id").alias("to_event"),
+        "dt_s",
+        "dist2",
+    )
+
+
+def impossible_travel_oracle(vmax: int = 2, table: str = "events") -> str:
+    """Identical lag window, cross-multiplication, and LEAST cap."""
+    from ..sources import derive
+
+    v2 = int(vmax) * int(vmax)
+    cap = (1 << 25) + 1
+    return f"""WITH pts AS (
+  SELECT user_id, event_id, ts, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep,
+         {derive.x_sql('event_id')} AS ex, {derive.y_sql('event_id')} AS ey
+  FROM {table}
+), seg AS (
+  SELECT user_id, event_id,
+         LAG(event_id) OVER w AS pe, LAG(ex) OVER w AS px,
+         LAG(ey) OVER w AS py, LAG(ep) OVER w AS pp, ex, ey, ep
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), d AS (
+  SELECT user_id, pe AS from_event, event_id AS to_event,
+         CAST(ep - pp AS BIGINT) AS dt_s,
+         CAST((ex - px) * (ex - px) + (ey - py) * (ey - py) AS BIGINT) AS dist2
+  FROM seg WHERE pe IS NOT NULL
+)
+SELECT user_id, from_event, to_event, dt_s, dist2
+FROM d WHERE dist2 > LEAST(CAST({cap} AS BIGINT), {v2} * dt_s * dt_s)"""

@@ -395,3 +395,111 @@ def test_road_coverage_gaps_no_shuffle_no_python(sorted_geo):
     assert "Exchange" not in plan             # pure projection + filter
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_st_cube_trend_single_cell_shuffle_no_python(spark, sf_dir):
+    from hilbert_curve_spark.operators.trajectory import st_cube_trend
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = st_cube_trend(events, cell_shift=8, n_bins=8, s_min=6)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only nested-loop is the 1-row min/max broadcast (extent pattern);
+    # the S statistic is pure codegen over the aggregated columns — no
+    # window, no cell-side join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_bearing_histogram_one_window_no_join_no_python(spark, sf_dir):
+    from hilbert_curve_spark.operators.trajectory import bearing_histogram
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = bearing_histogram(events, cell_shift=8)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan                 # lag window + hash agg only
+    assert plan.count("Window") == 1
+
+
+def test_radius_gyration_single_agg_no_window_no_python(spark, sf_dir):
+    from hilbert_curve_spark.operators.trajectory import radius_gyration
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = radius_gyration(events)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan and "Window" not in plan
+    # one-pass centroid expansion: exactly ONE shuffle (user_id hash agg)
+    assert plan.count("Exchange") == 1
+
+
+def test_rknn_counts_no_bnlj_no_python(sorted_geo):
+    from hilbert_curve_spark.operators.spatial_join import rknn_counts
+
+    q = rknn_counts(sorted_geo, W.POIS)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # argmin is a codegen projection; the only joins are the |P|-row
+    # literal frame against the |P|-row aggregate — broadcast hash, never
+    # a nested loop over the corpus
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_covisit_pairs_hash_joins_only_no_python(spark, sf_dir):
+    from hilbert_curve_spark.operators.trajectory import covisit_pairs
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = covisit_pairs(events, cell_shift=8, min_shared=2)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cell_visit_gaps_single_cell_shuffle_no_python(spark, sf_dir):
+    from hilbert_curve_spark.operators.trajectory import cell_visit_gaps
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = cell_visit_gaps(events, cell_shift=8)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    # lag window, median rank window, and the final agg all partition by
+    # cell: ONE shuffle feeds the whole pipeline
+    assert plan.count("Exchange") == 1
+
+
+def test_knox_stat_hash_pair_joins_no_python(spark, sf_dir):
+    from hilbert_curve_spark.operators.trajectory import knox_stat
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = knox_stat(events, s_radius=64, t_window=3600)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # pair generation must be blocked equi hash joins; the only nested
+    # loops are the two 1-row aggregate broadcasts assembling the result row
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_impossible_travel_one_window_no_join_no_python(spark, sf_dir):
+    from hilbert_curve_spark.operators.trajectory import impossible_travel
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = impossible_travel(events, vmax=2)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_idw_surface_blocked_hash_join_no_python(sorted_geo):
+    from hilbert_curve_spark.operators.spatial_join import idw_surface
+
+    q = idw_surface(sorted_geo, grid_shift=8, radius=96)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
