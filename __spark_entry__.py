@@ -915,6 +915,22 @@ def _export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.shard_manifest(docs, n_shards=16)
 
 
+def _compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-packed small-files compaction plan over the shard manifest
+    (`sources/export.py::compaction_plan` — the Iceberg rewrite_data_files
+    planning step, byte-deterministic)."""
+    from hilbert_curve_spark.sources import export as ex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ex.compaction_plan(docs, n_shards=64, target_rows=120)
+
+
+def _compaction_plan_oracle() -> str:
+    from hilbert_curve_spark.sources import export as ex
+
+    return ex.compaction_plan_oracle(n_shards=64, target_rows=120)
+
+
 def _events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch event-time interval join: purchases within 30 minutes of a
     click by the same user (the canonical attribution join)."""
@@ -1942,6 +1958,100 @@ def _idw_surface_oracle() -> str:
     return f"{_doc_geo_cte()}, " + idw_surface_oracle(grid_shift=8, radius=96)
 
 
+def _geo_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence funnel: first-A-then-B-within-T conversion summary
+    (`operators/trajectory.py::geo_funnel`)."""
+    return traj_ops.geo_funnel(
+        _events(spark, sf_dir), W.POLYGONS[2], W.POLYGONS[1], within_s=86400
+    )
+
+
+def _geo_funnel_oracle() -> str:
+    return traj_ops.geo_funnel_oracle(
+        W.POLYGONS[2], W.POLYGONS[1], within_s=86400
+    )
+
+
+def _cell_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell diurnal peak hour with deterministic ties
+    (`operators/trajectory.py::cell_peak_hours`)."""
+    return traj_ops.cell_peak_hours(_events(spark, sf_dir), cell_shift=8)
+
+
+def _cell_peak_hours_oracle() -> str:
+    return traj_ops.cell_peak_hours_oracle(cell_shift=8)
+
+
+def _cell_recency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-weighted density raster with the exact linear recency
+    kernel (`operators/trajectory.py::cell_recency_scores`)."""
+    return traj_ops.cell_recency_scores(
+        _events(spark, sf_dir), cell_shift=8, horizon_s=604800
+    )
+
+
+def _cell_recency_scores_oracle() -> str:
+    return traj_ops.cell_recency_scores_oracle(cell_shift=8, horizon_s=604800)
+
+
+def _companion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent companions: same cell + same 6h window in >= 3 distinct
+    windows (`operators/trajectory.py::companion_pairs`)."""
+    return traj_ops.companion_pairs(
+        _events(spark, sf_dir), cell_shift=9, window_minutes=360, min_windows=3
+    )
+
+
+def _companion_pairs_oracle() -> str:
+    return traj_ops.companion_pairs_oracle(
+        cell_shift=9, window_minutes=360, min_windows=3
+    )
+
+
+def _cell_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k 3-cell movement paths over compressed cell-change sequences
+    (`operators/trajectory.py::cell_trigrams`)."""
+    return traj_ops.cell_trigrams(_events(spark, sf_dir), cell_shift=8, top_k=20)
+
+
+def _cell_trigrams_oracle() -> str:
+    return traj_ops.cell_trigrams_oracle(cell_shift=8, top_k=20)
+
+
+def _cell_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week anomaly raster, division-free sevenths deviation
+    (`operators/trajectory.py::cell_dow_anomaly`)."""
+    return traj_ops.cell_dow_anomaly(_events(spark, sf_dir), cell_shift=8)
+
+
+def _cell_dow_anomaly_oracle() -> str:
+    return traj_ops.cell_dow_anomaly_oracle(cell_shift=8)
+
+
+def _events_stream_impossible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming impossible-travel end-to-end, driver-checkable with the
+    BATCH impossible_travel oracle: violations emit per arriving pair, so a
+    full replay needs no sentinel flush — state is just each user's last
+    point (`streaming/event_streams.py::impossible_travel_stream`)."""
+    from hilbert_curve_spark.streaming import event_streams as es
+
+    events = _events(spark, sf_dir)
+    replay = events.withColumn("ts", F.col("ts").cast("timestamp")).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="hcs_stream_src_")
+    replay.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(es.EVENTS_SCHEMA).parquet(src)
+    out = _run_stream_to_df(
+        spark, es.impossible_travel_stream(stream, vmax=2), "append", "drv_impt"
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BRQ (rectangle AND any-of-keywords) on sf0.001."""
     return _brq_any(spark, "/root/testdata/sf0.001")
@@ -2046,6 +2156,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knox_stat": _knox_stat,
         "impossible_travel": _impossible_travel,
         "idw_surface": _idw_surface,
+        # -- wave 16 --
+        "geo_funnel": _geo_funnel,
+        "cell_peak_hours": _cell_peak_hours,
+        "cell_recency_scores": _cell_recency_scores,
+        # -- wave 17 --
+        "companion_pairs": _companion_pairs,
+        "cell_trigrams": _cell_trigrams,
+        "cell_dow_anomaly": _cell_dow_anomaly,
+        # -- wave 18 --
+        "events_stream_impossible": _events_stream_impossible,
+        "compaction_plan": _compaction_plan,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -2304,6 +2425,14 @@ def oracle_sql() -> dict[str, str]:
         "knox_stat": _knox_stat_oracle(),
         "impossible_travel": _impossible_travel_oracle(),
         "idw_surface": _idw_surface_oracle(),
+        "geo_funnel": _geo_funnel_oracle(),
+        "cell_peak_hours": _cell_peak_hours_oracle(),
+        "cell_recency_scores": _cell_recency_scores_oracle(),
+        "companion_pairs": _companion_pairs_oracle(),
+        "cell_trigrams": _cell_trigrams_oracle(),
+        "cell_dow_anomaly": _cell_dow_anomaly_oracle(),
+        "events_stream_impossible": traj_ops.impossible_travel_oracle(vmax=2),
+        "compaction_plan": _compaction_plan_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

@@ -263,6 +263,50 @@ def _pipeline_queries(spark):
         events = spark.read.parquet(f"{SF_DIR}/events.parquet")
         return radius_gyration(events).count()
 
+    def q_geo_funnel():
+        from hilbert_curve_spark.operators.trajectory import geo_funnel
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return geo_funnel(events, W.POLYGONS[2], W.POLYGONS[1], within_s=86400).count()
+
+    def q_cell_peak_hours():
+        from hilbert_curve_spark.operators.trajectory import cell_peak_hours
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return cell_peak_hours(events, cell_shift=8).count()
+
+    def q_cell_recency_scores():
+        from hilbert_curve_spark.operators.trajectory import cell_recency_scores
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return cell_recency_scores(events, cell_shift=8, horizon_s=604800).count()
+
+    def q_companion_pairs():
+        from hilbert_curve_spark.operators.trajectory import companion_pairs
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return companion_pairs(
+            events, cell_shift=9, window_minutes=360, min_windows=3
+        ).count()
+
+    def q_cell_trigrams():
+        from hilbert_curve_spark.operators.trajectory import cell_trigrams
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return cell_trigrams(events, cell_shift=8, top_k=20).count()
+
+    def q_cell_dow_anomaly():
+        from hilbert_curve_spark.operators.trajectory import cell_dow_anomaly
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return cell_dow_anomaly(events, cell_shift=8).count()
+
+    def q_compaction_plan():
+        from hilbert_curve_spark.sources.export import compaction_plan
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return compaction_plan(docs, n_shards=64, target_rows=120).count()
+
     def q_knox_stat():
         from hilbert_curve_spark.operators.trajectory import knox_stat
 
@@ -303,6 +347,13 @@ def _pipeline_queries(spark):
         "cell_visit_gaps": q_cell_visit_gaps,
         "knox_stat": q_knox_stat,
         "impossible_travel": q_impossible_travel,
+        "geo_funnel": q_geo_funnel,
+        "cell_peak_hours": q_cell_peak_hours,
+        "cell_recency_scores": q_cell_recency_scores,
+        "companion_pairs": q_companion_pairs,
+        "cell_trigrams": q_cell_trigrams,
+        "cell_dow_anomaly": q_cell_dow_anomaly,
+        "compaction_plan": q_compaction_plan,
         "heavy_hitters": q_heavy_hitters,
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,

@@ -1366,3 +1366,479 @@ def impossible_travel_oracle(vmax: int = 2, table: str = "events") -> str:
 )
 SELECT user_id, from_event, to_event, dt_s, dist2
 FROM d WHERE dist2 > LEAST(CAST({cap} AS BIGINT), {v2} * dt_s * dt_s)"""
+
+
+def geo_funnel(
+    events: DataFrame,
+    poly_a: dict,
+    poly_b: dict,
+    within_s: int = 86400,
+) -> DataFrame:
+    """Geo-funnel conversion (the product-analytics funnel over geofences):
+    of the users whose events ever enter fence A, how many later reach
+    fence B within ``within_s`` seconds of their FIRST A visit — one row
+    ``(n_users, n_reached_a, n_converted, conv_ppm)`` with ``conv_ppm =
+    FLOOR(1e6 * n_converted / n_reached_a)`` (NULL when nobody reaches A).
+    ``t_b >= t_a`` (an event on or after the first A visit converts;
+    simultaneous A∩B entry counts, deterministically in both engines).
+
+    Membership is the exact even-odd ray cast of the PIP family
+    (`operators/pip.py::inside_polygon_expr` — int64, division-free,
+    matching `RSKQ_Biginteger.java`'s plaintext result-set contract).
+
+    Plan: ONE user_id hash agg for first-A times (map-side combine), one
+    user_id equi join of only the B-side events against only the reached
+    users, a second user_id agg, then three 1-row aggregates broadcast
+    into the summary — every stage keyed on user_id, so with the events
+    table bucketed by user_id the whole funnel is shuffle-free.  No
+    window, no per-event state."""
+    from .pip import inside_polygon_expr
+
+    pts = _with_coords_epoch(events)
+    in_a = inside_polygon_expr(poly_a["vertices"], "ex", "ey")
+    in_b = inside_polygon_expr(poly_b["vertices"], "ex", "ey")
+    tagged = pts.select("user_id", "ep", in_a.alias("in_a"), in_b.alias("in_b"))
+    first_a = (
+        tagged.groupBy("user_id")
+        .agg(F.min(F.when(F.col("in_a"), F.col("ep"))).alias("t_a"))
+        .filter(F.col("t_a").isNotNull())
+    )
+    b_events = tagged.filter(F.col("in_b")).select("user_id", "ep")
+    conv = (
+        b_events.join(first_a, "user_id")
+        .filter(F.col("ep") >= F.col("t_a"))
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t_b"), F.min("t_a").alias("t_a"))
+        .filter(F.col("t_b") - F.col("t_a") <= F.lit(int(within_s)))
+    )
+    n_users = tagged.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    n_reached = first_a.agg(F.count(F.lit(1)).cast("long").alias("n_reached_a"))
+    n_conv = conv.agg(F.count(F.lit(1)).cast("long").alias("n_converted"))
+    return (
+        n_users.crossJoin(F.broadcast(n_reached))
+        .crossJoin(F.broadcast(n_conv))
+        .select(
+            "n_users",
+            "n_reached_a",
+            "n_converted",
+            F.expr(
+                "CASE WHEN n_reached_a > 0 "
+                "THEN CAST((1000000 * n_converted) DIV n_reached_a AS BIGINT) "
+                "END"
+            ).alias("conv_ppm"),
+        )
+    )
+
+
+def _pip_sql(verts: list, x: str, y: str) -> str:
+    """Inline even-odd crossing parity as a single SQL boolean (edge VALUES
+    folded into a summed CASE is the oracle idiom; here the edge list is
+    inlined so the predicate drops into any WHERE/CASE position)."""
+    from .pip import _edges
+
+    terms = []
+    for x1, y1, x2, y2 in _edges(verts):
+        dy = f"({y2} - {y1})"
+        cross = (
+            f"CASE WHEN {y2} - {y1} > 0 "
+            f"THEN {x} * {dy} < {x1} * {dy} + ({y} - {y1}) * ({x2} - {x1}) "
+            f"ELSE {x} * {dy} > {x1} * {dy} + ({y} - {y1}) * ({x2} - {x1}) END"
+        )
+        terms.append(
+            f"(CASE WHEN (({y1} > {y}) <> ({y2} > {y})) AND ({cross}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return f"(({' + '.join(terms)}) % 2 = 1)"
+
+
+def geo_funnel_oracle(
+    poly_a: dict, poly_b: dict, within_s: int = 86400, table: str = "events"
+) -> str:
+    """Identical ray cast, first-A agg, >= join rule, and FLOOR ppm."""
+    from ..sources import derive
+
+    in_a = _pip_sql(poly_a["vertices"], "ex", "ey")
+    in_b = _pip_sql(poly_b["vertices"], "ex", "ey")
+    return f"""WITH pts AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep,
+         {derive.x_sql('event_id')} AS ex, {derive.y_sql('event_id')} AS ey
+  FROM {table}
+), tagged AS (
+  SELECT user_id, ep, {in_a} AS in_a, {in_b} AS in_b FROM pts
+), first_a AS (
+  SELECT user_id, MIN(CASE WHEN in_a THEN ep END) AS t_a
+  FROM tagged GROUP BY user_id HAVING MIN(CASE WHEN in_a THEN ep END) IS NOT NULL
+), conv AS (
+  SELECT b.user_id, MIN(b.ep) AS t_b, MIN(a.t_a) AS t_a
+  FROM tagged b JOIN first_a a ON b.user_id = a.user_id
+  WHERE b.in_b AND b.ep >= a.t_a
+  GROUP BY b.user_id
+  HAVING MIN(b.ep) - MIN(a.t_a) <= {int(within_s)}
+)
+SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM tagged) AS n_users,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM first_a) AS n_reached_a,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM conv) AS n_converted,
+       CASE WHEN (SELECT COUNT(*) FROM first_a) > 0
+            THEN CAST((1000000 * (SELECT COUNT(*) FROM conv))
+                      // (SELECT COUNT(*) FROM first_a) AS BIGINT)
+       END AS conv_ppm"""
+
+
+def cell_peak_hours(events: DataFrame, cell_shift: int = 8) -> DataFrame:
+    """Per-cell diurnal peak: the hour-of-day (UTC, ``(ep DIV 3600) % 24``)
+    with the most events in each cell — ``(cell, peak_hour, n_at_peak,
+    n_total, share_ppm)``, ties to the smallest hour, FLOOR-ppm share.
+
+    The diurnal-profile raster (commute zones vs nightlife zones).  Same
+    shape as :func:`user_home_cells`: one (cell, hour) hash agg with
+    map-side combine, then ONE window over the aggregated frame (<= 24
+    rows per cell)."""
+    pts = _with_coords_epoch(events)
+    step = 1 << int(cell_shift)
+    from ..sources.derive import EDGE
+
+    counts = (
+        pts.select(
+            F.expr(
+                f"CAST(ex DIV {step} AS BIGINT) * {EDGE} "
+                f"+ CAST(ey DIV {step} AS BIGINT)"
+            ).alias("cell"),
+            F.expr("CAST((ep DIV 3600) % 24 AS INT)").alias("hour"),
+        )
+        .groupBy("cell", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("n"), F.asc("hour"))
+    tot = Window.partitionBy("cell")
+    return (
+        counts.withColumn("n_total", F.sum("n").over(tot).cast("long"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cell",
+            F.col("hour").alias("peak_hour"),
+            F.col("n").alias("n_at_peak"),
+            "n_total",
+            F.expr("CAST((n * 1000000) DIV n_total AS BIGINT)").alias("share_ppm"),
+        )
+    )
+
+
+def cell_peak_hours_oracle(cell_shift: int = 8, table: str = "events") -> str:
+    """Identical hour derivation, window order, and FLOOR-ppm."""
+    from ..sources import derive
+    from ..sources.derive import EDGE
+
+    step = 1 << int(cell_shift)
+    return f"""WITH pts AS (
+  SELECT CAST(((CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) % 24) AS INT) AS hour,
+         CAST(({derive.x_sql('event_id')} // {step}) * {EDGE}
+              + ({derive.y_sql('event_id')} // {step}) AS BIGINT) AS cell
+  FROM {table}
+), counts AS (
+  SELECT cell, hour, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY cell, hour
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY n DESC, hour) AS rn,
+         CAST(SUM(n) OVER (PARTITION BY cell) AS BIGINT) AS n_total
+  FROM counts
+)
+SELECT cell, hour AS peak_hour, n AS n_at_peak, n_total,
+       CAST((n * 1000000) // n_total AS BIGINT) AS share_ppm
+FROM ranked WHERE rn = 1"""
+
+
+def cell_recency_scores(
+    events: DataFrame, cell_shift: int = 8, horizon_s: int = 604800
+) -> DataFrame:
+    """Freshness-weighted density raster: each cell scored by the LINEAR
+    recency kernel ``score = SUM(GREATEST(0, horizon - age))`` with ``age
+    = max_epoch - epoch`` relative to the corpus frontier — ``(cell,
+    n_events, n_recent, score)`` where ``n_recent`` counts events inside
+    the horizon.  The linear kernel keeps the decay exact-integer
+    (exponential decay is float territory); at 10^12 events the score is
+    bounded by ``horizon * events-per-cell`` — int64-safe below ~2^44
+    events per cell at the week-long default.
+
+    Plan: one 1-value max broadcast + ONE per-cell conditional hash agg
+    with map-side combine — identical shape to emerging_hotspots."""
+    pts = _with_coords_epoch(events)
+    frontier = pts.agg(F.max("ep").cast("long").alias("ep_max"))
+    step = 1 << int(cell_shift)
+    from ..sources.derive import EDGE
+
+    h = int(horizon_s)
+    return (
+        pts.crossJoin(F.broadcast(frontier))
+        .select(
+            F.expr(
+                f"CAST(ex DIV {step} AS BIGINT) * {EDGE} "
+                f"+ CAST(ey DIV {step} AS BIGINT)"
+            ).alias("cell"),
+            (F.col("ep_max") - F.col("ep")).alias("age"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("age") <= h, 1).otherwise(0))
+            .cast("long")
+            .alias("n_recent"),
+            F.sum(F.expr(f"GREATEST(0, {h} - age)")).cast("long").alias("score"),
+        )
+    )
+
+
+def cell_recency_scores_oracle(
+    cell_shift: int = 8, horizon_s: int = 604800, table: str = "events"
+) -> str:
+    """Identical frontier, age, and linear kernel."""
+    from ..sources import derive
+    from ..sources.derive import EDGE
+
+    step = 1 << int(cell_shift)
+    h = int(horizon_s)
+    return f"""WITH pts AS (
+  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep,
+         CAST(({derive.x_sql('event_id')} // {step}) * {EDGE}
+              + ({derive.y_sql('event_id')} // {step}) AS BIGINT) AS cell
+  FROM {table}
+), f AS (SELECT CAST(MAX(ep) AS BIGINT) AS ep_max FROM pts)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN ep_max - ep <= {h} THEN 1 ELSE 0 END) AS BIGINT) AS n_recent,
+       CAST(SUM(GREATEST(0, {h} - (ep_max - ep))) AS BIGINT) AS score
+FROM pts, f GROUP BY cell"""
+
+
+def companion_pairs(
+    events: DataFrame,
+    cell_shift: int = 8,
+    window_minutes: int = 60,
+    min_windows: int = 3,
+) -> DataFrame:
+    """Persistent-companion detection (the convoy/flock-lite primitive):
+    user pairs that appear in the SAME grid cell during the SAME
+    epoch-aligned time window in at least ``min_windows`` DISTINCT windows
+    — ``(user_a, user_b, n_windows)`` with ``user_a < user_b``.  Unlike
+    :func:`colocation_pairs` (stay-point interval overlap) this is the
+    discretized space-time co-occurrence count, the form that scales to
+    arbitrary corpus sizes because everything is set algebra over
+    (user, window, cell) presence rows.
+
+    Plan: events collapse to DISTINCT (user, window, cell) FIRST (hash agg
+    with map-side combine); the (window, cell) equi self-join generates
+    candidate pairs; a second DISTINCT drops duplicate same-window
+    co-occurrences (two users sharing several cells in one window count
+    once); a final hash agg counts windows.  Never all-pairs — candidates
+    are bounded by per-(window, cell) occupancy, the same inverted-index
+    cost model as covisit_pairs, with the same documented hot-bucket DF
+    ceiling at extreme scale."""
+    from ..sources.derive import EDGE
+
+    step = 1 << int(cell_shift)
+    secs = int(window_minutes) * 60
+    pts = _with_coords_epoch(events)
+    presence = pts.select(
+        "user_id",
+        F.expr(f"CAST(ep DIV {secs} AS BIGINT)").alias("w"),
+        F.expr(
+            f"CAST(ex DIV {step} AS BIGINT) * {EDGE} + CAST(ey DIV {step} AS BIGINT)"
+        ).alias("cell"),
+    ).distinct()
+    a = presence.alias("a")
+    b = presence.alias("b")
+    together = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.w").alias("w"),
+        )
+        .distinct()
+    )
+    return (
+        together.groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_windows"))
+        .filter(F.col("n_windows") >= int(min_windows))
+    )
+
+
+def companion_pairs_oracle(
+    cell_shift: int = 8,
+    window_minutes: int = 60,
+    min_windows: int = 3,
+    table: str = "events",
+) -> str:
+    """Identical presence derivation, pair join, and window dedup."""
+    from ..sources import derive
+    from ..sources.derive import EDGE
+
+    step = 1 << int(cell_shift)
+    secs = int(window_minutes) * 60
+    return f"""WITH presence AS (
+  SELECT DISTINCT user_id,
+         CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) // {secs} AS BIGINT) AS w,
+         CAST(({derive.x_sql('event_id')} // {step}) * {EDGE}
+              + ({derive.y_sql('event_id')} // {step}) AS BIGINT) AS cell
+  FROM {table}
+), together AS (
+  SELECT DISTINCT a.user_id AS user_a, b.user_id AS user_b, a.w
+  FROM presence a JOIN presence b
+    ON a.w = b.w AND a.cell = b.cell AND a.user_id < b.user_id
+)
+SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM together GROUP BY user_a, user_b
+HAVING COUNT(*) >= {int(min_windows)}"""
+
+
+def cell_trigrams(
+    events: DataFrame,
+    cell_shift: int = 8,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k 3-cell movement paths (route mining): per user the event
+    sequence compresses to its CELL-CHANGE sequence (consecutive repeats
+    of the same cell collapse — routes, not dwell), then every consecutive
+    cell triple counts — ``(c1, c2, c3, n_paths)``, the ``top_k`` most
+    frequent with deterministic ``(n DESC, c1, c2, c3)`` order.
+
+    Plan: ONE user_id shuffle that BOTH window passes reuse (the
+    compression lag and the trigram lags partition identically), a hash
+    agg with map-side combine on the triple, and a partial top-k
+    (orderBy + limit = TakeOrderedAndProject — each partition keeps k)."""
+    from ..sources.derive import EDGE
+
+    step = 1 << int(cell_shift)
+    pts = _with_coords_epoch(events)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    celled = pts.withColumn(
+        "cell",
+        F.expr(
+            f"CAST(ex DIV {step} AS BIGINT) * {EDGE} + CAST(ey DIV {step} AS BIGINT)"
+        ),
+    )
+    changed = celled.withColumn("pc", F.lag("cell").over(w)).filter(
+        F.col("pc").isNull() | (F.col("pc") != F.col("cell"))
+    )
+    tri = (
+        changed.withColumn("c2", F.lag("cell", 1).over(w))
+        .withColumn("c1", F.lag("cell", 2).over(w))
+        .filter(F.col("c1").isNotNull())
+        .select("c1", F.col("c2"), F.col("cell").alias("c3"))
+    )
+    return (
+        tri.groupBy("c1", "c2", "c3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "c1", "c2", "c3")
+        .limit(int(top_k))
+    )
+
+
+def cell_trigrams_oracle(
+    cell_shift: int = 8, top_k: int = 20, table: str = "events"
+) -> str:
+    """Identical compression, lags, count, and deterministic top-k."""
+    from ..sources import derive
+    from ..sources.derive import EDGE
+
+    step = 1 << int(cell_shift)
+    return f"""WITH pts AS (
+  SELECT user_id, ts, event_id,
+         CAST(({derive.x_sql('event_id')} // {step}) * {EDGE}
+              + ({derive.y_sql('event_id')} // {step}) AS BIGINT) AS cell
+  FROM {table}
+), marked AS (
+  SELECT user_id, ts, event_id, cell,
+         LAG(cell) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pc
+  FROM pts
+), changed AS (
+  SELECT user_id, ts, event_id, cell FROM marked
+  WHERE pc IS NULL OR pc <> cell
+), tri AS (
+  SELECT LAG(cell, 2) OVER w AS c1, LAG(cell, 1) OVER w AS c2, cell AS c3
+  FROM changed WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT c1, c2, c3, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM tri WHERE c1 IS NOT NULL
+GROUP BY c1, c2, c3
+ORDER BY n_paths DESC, c1, c2, c3
+LIMIT {int(top_k)}"""
+
+
+def cell_dow_anomaly(events: DataFrame, cell_shift: int = 8) -> DataFrame:
+    """Day-of-week anomaly raster: per cell the most over-represented
+    weekday relative to a uniform weekly profile — ``(cell, n_total,
+    peak_dow, dev_scaled)`` where ``dev_scaled = MAX_d(7*n_d - n_total)``
+    (the deviation in SEVENTHS-of-an-event, exact — no division) and
+    ``peak_dow`` is the arg-max day (0 = Thursday, epoch convention;
+    smallest day on ties).  Weekend-market vs weekday-commuter zones.
+
+    Plan: ONE per-cell conditional aggregation (7 SUM(CASE) columns with
+    map-side combine); the arg-max over the 7 aggregated columns is a
+    literal codegen greatest/CASE chain — no window, no second pass."""
+    from ..sources.derive import EDGE
+
+    step = 1 << int(cell_shift)
+    pts = _with_coords_epoch(events)
+    agg = (
+        pts.select(
+            F.expr(
+                f"CAST(ex DIV {step} AS BIGINT) * {EDGE} + CAST(ey DIV {step} AS BIGINT)"
+            ).alias("cell"),
+            F.expr("CAST((ep DIV 86400) % 7 AS INT)").alias("dow"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            *[
+                F.sum(F.when(F.col("dow") == d, 1).otherwise(0))
+                .cast("long")
+                .alias(f"d{d}")
+                for d in range(7)
+            ],
+        )
+    )
+    dev_max = "GREATEST(" + ", ".join(f"7 * d{d} - n_total" for d in range(7)) + ")"
+    peak = "CASE " + " ".join(
+        f"WHEN 7 * d{d} - n_total = ({dev_max}) THEN {d}" for d in range(7)
+    ) + " END"
+    return agg.select(
+        "cell",
+        "n_total",
+        F.expr(f"CAST({peak} AS INT)").alias("peak_dow"),
+        F.expr(f"CAST({dev_max} AS BIGINT)").alias("dev_scaled"),
+    )
+
+
+def cell_dow_anomaly_oracle(cell_shift: int = 8, table: str = "events") -> str:
+    """Identical dow derivation, conditional sums, and arg-max CASE order."""
+    from ..sources import derive
+    from ..sources.derive import EDGE
+
+    step = 1 << int(cell_shift)
+    dsums = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN dow = {d} THEN 1 ELSE 0 END) AS BIGINT) AS d{d}"
+        for d in range(7)
+    )
+    dev_max = "GREATEST(" + ", ".join(f"7 * d{d} - n_total" for d in range(7)) + ")"
+    peak = "CASE " + " ".join(
+        f"WHEN 7 * d{d} - n_total = ({dev_max}) THEN {d}" for d in range(7)
+    ) + " END"
+    return f"""WITH pts AS (
+  SELECT CAST(((CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) % 7) AS INT) AS dow,
+         CAST(({derive.x_sql('event_id')} // {step}) * {EDGE}
+              + ({derive.y_sql('event_id')} // {step}) AS BIGINT) AS cell
+  FROM {table}
+), agg AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_total,
+         {dsums}
+  FROM pts GROUP BY cell
+)
+SELECT cell, n_total, CAST({peak} AS INT) AS peak_dow,
+       CAST({dev_max} AS BIGINT) AS dev_scaled
+FROM agg"""

@@ -110,3 +110,63 @@ def read_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:
     """Read one shard by partition path — a pruned scan, not a filter over
     the whole export."""
     return spark.read.option("basePath", path).parquet(f"{path}/shard={int(shard)}")
+
+
+def compaction_plan(
+    docs: DataFrame, n_shards: int = 64, target_rows: int = 4000
+) -> DataFrame:
+    """Small-files compaction planning (the Iceberg `rewrite_data_files`
+    bin-pack step, planned declaratively): consecutive shards (order = the
+    storage order, shard id) pack into merge groups of about
+    ``target_rows`` — ``(group_id, n_shards, total_rows, first_shard,
+    last_shard)`` with ``group_id = rows-before-this-shard DIV target``
+    (the streaming first-fit rule: a group closes as soon as the running
+    total crosses the target; an oversized shard occupies its own group
+    tail).  Deterministic pure-integer plan — two engines or two runs
+    produce byte-identical merge groups, which is what makes a compaction
+    plan auditable.
+
+    Plan: the per-shard counts are ONE hash aggregation over the corpus
+    (map-side combine, |shards| rows out); the cumulative window and the
+    group aggregation run over |shards| rows only — at a petabyte table
+    the planning cost is the manifest row count, exactly like
+    `sources/manifest.py` scan planning."""
+    counts = shard_assign(docs, int(n_shards)).groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, 0)
+    grouped = counts.withColumn(
+        "cum_before", (F.sum("n_docs").over(w) - F.col("n_docs")).cast("long")
+    ).withColumn(
+        "group_id", F.expr(f"CAST(cum_before DIV {int(target_rows)} AS BIGINT)")
+    )
+    return grouped.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+        F.sum("n_docs").cast("long").alias("total_rows"),
+        F.min("shard").cast("long").alias("first_shard"),
+        F.max("shard").cast("long").alias("last_shard"),
+    )
+
+
+def compaction_plan_oracle(
+    n_shards: int = 64, target_rows: int = 4000, table: str = "documents"
+) -> str:
+    """Identical shard counts, running total, and first-fit grouping."""
+    return f"""WITH counts AS (
+  SELECT CAST({_shard_sql(n_shards)} AS BIGINT) AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM {table} GROUP BY 1
+), grouped AS (
+  SELECT shard, n_docs,
+         CAST(SUM(n_docs) OVER (ORDER BY shard ROWS UNBOUNDED PRECEDING)
+              - n_docs AS BIGINT) AS cum_before
+  FROM counts
+)
+SELECT CAST(cum_before // {int(target_rows)} AS BIGINT) AS group_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shards,
+       CAST(SUM(n_docs) AS BIGINT) AS total_rows,
+       CAST(MIN(shard) AS BIGINT) AS first_shard,
+       CAST(MAX(shard) AS BIGINT) AS last_shard
+FROM grouped GROUP BY 1"""

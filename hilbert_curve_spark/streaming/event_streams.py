@@ -407,3 +407,98 @@ def stay_points_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+IMPTRAVEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("from_event", LongType()),
+        StructField("to_event", LongType()),
+        StructField("dt_s", LongType()),
+        StructField("dist2", LongType()),
+    ]
+)
+
+# last accepted point per user: (ep, event_id, x, y) — fixed width, no growth
+_IMPT_STATE_SCHEMA = StructType(
+    [StructField(c, LongType()) for c in ("ep", "eid", "lx", "ly")]
+)
+
+
+def impossible_travel_stream(events: DataFrame, vmax: int = 2) -> DataFrame:
+    """Streaming impossible-travel detection (``applyInPandasWithState``) —
+    the stateful twin of ``operators/trajectory.impossible_travel`` with
+    the exact same integer cross-multiplication (including the LEAST
+    overflow cap), so a full-corpus replay byte-matches the batch run.
+
+    Per-user state is ONE fixed-width row (the last accepted point); every
+    violating consecutive pair emits immediately — no timeout, no segment
+    lifecycle, the simplest possible stateful operator and the shape a
+    real-time account-security pipeline wants (alert at arrival time).
+    The same late-data guard as sessionize_stream drops below-watermark
+    arrivals (the batch comparison replays everything in one availableNow
+    batch, where the guard is vacuous)."""
+    from ..sources import derive
+
+    v2 = int(vmax) * int(vmax)
+    cap = (1 << 25) + 1
+
+    pts = events.withColumn("ex", F.expr(derive.x_sql("event_id"))).withColumn(
+        "ey", F.expr(derive.y_sql("event_id"))
+    )
+
+    def _detect(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:  # NoTimeout: unreachable, defensive
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        secs = rows["ts"].astype("int64") // 1_000_000_000
+        wm_s = state.getCurrentWatermarkMs() // 1000
+        pts4 = [
+            (int(s), int(e), int(x), int(y))
+            for s, e, x, y in zip(
+                secs.tolist(),
+                rows["event_id"].tolist(),
+                rows["ex"].tolist(),
+                rows["ey"].tolist(),
+            )
+            if wm_s <= 0 or s >= wm_s
+        ]
+        prev = tuple(state.get) if state.exists else None
+        out = []
+        for s, eid, x, y in pts4:
+            if prev is not None:
+                pep, peid, px, py = prev
+                dt = s - pep
+                d2 = (x - px) * (x - px) + (y - py) * (y - py)
+                if d2 > min(cap, v2 * dt * dt):
+                    out.append(
+                        {
+                            "user_id": user_id,
+                            "from_event": peid,
+                            "to_event": eid,
+                            "dt_s": dt,
+                            "dist2": d2,
+                        }
+                    )
+            prev = (s, eid, x, y)
+        if prev is not None:
+            state.update(tuple(int(v) for v in prev))
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        pts.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _detect,
+            outputStructType=IMPTRAVEL_SCHEMA,
+            stateStructType=_IMPT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -503,3 +503,88 @@ def test_idw_surface_blocked_hash_join_no_python(sorted_geo):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_geo_funnel_user_keyed_no_window_no_python(spark, sf_dir):
+    from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators.trajectory import geo_funnel
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = geo_funnel(events, W.POLYGONS[2], W.POLYGONS[1], within_s=86400)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan              # aggs + joins only, no window
+    # the only nested loops are the two 1-row summary broadcasts
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_cell_peak_hours_window_over_aggregate_no_python(spark, sf_dir):
+    from hilbert_curve_spark.operators.trajectory import cell_peak_hours
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = cell_peak_hours(events, cell_shift=8)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    # the argmax windows run over the (cell, hour) AGGREGATE: a HashAggregate
+    # must appear below the Window in the plan text
+    assert "HashAggregate" in plan
+
+
+def test_cell_recency_scores_single_agg_no_window_no_python(spark, sf_dir):
+    from hilbert_curve_spark.operators.trajectory import cell_recency_scores
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = cell_recency_scores(events, cell_shift=8)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+    # only the 1-row frontier broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_companion_pairs_hash_joins_only_no_python(spark, sf_dir):
+    from hilbert_curve_spark.operators.trajectory import companion_pairs
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = companion_pairs(events, cell_shift=9, window_minutes=360, min_windows=3)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cell_trigrams_partial_topk_no_join_no_python(spark, sf_dir):
+    from hilbert_curve_spark.operators.trajectory import cell_trigrams
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = cell_trigrams(events, cell_shift=8, top_k=20)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan    # partial top-k, no global sort
+
+
+def test_cell_dow_anomaly_single_agg_no_window_no_python(spark, sf_dir):
+    from hilbert_curve_spark.operators.trajectory import cell_dow_anomaly
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = cell_dow_anomaly(events, cell_shift=8)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") == 1        # one cell shuffle
+
+
+def test_compaction_plan_manifest_scale_no_python(spark, sf_dir):
+    from hilbert_curve_spark.sources.export import compaction_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = compaction_plan(docs, n_shards=64, target_rows=120)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    # the global-order window sees only the |shards|-row manifest: a
+    # HashAggregate must sit below the Window
+    assert "HashAggregate" in plan and "Window" in plan
