@@ -931,6 +931,25 @@ def _compaction_plan_oracle() -> str:
     return ex.compaction_plan_oracle(n_shards=64, target_rows=120)
 
 
+def _pip_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join for polygons WITH HOLES and multi-polygons: even-odd parity
+    over multi-ring edge sets, merged-union curve-cover prefilter
+    (`operators/pip.py::pip_rings_join`)."""
+    from hilbert_curve_spark.operators.pip import pip_rings_join
+
+    return pip_rings_join(_doc_geo(spark, sf_dir), W.RING_POLYGONS, DEFAULT)
+
+
+def _pip_rings_oracle() -> str:
+    from hilbert_curve_spark.operators.pip import pip_rings_oracle_sql
+
+    return (
+        f"{_doc_geo_cte()}, "
+        + pip_rings_oracle_sql(W.RING_POLYGONS)
+        + "SELECT poly_id, doc_key AS doc_id, x, y FROM pip WHERE crossings % 2 = 1"
+    )
+
+
 def _events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch event-time interval join: purchases within 30 minutes of a
     click by the same user (the canonical attribution join)."""
@@ -2167,6 +2186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- wave 18 --
         "events_stream_impossible": _events_stream_impossible,
         "compaction_plan": _compaction_plan,
+        # -- wave 19 --
+        "pip_rings": _pip_rings,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -2433,6 +2454,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_dow_anomaly": _cell_dow_anomaly_oracle(),
         "events_stream_impossible": traj_ops.impossible_travel_oracle(vmax=2),
         "compaction_plan": _compaction_plan_oracle(),
+        "pip_rings": _pip_rings_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

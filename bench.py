@@ -435,6 +435,11 @@ def _spatial_join_queries(geo):
 
         return idw_surface(geo, grid_shift=8, radius=96).count()
 
+    def q_pip_rings():
+        from hilbert_curve_spark.operators.pip import pip_rings_join
+
+        return pip_rings_join(geo, W.RING_POLYGONS).count()
+
     def q_corridor_search():
         return corridor_search(geo, W.ROUTE, W.CORRIDOR_R).count()
 
@@ -491,6 +496,7 @@ def _spatial_join_queries(geo):
         "nearest_poi": q_nearest_poi,
         "rknn_counts": q_rknn_counts,
         "idw_surface": q_idw_surface,
+        "pip_rings": q_pip_rings,
         "poi_distance_join": q_poi_distance_join,
         "radius_brq": q_radius_brq,
         "zonal_stats": q_zonal_stats,

@@ -256,3 +256,24 @@ GMORAN_Q = 10000
 # Ripley-style pair-distance histogram radii (max radius prices the
 # blocked pair join).
 RIPLEY_RADII = (4, 8, 12, 16)
+
+
+# Polygons with holes / multi-polygons for pip_rings (wave 19): a donut
+# around the cluster-1 hot spot (outer square minus a centered hole) and a
+# two-part multi-polygon (a cluster-3 square + a detached triangle).
+RING_POLYGONS = [
+    dict(
+        poly_id="donut",
+        rings=[
+            [(1324, 724), (1324, 1324), (724, 1324), (724, 724)],
+            [(1124, 924), (1124, 1124), (924, 1124), (924, 924)],
+        ],
+    ),
+    dict(
+        poly_id="twin",
+        rings=[
+            [(3172, 2872), (3172, 3272), (2772, 3272), (2772, 2872)],
+            [(2300, 1800), (2500, 1800), (2400, 2100)],
+        ],
+    ),
+]

@@ -588,3 +588,15 @@ def test_compaction_plan_manifest_scale_no_python(spark, sf_dir):
     # the global-order window sees only the |shards|-row manifest: a
     # HashAggregate must sit below the Window
     assert "HashAggregate" in plan and "Window" in plan
+
+
+def test_pip_rings_broadcast_cover_probe_no_python(sorted_geo):
+    from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators.pip import pip_rings_join
+
+    q = pip_rings_join(sorted_geo, W.RING_POLYGONS)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan        # the cover probe
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
