@@ -931,6 +931,71 @@ def _compaction_plan_oracle() -> str:
     return ex.compaction_plan_oracle(n_shards=64, target_rows=120)
 
 
+def _events_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming geofence funnel end-to-end, driver-checkable with the
+    BATCH geo_funnel oracle: the stateful stream detects conversions in
+    real time (`streaming/event_streams.py::geo_funnel_stream`); the two
+    denominators (distinct users, fence-A reach) are plain batch
+    aggregates over the same input and the assembled summary must equal
+    the batch operator bit-for-bit."""
+    from hilbert_curve_spark.operators.pip import inside_polygon_expr
+    from hilbert_curve_spark.streaming import event_streams as es
+
+    events = _events(spark, sf_dir)
+    replay = events.withColumn("ts", F.col("ts").cast("timestamp")).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="hcs_stream_src_")
+    replay.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(es.EVENTS_SCHEMA).parquet(src)
+    conv = _run_stream_to_df(
+        spark,
+        es.geo_funnel_stream(stream, W.POLYGONS[2], W.POLYGONS[1], within_s=86400),
+        "append",
+        "drv_funnel",
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    pts = traj_ops._with_coords_epoch(events)
+    in_a = inside_polygon_expr(W.POLYGONS[2]["vertices"], "ex", "ey")
+    denoms = pts.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.countDistinct(F.when(in_a, F.col("user_id")))
+        .cast("long")
+        .alias("n_reached_a"),
+    )
+    n_conv = conv.agg(F.count(F.lit(1)).cast("long").alias("n_converted"))
+    return (
+        denoms.crossJoin(F.broadcast(n_conv))
+        .select(
+            "n_users",
+            "n_reached_a",
+            "n_converted",
+            F.expr(
+                "CASE WHEN n_reached_a > 0 "
+                "THEN CAST((1000000 * n_converted) DIV n_reached_a AS BIGINT) "
+                "END"
+            ).alias("conv_ppm"),
+        )
+    )
+
+
+def _cell_keyword_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell keyword Herfindahl concentration in exact FLOOR-ppm
+    (`operators/brq.py::cell_keyword_gini`)."""
+    from hilbert_curve_spark.operators.brq import cell_keyword_gini
+
+    return cell_keyword_gini(_doc_geo(spark, sf_dir), W.TOPKW_SHIFT, DEFAULT)
+
+
+def _cell_keyword_gini_oracle() -> str:
+    from hilbert_curve_spark.operators.brq import cell_keyword_gini_oracle
+
+    return f"{_doc_geo_cte()}, " + cell_keyword_gini_oracle(W.TOPKW_SHIFT, DEFAULT)
+
+
 def _pip_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIP join for polygons WITH HOLES and multi-polygons: even-odd parity
     over multi-ring edge sets, merged-union curve-cover prefilter
@@ -2188,6 +2253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": _compaction_plan,
         # -- wave 19 --
         "pip_rings": _pip_rings,
+        # -- wave 20 --
+        "events_stream_funnel": _events_stream_funnel,
+        "cell_keyword_gini": _cell_keyword_gini,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -2455,6 +2523,8 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_impossible": traj_ops.impossible_travel_oracle(vmax=2),
         "compaction_plan": _compaction_plan_oracle(),
         "pip_rings": _pip_rings_oracle(),
+        "events_stream_funnel": _geo_funnel_oracle(),
+        "cell_keyword_gini": _cell_keyword_gini_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

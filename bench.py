@@ -440,6 +440,11 @@ def _spatial_join_queries(geo):
 
         return pip_rings_join(geo, W.RING_POLYGONS).count()
 
+    def q_cell_keyword_gini():
+        from hilbert_curve_spark.operators.brq import cell_keyword_gini
+
+        return cell_keyword_gini(geo, W.TOPKW_SHIFT).count()
+
     def q_corridor_search():
         return corridor_search(geo, W.ROUTE, W.CORRIDOR_R).count()
 
@@ -497,6 +502,7 @@ def _spatial_join_queries(geo):
         "rknn_counts": q_rknn_counts,
         "idw_surface": q_idw_surface,
         "pip_rings": q_pip_rings,
+        "cell_keyword_gini": q_cell_keyword_gini,
         "poi_distance_join": q_poi_distance_join,
         "radius_brq": q_radius_brq,
         "zonal_stats": q_zonal_stats,

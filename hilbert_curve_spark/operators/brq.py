@@ -428,3 +428,59 @@ def cell_top_keyword_oracle(shift: int = 6, config: EngineConfig = DEFAULT) -> s
 SELECT gcell, kw AS top_kw, kw_count, cell_total,
        CAST((kw_count * 1000000) // cell_total AS BIGINT) AS share_ppm
 FROM ranked WHERE rn = 1"""
+
+
+def cell_keyword_gini(
+    doc_geo: DataFrame, shift: int = 6, config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """Thematic concentration raster — the Herfindahl–Hirschman index of
+    keyword usage per grid cell, in exact FLOOR-ppm: ``(gcell, n_kw_slots,
+    n_distinct_kw, hhi_ppm)`` where ``hhi_ppm = FLOOR(1e6 * Σ n_k^2 /
+    total^2)`` over the cell's keyword counts (1e6 = one keyword owns the
+    cell; 1e6/k = k keywords share it evenly).  The diversity companion of
+    :func:`cell_top_keyword` — entropy without logarithms, so it stays
+    integer-exact in both engines.
+
+    Plan: explode scan -> (cell, kw) hash agg with map-side combine ->
+    ONE per-cell aggregation of the squared counts — bounded by distinct
+    pairs, never the corpus; no window at all.  Overflow: the ppm
+    numerator is ``1e6 * Σ n_k^2 <= 1e6 * total^2``, int64-safe while a
+    cell's slot count stays under ~3e6 — beyond that, pre-divide by a
+    common power of two or roll up from the pyramid (documented dial)."""
+    grid = config.edge >> shift
+    gcell = (F.shiftright("x", shift) * grid + F.shiftright("y", shift)).cast(
+        "long"
+    )
+    counts = (
+        doc_geo.select(F.explode("keywords").alias("kw"), gcell.alias("gcell"))
+        .groupBy("gcell", "kw")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return counts.groupBy("gcell").agg(
+        F.sum("n").cast("long").alias("n_kw_slots"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_kw"),
+        F.expr(
+            "CAST((1000000 * SUM(n * n)) DIV (SUM(n) * SUM(n)) AS BIGINT)"
+        ).alias("hhi_ppm"),
+    )
+
+
+def cell_keyword_gini_oracle(shift: int = 6, config: EngineConfig = DEFAULT) -> str:
+    """Appends to a CTE chain defining ``doc_geo``: identical slot explode
+    and integer HHI."""
+    from ..sources import derive as _derive
+
+    grid = config.edge >> shift
+    arms = " UNION ALL ".join(
+        f"SELECT (x >> {shift}) * {grid} + (y >> {shift}) AS gcell, kw{j} AS kw "
+        f"FROM doc_geo"
+        for j in range(_derive.KW_PER_DOC)
+    )
+    return f"""gkwc AS (
+  SELECT CAST(gcell AS BIGINT) AS gcell, kw, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ({arms}) GROUP BY gcell, kw
+)
+SELECT gcell, CAST(SUM(n) AS BIGINT) AS n_kw_slots,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_kw,
+       CAST((1000000 * SUM(n * n)) // (SUM(n) * SUM(n)) AS BIGINT) AS hhi_ppm
+FROM gkwc GROUP BY gcell"""

@@ -502,3 +502,90 @@ def impossible_travel_stream(events: DataFrame, vmax: int = 2) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("t_a", LongType()),
+        StructField("t_b", LongType()),
+    ]
+)
+
+# (t_a, resolved): t_a = -1 until the first A visit; resolved = 1 once the
+# first B-on-or-after-t_a has been seen (converted or not) — monotone, so
+# each user emits at most one conversion row ever
+_FUNNEL_STATE_SCHEMA = StructType(
+    [StructField("t_a", LongType()), StructField("resolved", LongType())]
+)
+
+
+def geo_funnel_stream(
+    events: DataFrame,
+    poly_a: dict,
+    poly_b: dict,
+    within_s: int = 86400,
+) -> DataFrame:
+    """Streaming geofence funnel (``applyInPandasWithState``): per user,
+    remember the FIRST fence-A visit; the FIRST fence-B event at or after
+    it resolves the funnel — emit ``(user_id, t_a, t_b)`` iff
+    ``t_b - t_a <= within_s`` (a later B can only be later, so the first
+    qualifying B decides, exactly like the batch MIN).  A single event
+    inside both fences converts instantly (the A-update precedes the
+    B-check), matching :func:`operators.trajectory.geo_funnel`'s
+    ``t_b >= t_a`` rule bit-for-bit on a full replay.
+
+    State is two integers per user, monotone — the real-time conversion
+    alerting shape.  Same watermark late-data guard as the other stateful
+    twins (vacuous on a single availableNow replay batch)."""
+    from ..operators.pip import inside_polygon_expr
+    from ..sources import derive
+
+    within = int(within_s)
+    pts = (
+        events.withColumn("ex", F.expr(derive.x_sql("event_id")))
+        .withColumn("ey", F.expr(derive.y_sql("event_id")))
+        .withColumn("in_a", inside_polygon_expr(poly_a["vertices"], "ex", "ey"))
+        .withColumn("in_b", inside_polygon_expr(poly_b["vertices"], "ex", "ey"))
+    )
+
+    def _funnel(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:  # NoTimeout: unreachable, defensive
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        secs = rows["ts"].astype("int64") // 1_000_000_000
+        wm_s = state.getCurrentWatermarkMs() // 1000
+        t_a, resolved = (tuple(state.get) if state.exists else (-1, 0))
+        out = []
+        for s, a, b in zip(
+            secs.tolist(), rows["in_a"].tolist(), rows["in_b"].tolist()
+        ):
+            if wm_s > 0 and s < wm_s:
+                continue  # late-data guard, same rationale as sessionize
+            s = int(s)
+            if a and t_a < 0:
+                t_a = s
+            if b and t_a >= 0 and s >= t_a and not resolved:
+                resolved = 1
+                if s - t_a <= within:
+                    out.append({"user_id": user_id, "t_a": t_a, "t_b": s})
+        state.update((int(t_a), int(resolved)))
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        pts.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel,
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
