@@ -996,6 +996,69 @@ def _cell_keyword_gini_oracle() -> str:
     return f"{_doc_geo_cte()}, " + cell_keyword_gini_oracle(W.TOPKW_SHIFT, DEFAULT)
 
 
+def _cell_isochrone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop-distance raster through occupied cells
+    (`operators/rollup.py::cell_isochrone`) — the third iterative operator
+    family (after CC and DBSCAN), oracle-checked against an independent
+    recursive-CTE breadth-first closure."""
+    from hilbert_curve_spark.operators.rollup import cell_isochrone
+
+    return cell_isochrone(
+        _doc_geo(spark, sf_dir),
+        [(x, y) for _, x, y in W.POIS],
+        max_hops=W.ISO_MAX_HOPS,
+        shift=W.TOPKW_SHIFT,
+        config=DEFAULT,
+    )
+
+
+def _cell_isochrone_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import cell_isochrone_oracle
+
+    cte = _doc_geo_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"{cte}, " + cell_isochrone_oracle(
+        [(x, y) for _, x, y in W.POIS],
+        max_hops=W.ISO_MAX_HOPS,
+        shift=W.TOPKW_SHIFT,
+        config=DEFAULT,
+    )
+
+
+def _tile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-tile feature decimation: top-k docs per tile at every zoom,
+    one corpus shuffle + k-bounded quad rollup
+    (`operators/rollup.py::tile_feature_topk`)."""
+    from hilbert_curve_spark.operators.rollup import tile_feature_topk
+
+    return tile_feature_topk(_doc_geo(spark, sf_dir), W.PYRAMID_LEVELS, 3, DEFAULT)
+
+
+def _tile_topk_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import tile_feature_topk_oracle_select
+
+    hcte = tiles_ops.hilbert_sql_cte(
+        DEFAULT.order,
+        "SELECT x AS cx, y AS cy FROM doc_geo",
+        pre_ctes=f"doc_geo AS ({derive.doc_geo_select_sql('documents')}), ",
+    )
+    return f"{hcte}{tile_feature_topk_oracle_select(W.PYRAMID_LEVELS, 3, DEFAULT)}"
+
+
+def _cell_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto front of cells over (keyword volume, thematic concentration)
+    in O(cells) — the oracle is the quadratic NOT-EXISTS dominance form
+    (`operators/brq.py::cell_skyline`)."""
+    from hilbert_curve_spark.operators.brq import cell_skyline
+
+    return cell_skyline(_doc_geo(spark, sf_dir), W.TOPKW_SHIFT, DEFAULT)
+
+
+def _cell_skyline_oracle() -> str:
+    from hilbert_curve_spark.operators.brq import cell_skyline_oracle
+
+    return f"{_doc_geo_cte()}, " + cell_skyline_oracle(W.TOPKW_SHIFT, DEFAULT)
+
+
 def _pip_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIP join for polygons WITH HOLES and multi-polygons: even-odd parity
     over multi-ring edge sets, merged-union curve-cover prefilter
@@ -1941,6 +2004,59 @@ def _user_home_cells_oracle() -> str:
     return traj_ops.user_home_cells_oracle(cell_shift=8)
 
 
+def _user_home_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 home-cell dimension: daily argmax home collapsed into
+    calendar-consecutive validity intervals
+    (`operators/trajectory.py::user_home_scd`)."""
+    return traj_ops.user_home_scd(_events(spark, sf_dir), cell_shift=8)
+
+
+def _user_home_scd_oracle() -> str:
+    return traj_ops.user_home_scd_oracle(cell_shift=8)
+
+
+def _cell_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulated-cost surface: congestion-weighted shortest paths from
+    the POI cells via distributed Bellman-Ford
+    (`operators/rollup.py::cell_cost_distance`), oracle-checked against an
+    independent recursive-CTE cost closure."""
+    from hilbert_curve_spark.operators.rollup import cell_cost_distance
+
+    return cell_cost_distance(
+        _doc_geo(spark, sf_dir),
+        [(x, y) for _, x, y in W.POIS],
+        budget=W.COST_BUDGET,
+        shift=W.TOPKW_SHIFT,
+        config=DEFAULT,
+    )
+
+
+def _cell_cost_distance_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import cell_cost_distance_oracle
+
+    cte = _doc_geo_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"{cte}, " + cell_cost_distance_oracle(
+        [(x, y) for _, x, y in W.POIS],
+        budget=W.COST_BUDGET,
+        shift=W.TOPKW_SHIFT,
+        config=DEFAULT,
+    )
+
+
+def _core_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Home-range core area: smallest cell set holding >= 90% of the corpus
+    (`operators/rollup.py::core_area`)."""
+    from hilbert_curve_spark.operators.rollup import core_area
+
+    return core_area(_doc_geo(spark, sf_dir), 90, W.TOPKW_SHIFT, DEFAULT)
+
+
+def _core_area_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import core_area_oracle
+
+    return f"{_doc_geo_cte()}, " + core_area_oracle(90, W.TOPKW_SHIFT, DEFAULT)
+
+
 def _st_cube_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Space-time-cube Mann-Kendall trend per cell: 8 equal time bins, full
     zero-filled count vectors, integer S statistic
@@ -2256,6 +2372,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- wave 20 --
         "events_stream_funnel": _events_stream_funnel,
         "cell_keyword_gini": _cell_keyword_gini,
+        # -- wave 21 --
+        "cell_isochrone": _cell_isochrone,
+        "tile_topk": _tile_topk,
+        "cell_skyline": _cell_skyline,
+        # -- wave 22 --
+        "cell_cost_distance": _cell_cost_distance,
+        "user_home_scd": _user_home_scd,
+        "core_area": _core_area,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -2525,6 +2649,12 @@ def oracle_sql() -> dict[str, str]:
         "pip_rings": _pip_rings_oracle(),
         "events_stream_funnel": _geo_funnel_oracle(),
         "cell_keyword_gini": _cell_keyword_gini_oracle(),
+        "cell_isochrone": _cell_isochrone_oracle(),
+        "tile_topk": _tile_topk_oracle(),
+        "cell_skyline": _cell_skyline_oracle(),
+        "cell_cost_distance": _cell_cost_distance_oracle(),
+        "user_home_scd": _user_home_scd_oracle(),
+        "core_area": _core_area_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

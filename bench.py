@@ -245,6 +245,12 @@ def _pipeline_queries(spark):
         events = spark.read.parquet(f"{SF_DIR}/events.parquet")
         return user_home_cells(events, cell_shift=8).count()
 
+    def q_user_home_scd():
+        from hilbert_curve_spark.operators.trajectory import user_home_scd
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return user_home_scd(events, cell_shift=8).count()
+
     def q_st_cube_trend():
         from hilbert_curve_spark.operators.trajectory import st_cube_trend
 
@@ -340,6 +346,7 @@ def _pipeline_queries(spark):
         "trips": q_trips,
         "emerging_hotspots": q_emerging_hotspots,
         "user_home_cells": q_user_home_cells,
+        "user_home_scd": q_user_home_scd,
         "st_cube_trend": q_st_cube_trend,
         "bearing_histogram": q_bearing_histogram,
         "radius_gyration": q_radius_gyration,
@@ -445,6 +452,35 @@ def _spatial_join_queries(geo):
 
         return cell_keyword_gini(geo, W.TOPKW_SHIFT).count()
 
+    def q_cell_isochrone():
+        from hilbert_curve_spark.operators.rollup import cell_isochrone
+
+        return cell_isochrone(
+            geo, [(x, y) for _, x, y in W.POIS], W.ISO_MAX_HOPS, W.TOPKW_SHIFT
+        ).count()
+
+    def q_tile_topk():
+        from hilbert_curve_spark.operators.rollup import tile_feature_topk
+
+        return tile_feature_topk(geo, W.PYRAMID_LEVELS, 3).count()
+
+    def q_cell_skyline():
+        from hilbert_curve_spark.operators.brq import cell_skyline
+
+        return cell_skyline(geo, W.TOPKW_SHIFT).count()
+
+    def q_cell_cost_distance():
+        from hilbert_curve_spark.operators.rollup import cell_cost_distance
+
+        return cell_cost_distance(
+            geo, [(x, y) for _, x, y in W.POIS], W.COST_BUDGET, W.TOPKW_SHIFT
+        ).count()
+
+    def q_core_area():
+        from hilbert_curve_spark.operators.rollup import core_area
+
+        return core_area(geo, 90, W.TOPKW_SHIFT).count()
+
     def q_corridor_search():
         return corridor_search(geo, W.ROUTE, W.CORRIDOR_R).count()
 
@@ -503,6 +539,11 @@ def _spatial_join_queries(geo):
         "idw_surface": q_idw_surface,
         "pip_rings": q_pip_rings,
         "cell_keyword_gini": q_cell_keyword_gini,
+        "cell_isochrone": q_cell_isochrone,
+        "tile_topk": q_tile_topk,
+        "cell_skyline": q_cell_skyline,
+        "cell_cost_distance": q_cell_cost_distance,
+        "core_area": q_core_area,
         "poi_distance_join": q_poi_distance_join,
         "radius_brq": q_radius_brq,
         "zonal_stats": q_zonal_stats,

@@ -465,9 +465,11 @@ def cell_keyword_gini(
     )
 
 
-def cell_keyword_gini_oracle(shift: int = 6, config: EngineConfig = DEFAULT) -> str:
-    """Appends to a CTE chain defining ``doc_geo``: identical slot explode
-    and integer HHI."""
+def _gini_cte_and_select(shift: int, config: EngineConfig) -> tuple[str, str]:
+    """The gini oracle's two pieces: the ``gkwc`` CTE body and the per-cell
+    HHI SELECT — shared by :func:`cell_keyword_gini_oracle` (which emits the
+    SELECT directly) and :func:`cell_skyline_oracle` (which wraps it as a
+    further CTE)."""
     from ..sources import derive as _derive
 
     grid = config.edge >> shift
@@ -476,11 +478,74 @@ def cell_keyword_gini_oracle(shift: int = 6, config: EngineConfig = DEFAULT) -> 
         f"FROM doc_geo"
         for j in range(_derive.KW_PER_DOC)
     )
-    return f"""gkwc AS (
+    cte = f"""gkwc AS (
   SELECT CAST(gcell AS BIGINT) AS gcell, kw, CAST(COUNT(*) AS BIGINT) AS n
   FROM ({arms}) GROUP BY gcell, kw
-)
-SELECT gcell, CAST(SUM(n) AS BIGINT) AS n_kw_slots,
+)"""
+    select = """SELECT gcell, CAST(SUM(n) AS BIGINT) AS n_kw_slots,
        CAST(COUNT(*) AS BIGINT) AS n_distinct_kw,
        CAST((1000000 * SUM(n * n)) // (SUM(n) * SUM(n)) AS BIGINT) AS hhi_ppm
 FROM gkwc GROUP BY gcell"""
+    return cte, select
+
+
+def cell_keyword_gini_oracle(shift: int = 6, config: EngineConfig = DEFAULT) -> str:
+    """Appends to a CTE chain defining ``doc_geo``: identical slot explode
+    and integer HHI."""
+    cte, select = _gini_cte_and_select(shift, config)
+    return f"{cte}\n{select}"
+
+
+def cell_skyline(
+    doc_geo: DataFrame, shift: int = 6, config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """SKYLINE (Pareto front) of grid cells over (volume, concentration):
+    the cells no other cell beats-or-ties on BOTH ``n_kw_slots`` (keyword
+    volume) and ``hhi_ppm`` (thematic concentration, :func:`
+    cell_keyword_gini`) while beating it on at least one — the classic
+    multi-criteria dominance query, here answering "which places are
+    Pareto-optimal in how MUCH they talk vs how SINGLE-MINDEDLY".  The two
+    axes anti-correlate by construction (dense gaussian cells mix many
+    keywords), so the front is a real curve, not a single point.
+
+    Physical plan: the gini aggregation's two hash aggs, then skyline in
+    O(cells) WITHOUT the quadratic dominance self-join — group cells by
+    ``n_kw_slots``, take each group's max ``hhi_ppm``, and a running max
+    over the groups sorted by descending slots gives every cell the best
+    concentration among STRICTLY-larger-volume cells (``m1``); a cell is
+    dominated iff ``m1 >= hhi_ppm`` (bigger volume, at-least-equal
+    concentration) or its own group's max exceeds it (equal volume,
+    strictly better concentration).  The single-partition window runs over
+    O(distinct volumes) rows — never the corpus, never cells² (the oracle
+    IS the quadratic NOT-EXISTS form, so parity proves the rewrite)."""
+    from pyspark.sql import Window
+
+    cells = cell_keyword_gini(doc_geo, shift, config)
+    g = cells.groupBy("n_kw_slots").agg(F.max("hhi_ppm").alias("gmax"))
+    w = Window.orderBy(F.desc("n_kw_slots")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    g = g.withColumn("m1", F.max("gmax").over(w))
+    dominated = (
+        F.col("m1").isNotNull() & (F.col("m1") >= F.col("hhi_ppm"))
+    ) | (F.col("gmax") > F.col("hhi_ppm"))
+    return (
+        cells.join(F.broadcast(g), "n_kw_slots")
+        .filter(~dominated)
+        .select("gcell", "n_kw_slots", "n_distinct_kw", "hhi_ppm")
+    )
+
+
+def cell_skyline_oracle(shift: int = 6, config: EngineConfig = DEFAULT) -> str:
+    """Appends to a CTE chain defining ``doc_geo``: the same gini CTE, then
+    the quadratic NOT-EXISTS dominance definition — the straightforward
+    skyline formulation the windowed rewrite must equal."""
+    cte, select = _gini_cte_and_select(shift, config)
+    return f"""{cte}, gini AS (
+{select}
+)
+SELECT c.gcell, c.n_kw_slots, c.n_distinct_kw, c.hhi_ppm FROM gini c
+WHERE NOT EXISTS (
+  SELECT 1 FROM gini o
+  WHERE o.n_kw_slots >= c.n_kw_slots AND o.hhi_ppm >= c.hhi_ppm
+    AND (o.n_kw_slots > c.n_kw_slots OR o.hhi_ppm > c.hhi_ppm))"""

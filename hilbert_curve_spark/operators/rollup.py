@@ -811,3 +811,423 @@ SELECT CAST(a_occ - s_total * {g} * (b_qk - c_nb) + s_total * s_total * ({w} - d
        CAST({w} AS BIGINT) AS w_pairs, CAST({g} AS BIGINT) AS g_cells,
        CAST(s_total AS BIGINT) AS s_total
 FROM gm_agg"""
+
+
+# ---------------------------------------------------------------------------
+# Isochrone BFS — hop-distance raster over the occupied-cell grid
+# ---------------------------------------------------------------------------
+
+
+def cell_isochrone(
+    doc_geo: DataFrame,
+    sources: list,
+    max_hops: int = 12,
+    shift: int = 6,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Multi-source ISOCHRONE over the occupied-cell raster: for every grid
+    cell reachable from a source point's cell through 4-connected OCCUPIED
+    cells in at most ``max_hops`` steps, the breadth-first hop distance —
+    ``(gx, gy, n_docs, hops)``.  The service-area / coverage-propagation
+    query: "how far does the data footprint extend around each POI, moving
+    only through populated territory?".  The reference walks single tiles
+    per window (`Experiment/TestByUserInput/BRQComparisonInput.java:13-23,
+    reference`); this is the graph-traversal generalization, the third
+    iterative operator family after CC and DBSCAN (`operators/graph.py`).
+
+    Physical plan: ONE salted corpus scan builds the histogram; everything
+    after is bounded by the ``M x M`` grid, never the corpus.  The rook
+    edge set is four equi self-joins of the histogram (computed once,
+    checkpointed); each BFS round is one broadcast-sized equi join
+    (frontier ⋈ edges) plus one anti join (drop already-visited), with the
+    round count capped by ``max_hops`` — the loop is driver-controlled
+    exactly like :func:`.graph.connected_components`, and the one action
+    per round reads a single count off the frontier.  At 10^12 docs the
+    grid is still ≤ M^2 cells, so rounds cost milliseconds after the scan.
+    """
+    hist = (
+        doc_geo.withColumn(
+            "salt", F.pmod(F.hash("doc_id"), F.lit(config.salt_buckets))
+        )
+        .groupBy(
+            F.shiftright("x", shift).alias("gx"),
+            F.shiftright("y", shift).alias("gy"),
+            "salt",
+        )
+        .agg(F.count("*").alias("pn"))
+        .groupBy("gx", "gy")
+        .agg(F.sum("pn").alias("n_docs"))
+        .localCheckpoint()
+    )
+    occ = hist.select("gx", "gy")
+    nbr = occ.select(F.col("gx").alias("vx"), F.col("gy").alias("vy"))
+    edges = None
+    for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        arm = occ.join(
+            nbr,
+            (F.col("vx") == F.col("gx") + dx) & (F.col("vy") == F.col("gy") + dy),
+        ).select("gx", "gy", "vx", "vy")
+        edges = arm if edges is None else edges.union(arm)
+    edges = edges.localCheckpoint()
+
+    src_cells = sorted({(int(x) >> shift, int(y) >> shift) for x, y in sources})
+    src_df = occ.sparkSession.createDataFrame(src_cells, "gx: long, gy: long")
+    frontier = occ.join(src_df, ["gx", "gy"], "semi").withColumn(
+        "hops", F.lit(0).cast("long")
+    )
+    visited = frontier.localCheckpoint()
+    frontier = visited
+    for h in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(edges, ["gx", "gy"])
+            .select(
+                F.col("vx").alias("gx"),
+                F.col("vy").alias("gy"),
+                F.lit(h).cast("long").alias("hops"),
+            )
+            .distinct()
+            .join(visited.select("gx", "gy"), ["gx", "gy"], "anti")
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited.join(hist, ["gx", "gy"]).select(
+        "gx", "gy", F.col("n_docs").cast("long").alias("n_docs"), "hops"
+    )
+
+
+def cell_isochrone_oracle(
+    sources: list, max_hops: int = 12, shift: int = 6, config: EngineConfig = DEFAULT
+) -> str:
+    """Appends to a CTE chain defining ``doc_geo`` (x, y): identical
+    histogram + rook edge arms, then a recursive breadth-first closure —
+    UNION dedups ``(gx, gy, d)`` tuples, the final MIN(d) per cell is the
+    BFS hop distance (first-visit level on the Spark side)."""
+    s = int(shift)
+    src_cells = sorted({(int(x) >> s, int(y) >> s) for x, y in sources})
+    src_pred = " OR ".join(
+        f"(gx = {gx} AND gy = {gy})" for gx, gy in src_cells
+    )
+    return f"""iso_hist AS (
+  SELECT x >> {s} AS gx, y >> {s} AS gy, COUNT(*) AS n_docs
+  FROM doc_geo GROUP BY 1, 2
+), iso_edges AS (
+  SELECT a.gx, a.gy, b.gx AS vx, b.gy AS vy FROM iso_hist a JOIN iso_hist b
+    ON b.gx = a.gx + 1 AND b.gy = a.gy
+  UNION ALL SELECT a.gx, a.gy, b.gx, b.gy FROM iso_hist a JOIN iso_hist b
+    ON b.gx = a.gx - 1 AND b.gy = a.gy
+  UNION ALL SELECT a.gx, a.gy, b.gx, b.gy FROM iso_hist a JOIN iso_hist b
+    ON b.gx = a.gx AND b.gy = a.gy + 1
+  UNION ALL SELECT a.gx, a.gy, b.gx, b.gy FROM iso_hist a JOIN iso_hist b
+    ON b.gx = a.gx AND b.gy = a.gy - 1
+), iso_reach(gx, gy, d) AS (
+  SELECT gx, gy, CAST(0 AS BIGINT) FROM iso_hist
+  WHERE {src_pred}
+  UNION
+  SELECT e.vx, e.vy, r.d + 1 FROM iso_reach r
+  JOIN iso_edges e ON e.gx = r.gx AND e.gy = r.gy
+  WHERE r.d < {int(max_hops)}
+), iso AS (SELECT gx, gy, MIN(d) AS hops FROM iso_reach GROUP BY 1, 2)
+SELECT h.gx, h.gy, CAST(h.n_docs AS BIGINT) AS n_docs,
+       CAST(i.hops AS BIGINT) AS hops
+FROM iso_hist h JOIN iso i ON i.gx = h.gx AND i.gy = h.gy"""
+
+
+# ---------------------------------------------------------------------------
+# Vector-tile feature decimation — top-k representative docs per tile per zoom
+# ---------------------------------------------------------------------------
+
+
+def tile_feature_topk(
+    doc_geo: DataFrame, levels: int = 5, k: int = 3, config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """Map-rendering feature DECIMATION: at every zoom level, the top-``k``
+    representative documents per tile — ``(zoom, tile, doc_id, score,
+    rank)`` with zoom 0 = the engine's base cell grid and each level up
+    merging quads (``tile >> 2``), exactly the :func:`cell_pyramid` tile
+    scheme.  A tile server renders at most ``k`` features per tile at any
+    zoom; the importance score is an engine-neutral 60-bit md5 fold of the
+    doc id (deterministic, uniform — the stand-in for a real prominence
+    column), tie-broken by ``doc_id`` so every rank is total.
+
+    Physical plan: ONE corpus shuffle (the zoom-0 window, partitioned by
+    base tile) and a ``localCheckpoint`` of its ≤ ``k``·tiles survivors;
+    every higher zoom re-ranks ONLY the previous level's survivors
+    (top-k-of-union-of-child-top-k == top-k of the union, because the
+    order is total and per-doc) — the k-bounded rollup that never rescans
+    the corpus, unlike a per-level union of windows which would re-execute
+    the base lineage ``levels`` times.  At 10^12 docs the cost is the one
+    tile-keyed shuffle; AQE splits the gaussian hot tiles."""
+    from .dedup import token_hash60_sql
+
+    base_shift = 2 * config.cell_shift
+    score = F.expr(token_hash60_sql("md5(CAST(doc_id AS BINARY))"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("tile").orderBy(F.desc("score"), F.asc("doc_id"))
+    cur = (
+        doc_geo.select(
+            F.shiftright("hilbert", base_shift).alias("tile"),
+            "doc_id",
+            score.cast("long").alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .localCheckpoint()
+    )
+    out = cur.withColumn("zoom", F.lit(0).cast("int"))
+    for z in range(1, int(levels)):
+        cur = (
+            cur.select(F.shiftright("tile", 2).alias("tile"), "doc_id", "score")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        out = out.union(cur.withColumn("zoom", F.lit(z).cast("int")))
+    return out.select(
+        "zoom", F.col("tile").cast("long").alias("tile"), "doc_id", "score", "rank"
+    )
+
+
+def tile_feature_topk_oracle_select(
+    levels: int = 5, k: int = 3, config: EngineConfig = DEFAULT
+) -> str:
+    """SELECT body over a pre-defined ``doc_geo``+``hv`` CTE chain (the
+    caller supplies the recursive-CTE hilbert computation, as in the
+    cell_pyramid oracle): every zoom computed INDEPENDENTLY from the full
+    corpus with the identical md5-fold score — the straightforward
+    formulation the k-bounded rollup must equal."""
+    from .dedup import token_hash60_sql
+
+    base_shift = 2 * config.cell_shift
+    arms = []
+    for z in range(int(levels)):
+        sh = base_shift + 2 * z
+        arms.append(
+            f"""SELECT CAST({z} AS INTEGER) AS zoom, tile, doc_id, score,
+       CAST(rank AS INTEGER) AS rank FROM (
+  SELECT hv.hilbert >> {sh} AS tile, d.doc_key AS doc_id,
+         {token_hash60_sql('md5(d.doc_key)')} AS score,
+         ROW_NUMBER() OVER (PARTITION BY hv.hilbert >> {sh}
+                            ORDER BY {token_hash60_sql('md5(d.doc_key)')} DESC,
+                                     d.doc_key) AS rank
+  FROM doc_geo d JOIN hv ON d.x = hv.cx AND d.y = hv.cy
+) WHERE rank <= {int(k)}"""
+        )
+    return " UNION ALL ".join(arms)
+
+
+# ---------------------------------------------------------------------------
+# Accumulated-cost surface — weighted shortest path over the cell raster
+# ---------------------------------------------------------------------------
+
+
+def cell_cost_distance(
+    doc_geo: DataFrame,
+    sources: list,
+    budget: int = 24,
+    shift: int = 6,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Accumulated-COST surface (the GIS "cost distance" primitive): the
+    congestion-aware sibling of :func:`cell_isochrone` — each occupied
+    cell carries an integer traversal weight ``w = 1 + LEAST(3, n_docs
+    DIV 8)`` (denser territory is slower to cross), and the query returns
+    every cell whose cheapest path from a source point's cell, summing the
+    weights of ENTERED cells through 4-connected occupied territory, stays
+    within ``budget`` — ``(gx, gy, n_docs, cost)``.
+
+    Physical plan: the isochrone's one salted corpus scan and
+    histogram-sized rook edge set (each edge carrying its TARGET cell's
+    weight), then distributed Bellman–Ford: every round relaxes
+    ``dist ⋈ edges`` and min-merges — all frames grid-bounded, never the
+    corpus.  Positive integer weights bound the round count by ``budget``
+    (an optimal path has at most ``budget`` hops), and the fixpoint test
+    is the monotone ``(count, SUM(cost))`` pair — costs only ever
+    decrease and rows are only ever added, so the pair is unchanged iff
+    the labeling converged (ONE aggregate action per round, the CC
+    convergence protocol).  The driver loop + localCheckpoint structure
+    is :func:`.graph.connected_components`'s; swap in ``checkpoint()``
+    on a real cluster."""
+    hist = (
+        doc_geo.withColumn(
+            "salt", F.pmod(F.hash("doc_id"), F.lit(config.salt_buckets))
+        )
+        .groupBy(
+            F.shiftright("x", shift).alias("gx"),
+            F.shiftright("y", shift).alias("gy"),
+            "salt",
+        )
+        .agg(F.count("*").alias("pn"))
+        .groupBy("gx", "gy")
+        .agg(F.sum("pn").alias("n_docs"))
+        .withColumn("w", F.expr("CAST(1 + LEAST(3, n_docs DIV 8) AS BIGINT)"))
+        .localCheckpoint()
+    )
+    occ = hist.select("gx", "gy", "w")
+    nbr = occ.select(
+        F.col("gx").alias("vx"), F.col("gy").alias("vy"), F.col("w").alias("vw")
+    )
+    edges = None
+    for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        arm = occ.join(
+            nbr,
+            (F.col("vx") == F.col("gx") + dx) & (F.col("vy") == F.col("gy") + dy),
+        ).select("gx", "gy", "vx", "vy", "vw")
+        edges = arm if edges is None else edges.union(arm)
+    edges = edges.localCheckpoint()
+
+    src_cells = sorted({(int(x) >> shift, int(y) >> shift) for x, y in sources})
+    src_df = occ.sparkSession.createDataFrame(src_cells, "gx: long, gy: long")
+    dist = (
+        occ.join(src_df, ["gx", "gy"], "semi")
+        .select("gx", "gy", F.lit(0).cast("long").alias("cost"))
+        .localCheckpoint()
+    )
+    prev = (0, 0)
+    for _ in range(int(budget)):
+        cand = (
+            dist.join(edges, ["gx", "gy"])
+            .select(
+                F.col("vx").alias("gx"),
+                F.col("vy").alias("gy"),
+                (F.col("cost") + F.col("vw")).alias("cost"),
+            )
+            .filter(F.col("cost") <= budget)
+        )
+        dist = (
+            dist.union(cand)
+            .groupBy("gx", "gy")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=False)
+        )
+        row = dist.agg(F.count(F.lit(1)), F.sum("cost")).collect()[0]
+        cur = (row[0], row[1] or 0)
+        if cur == prev:
+            break
+        prev = cur
+    return dist.join(hist, ["gx", "gy"]).select(
+        "gx", "gy", F.col("n_docs").cast("long").alias("n_docs"), "cost"
+    )
+
+
+def cell_cost_distance_oracle(
+    sources: list, budget: int = 24, shift: int = 6, config: EngineConfig = DEFAULT
+) -> str:
+    """Appends to a CTE chain defining ``doc_geo``: identical histogram,
+    weights, and edge arms, then a recursive closure accumulating entered-
+    cell weights — positive weights make the ≤ ``budget`` prune lossless
+    for every cell whose optimal cost is within budget, and MIN(c) per
+    cell is the Bellman–Ford fixpoint."""
+    s = int(shift)
+    b = int(budget)
+    src_cells = sorted({(int(x) >> s, int(y) >> s) for x, y in sources})
+    src_pred = " OR ".join(
+        f"(gx = {gx} AND gy = {gy})" for gx, gy in src_cells
+    )
+    return f"""cd_hist AS (
+  SELECT x >> {s} AS gx, y >> {s} AS gy, COUNT(*) AS n_docs
+  FROM doc_geo GROUP BY 1, 2
+), cd_w AS (
+  SELECT gx, gy, n_docs, 1 + LEAST(3, n_docs // 8) AS w FROM cd_hist
+), cd_edges AS (
+  SELECT a.gx, a.gy, b.gx AS vx, b.gy AS vy, b.w AS vw FROM cd_w a JOIN cd_w b
+    ON b.gx = a.gx + 1 AND b.gy = a.gy
+  UNION ALL SELECT a.gx, a.gy, b.gx, b.gy, b.w FROM cd_w a JOIN cd_w b
+    ON b.gx = a.gx - 1 AND b.gy = a.gy
+  UNION ALL SELECT a.gx, a.gy, b.gx, b.gy, b.w FROM cd_w a JOIN cd_w b
+    ON b.gx = a.gx AND b.gy = a.gy + 1
+  UNION ALL SELECT a.gx, a.gy, b.gx, b.gy, b.w FROM cd_w a JOIN cd_w b
+    ON b.gx = a.gx AND b.gy = a.gy - 1
+), cd_reach(gx, gy, c) AS (
+  SELECT gx, gy, CAST(0 AS BIGINT) FROM cd_w
+  WHERE {src_pred}
+  UNION
+  SELECT e.vx, e.vy, r.c + e.vw FROM cd_reach r
+  JOIN cd_edges e ON e.gx = r.gx AND e.gy = r.gy
+  WHERE r.c + e.vw <= {b}
+), cd AS (SELECT gx, gy, MIN(c) AS cost FROM cd_reach GROUP BY 1, 2)
+SELECT h.gx, h.gy, CAST(h.n_docs AS BIGINT) AS n_docs,
+       CAST(cd.cost AS BIGINT) AS cost
+FROM cd_w h JOIN cd ON cd.gx = h.gx AND cd.gy = h.gy"""
+
+
+def core_area(
+    doc_geo: DataFrame,
+    mass_pct: int = 90,
+    shift: int = 6,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """CORE-AREA estimation (the home-range / kernel-core primitive): the
+    smallest set of grid cells that together hold at least ``mass_pct``
+    percent of the corpus — densest cells first, deterministic ties toward
+    the smaller flat cell key — ``(gcell, n_docs, cum_docs, cell_rank)``.
+    Exact integer rule: a cell is in the core iff the mass STRICTLY BEFORE
+    it (``cum_docs - n_docs``) has not yet reached ``mass_pct`` of the
+    total, i.e. ``100 * (cum_docs - n_docs) < mass_pct * total`` — so the
+    crossing cell is included and nothing after it.
+
+    Physical plan: one salted corpus scan -> histogram; the ordering
+    window runs over O(occupied cells) rows on a single partition — the
+    same deliberate driver-scale step as compaction planning (a raster's
+    occupied-cell list is manifest-sized, not corpus-sized)."""
+    m = config.edge >> shift
+    hist = (
+        doc_geo.withColumn(
+            "salt", F.pmod(F.hash("doc_id"), F.lit(config.salt_buckets))
+        )
+        .groupBy(
+            F.shiftright("x", shift).alias("gx"),
+            F.shiftright("y", shift).alias("gy"),
+            "salt",
+        )
+        .agg(F.count("*").alias("pn"))
+        .groupBy("gx", "gy")
+        .agg(F.sum("pn").alias("n_docs"))
+        .select(
+            (F.col("gx") * m + F.col("gy")).cast("long").alias("gcell"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_docs"), F.asc("gcell"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        hist.withColumn("cum_docs", F.sum("n_docs").over(wc).cast("long"))
+        .withColumn("cell_rank", F.row_number().over(w).cast("long"))
+        .withColumn("total", F.sum("n_docs").over(total))
+        .filter(
+            100 * (F.col("cum_docs") - F.col("n_docs"))
+            < mass_pct * F.col("total")
+        )
+        .select("gcell", "n_docs", "cum_docs", "cell_rank")
+    )
+
+
+def core_area_oracle(
+    mass_pct: int = 90, shift: int = 6, config: EngineConfig = DEFAULT
+) -> str:
+    """Appends to a CTE chain defining ``doc_geo``: identical histogram,
+    ordering, and strict-before-mass rule."""
+    m = config.edge >> shift
+    s = int(shift)
+    return f"""ca_hist AS (
+  SELECT CAST((x >> {s}) * {m} + (y >> {s}) AS BIGINT) AS gcell,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM doc_geo GROUP BY 1
+), ca_ranked AS (
+  SELECT gcell, n_docs,
+         CAST(SUM(n_docs) OVER (ORDER BY n_docs DESC, gcell
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, gcell) AS BIGINT)
+           AS cell_rank,
+         CAST(SUM(n_docs) OVER () AS BIGINT) AS total
+  FROM ca_hist
+)
+SELECT gcell, n_docs, cum_docs, cell_rank FROM ca_ranked
+WHERE 100 * (cum_docs - n_docs) < {int(mass_pct)} * total"""

@@ -1842,3 +1842,93 @@ def cell_dow_anomaly_oracle(cell_shift: int = 8, table: str = "events") -> str:
 SELECT cell, n_total, CAST({peak} AS INT) AS peak_dow,
        CAST({dev_max} AS BIGINT) AS dev_scaled
 FROM agg"""
+
+
+def user_home_scd(events: DataFrame, cell_shift: int = 8) -> DataFrame:
+    """SCD-2 home-cell DIMENSION: per user, the daily home cell collapsed
+    into calendar-consecutive validity intervals — ``(user_id, home_cell,
+    day_from, day_to, n_days)`` where the home of a day is the user's
+    most-visited cell that day (ties toward the smallest cell id, the
+    :func:`user_home_cells` rule) and an interval is a maximal run of
+    consecutive days with the same home.  This is slowly-changing-
+    dimension (type 2) construction — the warehouse primitive that turns
+    an event stream into a versioned location profile with validity
+    ranges, the batch analogue of the reference's versioned update chains
+    (`Scheme/RSKQ/RSKQ_Biginteger.java:490-616, reference`).
+
+    Plan: one (user, day, cell) hash agg with map-side combine, one
+    window for the daily argmax, then the gaps-and-islands collapse — the
+    island key ``day - ROW_NUMBER() OVER (user, cell ORDER BY day)`` is
+    constant exactly while days are consecutive AND the home is unchanged
+    (a day owned by a different cell is absent from this cell's sequence,
+    so it breaks the run like a true gap).  Every post-agg frame is
+    bounded by distinct (user, day); all windows share the user_id
+    partitioning, so the whole pipeline is ONE shuffle."""
+    pts = _with_coords_epoch(events)
+    step = 1 << int(cell_shift)
+    from ..sources.derive import EDGE
+
+    daily = (
+        pts.select(
+            "user_id",
+            F.expr("CAST(ep DIV 86400 AS BIGINT)").alias("day"),
+            F.expr(
+                f"CAST(ex DIV {step} AS BIGINT) * {EDGE} "
+                f"+ CAST(ey DIV {step} AS BIGINT)"
+            ).alias("cell"),
+        )
+        .groupBy("user_id", "day", "cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w_day = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("n"), F.asc("cell")
+    )
+    homes = (
+        daily.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", F.col("cell").alias("home_cell"))
+    )
+    w_run = Window.partitionBy("user_id", "home_cell").orderBy("day")
+    return (
+        homes.withColumn(
+            "island", F.col("day") - F.row_number().over(w_run)
+        )
+        .groupBy("user_id", "home_cell", "island")
+        .agg(
+            F.min("day").cast("long").alias("day_from"),
+            F.max("day").cast("long").alias("day_to"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        .select("user_id", "home_cell", "day_from", "day_to", "n_days")
+    )
+
+
+def user_home_scd_oracle(cell_shift: int = 8, table: str = "events") -> str:
+    """Identical daily argmax and island collapse."""
+    from ..sources import derive
+    from ..sources.derive import EDGE
+
+    step = 1 << int(cell_shift)
+    return f"""WITH pts AS (
+  SELECT user_id, CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS BIGINT) AS day,
+         CAST(({derive.x_sql('event_id')} // {step}) * {EDGE}
+              + ({derive.y_sql('event_id')} // {step}) AS BIGINT) AS cell
+  FROM {table}
+), daily AS (
+  SELECT user_id, day, cell, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY user_id, day, cell
+), homes AS (
+  SELECT user_id, day, cell AS home_cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                 ORDER BY n DESC, cell) AS rn
+    FROM daily) WHERE rn = 1
+), runs AS (
+  SELECT user_id, home_cell, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id, home_cell
+                                  ORDER BY day) AS island
+  FROM homes
+)
+SELECT user_id, home_cell, CAST(MIN(day) AS BIGINT) AS day_from,
+       CAST(MAX(day) AS BIGINT) AS day_to,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM runs GROUP BY user_id, home_cell, island"""

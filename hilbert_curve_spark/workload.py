@@ -59,6 +59,13 @@ POIS = [
 ]
 POI_RADIUS = 64
 PYRAMID_LEVELS = 5
+# isochrone BFS budget: at shift 6 the grid is 64x64, so 12 hops from the
+# 6 POIs reaches a meaningful but strictly partial neighborhood (the
+# gaussian corpus leaves genuinely unoccupied cells that block propagation)
+ISO_MAX_HOPS = 12
+# cost-distance budget: weights run 1..4, so 24 buys 6-24 hops depending on
+# congestion — the surface visibly bends around the gaussian hot spots
+COST_BUDGET = 24
 NGRAM_K = 20
 
 # Ranked disjunctive search: BRQ 'any' over R2 + integer-idf scoring.

@@ -600,3 +600,64 @@ def test_pip_rings_broadcast_cover_probe_no_python(sorted_geo):
     assert "BroadcastHashJoin" in plan        # the cover probe
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cell_isochrone_grid_bounded_no_python(sorted_geo):
+    from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators.rollup import cell_isochrone
+
+    q = cell_isochrone(
+        sorted_geo, [(x, y) for _, x, y in W.POIS], W.ISO_MAX_HOPS, W.TOPKW_SHIFT
+    )
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cell_cost_distance_grid_bounded_no_python(sorted_geo):
+    from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators.rollup import cell_cost_distance
+
+    q = cell_cost_distance(
+        sorted_geo, [(x, y) for _, x, y in W.POIS], W.COST_BUDGET, W.TOPKW_SHIFT
+    )
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tile_topk_single_corpus_window_no_python(sorted_geo):
+    from hilbert_curve_spark.operators.rollup import tile_feature_topk
+
+    q = tile_feature_topk(sorted_geo, 4, 3)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the zoom-0 corpus window is behind the checkpoint: the final plan's
+    # windows run over the k-bounded survivors only, one per higher zoom
+    assert plan.count("Scan ExistingRDD") >= 1
+
+
+def test_cell_skyline_no_quadratic_join_no_python(sorted_geo):
+    from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators.brq import cell_skyline
+
+    q = cell_skyline(sorted_geo, W.TOPKW_SHIFT)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # dominance resolved by the broadcast of the volume-group frame — the
+    # cells^2 self-join exists only in the oracle
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_user_home_scd_single_user_shuffle_no_python(spark, sf_dir):
+    from hilbert_curve_spark.operators.trajectory import user_home_scd
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = user_home_scd(events, cell_shift=8)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan  # pure agg + windows, no join anywhere
