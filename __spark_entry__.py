@@ -2043,6 +2043,26 @@ def _cell_cost_distance_oracle() -> str:
     )
 
 
+def _grq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N rectangles answered in one corpus pass: merged-cover prune + exact
+    per-box residual tagging (`operators/range_query.py::grq_batch`)."""
+    return rq.grq_batch(_doc_geo(spark, sf_dir), W.batch_boxes(), DEFAULT)
+
+
+def _grq_batch_oracle() -> str:
+    return f"{_doc_geo_cte()} " + rq.grq_batch_oracle(W.batch_boxes())
+
+
+def _cell_flow_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flow-divergence raster from the OD matrix: per-cell inflow/outflow/
+    net/self (`operators/trajectory.py::cell_flow_balance`)."""
+    return traj_ops.cell_flow_balance(_events(spark, sf_dir), 60, 8)
+
+
+def _cell_flow_balance_oracle() -> str:
+    return traj_ops.cell_flow_balance_oracle(60, 8)
+
+
 def _core_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Home-range core area: smallest cell set holding >= 90% of the corpus
     (`operators/rollup.py::core_area`)."""
@@ -2380,6 +2400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_cost_distance": _cell_cost_distance,
         "user_home_scd": _user_home_scd,
         "core_area": _core_area,
+        # -- wave 23 --
+        "grq_batch": _grq_batch,
+        "cell_flow_balance": _cell_flow_balance,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -2655,6 +2678,8 @@ def oracle_sql() -> dict[str, str]:
         "cell_cost_distance": _cell_cost_distance_oracle(),
         "user_home_scd": _user_home_scd_oracle(),
         "core_area": _core_area_oracle(),
+        "grq_batch": _grq_batch_oracle(),
+        "cell_flow_balance": _cell_flow_balance_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

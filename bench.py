@@ -251,6 +251,12 @@ def _pipeline_queries(spark):
         events = spark.read.parquet(f"{SF_DIR}/events.parquet")
         return user_home_scd(events, cell_shift=8).count()
 
+    def q_cell_flow_balance():
+        from hilbert_curve_spark.operators.trajectory import cell_flow_balance
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return cell_flow_balance(events, 60, 8).count()
+
     def q_st_cube_trend():
         from hilbert_curve_spark.operators.trajectory import st_cube_trend
 
@@ -347,6 +353,7 @@ def _pipeline_queries(spark):
         "emerging_hotspots": q_emerging_hotspots,
         "user_home_cells": q_user_home_cells,
         "user_home_scd": q_user_home_scd,
+        "cell_flow_balance": q_cell_flow_balance,
         "st_cube_trend": q_st_cube_trend,
         "bearing_histogram": q_bearing_histogram,
         "radius_gyration": q_radius_gyration,
@@ -481,6 +488,11 @@ def _spatial_join_queries(geo):
 
         return core_area(geo, 90, W.TOPKW_SHIFT).count()
 
+    def q_grq_batch():
+        from hilbert_curve_spark.operators.range_query import grq_batch
+
+        return grq_batch(geo, W.batch_boxes()).count()
+
     def q_corridor_search():
         return corridor_search(geo, W.ROUTE, W.CORRIDOR_R).count()
 
@@ -544,6 +556,7 @@ def _spatial_join_queries(geo):
         "cell_skyline": q_cell_skyline,
         "cell_cost_distance": q_cell_cost_distance,
         "core_area": q_core_area,
+        "grq_batch": q_grq_batch,
         "poi_distance_join": q_poi_distance_join,
         "radius_brq": q_radius_brq,
         "zonal_stats": q_zonal_stats,

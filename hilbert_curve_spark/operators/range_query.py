@@ -178,3 +178,69 @@ def grq_prefix_mode(
     # reads a sliver of the posting table instead of all of it
     probe = index.filter(F.col("pbits").isin([k[0] for k in keys]))
     return probe.join(F.broadcast(plist), ["pbits", "plen"]).select("doc_id")
+
+
+def merge_ranges(ranges: list) -> list:
+    """Union of Hilbert index intervals: sort + merge overlapping/adjacent.
+    Driver-side, O(total ranges log total ranges)."""
+    out = []
+    for lo, hi in sorted(ranges):
+        if out and lo <= out[-1][1] + 1:
+            out[-1] = (out[-1][0], max(out[-1][1], hi))
+        else:
+            out.append((lo, hi))
+    return out
+
+
+def grq_batch(
+    doc_geo: DataFrame, boxes: list, config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """BATCHED geometric range query — N rectangles answered in ONE corpus
+    pass: ``(box_id, doc_id, x, y)``, one row per (box, matching doc).
+    The reference answers each rectangle with its own index walk
+    (`Scheme/RSKQ/RSKQ_Biginteger.java:875-995, reference`); a 100 TB
+    engine amortizes the scan across a query batch instead — the
+    multi-query optimization every tile server and dashboard needs.
+
+    Physical plan: compile every box's Hilbert cover, take the interval
+    UNION of all covers (driver-side merge), and push ONE merged range
+    predicate into the scan — on the Hilbert-sorted stored layout this is
+    the same row-group pruning a single query gets, now shared.  Each
+    surviving row is then tagged with every box containing it by a
+    codegen ``filter(array(CASE...))`` explode over the EXACT box
+    predicates (4 comparisons per box — the cover is for pruning, the
+    residual test is per-box, so over-approximate covers stay correct).
+    No join, no shuffle; output fan-out equals true matches."""
+    covers = [compile_box(*b, config) for b in boxes]
+    merged = merge_ranges([r for c in covers for r in c.ranges])
+    arr = F.array(
+        *[
+            F.when(
+                F.col("x").between(xl, xh) & F.col("y").between(yl, yh),
+                F.lit(i),
+            ).otherwise(F.lit(None).cast("int"))
+            for i, (xl, xh, yl, yh) in enumerate(boxes)
+        ]
+    )
+    return (
+        doc_geo.filter(range_predicate(merged))
+        .select(
+            F.explode(F.filter(arr, lambda c: c.isNotNull())).alias("box_id"),
+            "doc_id",
+            "x",
+            "y",
+        )
+    )
+
+
+def grq_batch_oracle(boxes: list) -> str:
+    """Appends nothing — a full SELECT over a pre-defined ``doc_geo``:
+    the straightforward one-query-per-box UNION ALL."""
+    arms = []
+    for i, (xl, xh, yl, yh) in enumerate(boxes):
+        arms.append(
+            f"SELECT CAST({i} AS INTEGER) AS box_id, doc_key AS doc_id, x, y "
+            f"FROM doc_geo WHERE x BETWEEN {xl} AND {xh} "
+            f"AND y BETWEEN {yl} AND {yh}"
+        )
+    return " UNION ALL ".join(arms)

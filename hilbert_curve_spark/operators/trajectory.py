@@ -1932,3 +1932,67 @@ SELECT user_id, home_cell, CAST(MIN(day) AS BIGINT) AS day_from,
        CAST(MAX(day) AS BIGINT) AS day_to,
        CAST(COUNT(*) AS BIGINT) AS n_days
 FROM runs GROUP BY user_id, home_cell, island"""
+
+
+def cell_flow_balance(
+    events: DataFrame, window_minutes: int = 60, cell_shift: int = 8
+) -> DataFrame:
+    """Flow-DIVERGENCE raster: per cell, total inflow, outflow, net flow,
+    and self-contained flows across all OD windows — ``(cell, inflow,
+    outflow, net_flow, self_flows)``.  Positive net marks attractors
+    (sinks), negative marks sources; the classic urban-dynamics statistic
+    computed from the :func:`od_flows` matrix.
+
+    Plan: the OD aggregation's two hash-agg stages, then each OD row
+    contributes up to two rows of a union (destination +n / origin +n,
+    split at self-flows) into ONE final cell-keyed agg — all frames
+    bounded by distinct OD triples, never events."""
+    od = od_flows(events, window_minutes, cell_shift)
+    moved = od.filter(F.col("o_cell") != F.col("d_cell"))
+    z = F.lit(0).cast("long")
+    n = F.col("n_flows").cast("long")
+    contrib = (
+        moved.select(
+            F.col("d_cell").alias("cell"), n.alias("i"), z.alias("o"), z.alias("s")
+        )
+        .union(
+            moved.select(
+                F.col("o_cell").alias("cell"), z.alias("i"), n.alias("o"), z.alias("s")
+            )
+        )
+        .union(
+            od.filter(F.col("o_cell") == F.col("d_cell")).select(
+                F.col("o_cell").alias("cell"), z.alias("i"), z.alias("o"), n.alias("s")
+            )
+        )
+    )
+    return contrib.groupBy("cell").agg(
+        F.sum("i").cast("long").alias("inflow"),
+        F.sum("o").cast("long").alias("outflow"),
+        (F.sum("i") - F.sum("o")).cast("long").alias("net_flow"),
+        F.sum("s").cast("long").alias("self_flows"),
+    )
+
+
+def cell_flow_balance_oracle(
+    window_minutes: int = 60, cell_shift: int = 8, table: str = "events"
+) -> str:
+    """Replays the od_flows oracle as a subquery, then the identical
+    contribution union + cell agg."""
+    od_sql = od_flows_oracle(window_minutes, cell_shift, table)
+    return f"""WITH flows AS ({od_sql}), contrib AS (
+  SELECT d_cell AS cell, CAST(n_flows AS BIGINT) AS i,
+         CAST(0 AS BIGINT) AS o, CAST(0 AS BIGINT) AS s
+  FROM flows WHERE o_cell <> d_cell
+  UNION ALL
+  SELECT o_cell, 0, CAST(n_flows AS BIGINT), 0
+  FROM flows WHERE o_cell <> d_cell
+  UNION ALL
+  SELECT o_cell, 0, 0, CAST(n_flows AS BIGINT)
+  FROM flows WHERE o_cell = d_cell
+)
+SELECT cell, CAST(SUM(i) AS BIGINT) AS inflow,
+       CAST(SUM(o) AS BIGINT) AS outflow,
+       CAST(SUM(i) - SUM(o) AS BIGINT) AS net_flow,
+       CAST(SUM(s) AS BIGINT) AS self_flows
+FROM contrib GROUP BY cell"""

@@ -66,6 +66,27 @@ ISO_MAX_HOPS = 12
 # cost-distance budget: weights run 1..4, so 24 buys 6-24 hops depending on
 # congestion — the surface visibly bends around the gaussian hot spots
 COST_BUDGET = 24
+
+
+def batch_boxes(n_extra: int = 5, edge: int = EDGE) -> list[tuple[int, int, int, int]]:
+    """The grq_batch workload: the three standard boxes plus ``n_extra``
+    LCG-seeded squares (sides 5-12% of edge, deterministically placed, some
+    overlapping the clusters, some empty territory)."""
+    out = [
+        (R1["x_lo"], R1["x_hi"], R1["y_lo"], R1["y_hi"]),
+        (R2["x_lo"], R2["x_hi"], R2["y_lo"], R2["y_hi"]),
+        (R3["x_lo"], R3["x_hi"], R3["y_lo"], R3["y_hi"]),
+    ]
+    state = 0x2545F491
+    for _ in range(n_extra):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        side = edge // 20 + state % (edge // 12)
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        x0 = state % (edge - side)
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        y0 = state % (edge - side)
+        out.append((x0, x0 + side, y0, y0 + side))
+    return out
 NGRAM_K = 20
 
 # Ranked disjunctive search: BRQ 'any' over R2 + integer-idf scoring.

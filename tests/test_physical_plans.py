@@ -661,3 +661,23 @@ def test_user_home_scd_single_user_shuffle_no_python(spark, sf_dir):
     plan = _plan(q)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan  # pure agg + windows, no join anywhere
+
+
+def test_grq_batch_one_pass_no_join_no_python(sorted_geo):
+    from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators.range_query import grq_batch
+
+    q = grq_batch(sorted_geo, W.batch_boxes())
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan  # N queries, zero joins — one tagged pass
+    assert "Exchange" not in plan  # and zero shuffles
+
+
+def test_cell_flow_balance_od_bounded_no_python(spark, sf_dir):
+    from hilbert_curve_spark.operators.trajectory import cell_flow_balance
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(cell_flow_balance(events, 60, 8))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
