@@ -2063,6 +2063,74 @@ def _cell_flow_balance_oracle() -> str:
     return traj_ops.cell_flow_balance_oracle(60, 8)
 
 
+_KWMAN_STORE: dict = {}
+
+
+def _brq_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRQ planned against a KEYWORD VALUE-SET MANIFEST
+    (`sources/manifest.py::write_with_keyword_manifest` — the Iceberg
+    bloom/value-set analogue of the reference's keyword-keyed bucket map
+    ``KDB``, `Scheme/RSKQ/RSKQ_Biginteger.java:618-873`): the rare-keyword
+    query opens only the files whose manifest set names the keyword, plus
+    the R2 cover's curve-bound overlap.  Oracle: the plain box+keyword
+    scan — BOTH pruning dimensions must be lossless."""
+    from hilbert_curve_spark.sources.manifest import (
+        read_keyword_pruned,
+        write_with_keyword_manifest,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _KWMAN_STORE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="hcs_kwman_store_") + "/doc_geo"
+        write_with_keyword_manifest(_doc_geo(spark, sf_dir), path)
+        _KWMAN_STORE[key] = path
+    cover = rq.compile_box(**W.R2, config=DEFAULT)
+    pruned = read_keyword_pruned(spark, path, W.KW_RARE, cover.ranges)
+    out = brq_ops.brq(pruned, **W.R2, keywords=W.KW_RARE, mode="any")
+    return out.select("doc_id", "x", "y")
+
+
+def _cell_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morphological opening of the occupancy raster: speckle cells drop,
+    dense cores keep an is_core flag (`operators/rollup.py::cell_morphology`)."""
+    from hilbert_curve_spark.operators.rollup import cell_morphology
+
+    return cell_morphology(_doc_geo(spark, sf_dir), W.MORPH_SHIFT, W.MORPH_MIN)
+
+
+def _cell_morphology_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import cell_morphology_oracle
+
+    return f"{_doc_geo_cte()}, " + cell_morphology_oracle(W.MORPH_SHIFT, W.MORPH_MIN)
+
+
+def _user_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user weekly centroid drift (`operators/trajectory.py::user_drift`)."""
+    return traj_ops.user_drift(_events(spark, sf_dir), W.DRIFT_DAYS)
+
+
+def _user_drift_oracle() -> str:
+    return traj_ops.user_drift_oracle(W.DRIFT_DAYS)
+
+
+def _geo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-constrained similarity: exact cosine top-k inside a box
+    (`operators/similarity.py::geo_cosine_topk`)."""
+    return sim_ops.geo_cosine_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        ANN_QUERY,
+        **W.GEO_ANN_BOX,
+        k=ANN_K,
+    )
+
+
+def _geo_topk_oracle() -> str:
+    return sim_ops.geo_cosine_topk_oracle(ANN_QUERY, **W.GEO_ANN_BOX, k=ANN_K)
+
+
 def _core_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Home-range core area: smallest cell set holding >= 90% of the corpus
     (`operators/rollup.py::core_area`)."""
@@ -2403,6 +2471,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- wave 23 --
         "grq_batch": _grq_batch,
         "cell_flow_balance": _cell_flow_balance,
+        # -- wave 24 --
+        "brq_manifest": _brq_manifest,
+        "cell_morphology": _cell_morphology,
+        "user_drift": _user_drift,
+        "geo_topk": _geo_topk,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -2680,6 +2753,13 @@ def oracle_sql() -> dict[str, str]:
         "core_area": _core_area_oracle(),
         "grq_batch": _grq_batch_oracle(),
         "cell_flow_balance": _cell_flow_balance_oracle(),
+        "brq_manifest": (
+            f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo "
+            f"WHERE {W.box_sql(W.R2)} AND {_kw_any_sql(W.KW_RARE)}"
+        ),
+        "cell_morphology": _cell_morphology_oracle(),
+        "user_drift": _user_drift_oracle(),
+        "geo_topk": _geo_topk_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

@@ -760,6 +760,40 @@ def _storage_queries(spark, geo):
 
         return pair_distance_histogram(geo, W.RIPLEY_RADII).count()
 
+    def q_brq_manifest():
+        from hilbert_curve_spark.operators.brq import brq
+        from hilbert_curve_spark.sources.manifest import (
+            read_keyword_pruned,
+            write_with_keyword_manifest,
+        )
+
+        path = store.get("kwmanifest")
+        if path is None:
+            path = f"{_corpus_path()}_kwmanifest"
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                write_with_keyword_manifest(geo, path)
+            store["kwmanifest"] = path
+        cover = rq.compile_box(**W.R2, config=DEFAULT)
+        pruned = read_keyword_pruned(spark, path, W.KW_RARE, cover.ranges)
+        return brq(pruned, **W.R2, keywords=W.KW_RARE, mode="any").count()
+
+    def q_cell_morphology():
+        from hilbert_curve_spark.operators.rollup import cell_morphology
+
+        return cell_morphology(geo, W.MORPH_SHIFT, W.MORPH_MIN).count()
+
+    def q_user_drift():
+        from hilbert_curve_spark.operators.trajectory import user_drift
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return user_drift(events, W.DRIFT_DAYS).count()
+
+    def q_geo_topk():
+        from hilbert_curve_spark.operators.similarity import geo_cosine_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        return geo_cosine_topk(emb, W.ANN_QUERY, **W.GEO_ANN_BOX, k=W.ANN_K).count()
+
     return {
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
@@ -789,6 +823,10 @@ def _storage_queries(spark, geo):
         "cell_embedding_profile": q_cell_embedding_profile,
         "global_moran": q_global_moran,
         "pair_histogram": q_pair_histogram,
+        "brq_manifest": q_brq_manifest,
+        "cell_morphology": q_cell_morphology,
+        "user_drift": q_user_drift,
+        "geo_topk": q_geo_topk,
     }
 
 

@@ -1231,3 +1231,111 @@ def core_area_oracle(
 )
 SELECT gcell, n_docs, cum_docs, cell_rank FROM ca_ranked
 WHERE 100 * (cum_docs - n_docs) < {int(mass_pct)} * total"""
+
+
+def cell_morphology(
+    doc_geo: DataFrame,
+    shift: int = 6,
+    min_count: int = 1,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Morphological OPENING of the occupancy raster (erosion then dilation
+    with the 3x3 structuring element) — the raster-GIS denoise step that
+    removes speckle cells a 100 TB heat-map pipeline must not render:
+    ``(gx, gy, n_docs, is_core)`` for every occupied cell that SURVIVES the
+    opening (``is_core = 1`` on the eroded interior, ``0`` on the dilated
+    rim).  Opening is anti-extensive, so the output is always a subset of
+    the occupancy set — isolated speckle cells (no fully-occupied 3x3
+    anywhere around them) are dropped.
+
+    The reference renders rasters cell-by-cell with no neighborhood ops
+    (`HilbertCurveRenderer.java:21-112, reference`); this is the missing
+    cartographic-cleanup companion of :func:`focal_stats`.
+
+    Physical plan: ONE corpus scan into the salted per-cell histogram;
+    erosion is the same 9-way offset explode as ``focal_stats`` (a cell is
+    eroded iff its 3x3 occupancy vote count is exactly 9 — which implies
+    the cell itself is occupied); dilation re-explodes the eroded set and
+    distincts.  Every frame after the histogram is O(occupied cells),
+    never O(docs); the two final joins are cell-sized hash joins AQE
+    broadcasts."""
+    s = int(shift)
+    occ = (
+        doc_geo.withColumn(
+            "salt", F.pmod(F.hash("doc_id"), F.lit(config.salt_buckets))
+        )
+        .groupBy(
+            F.shiftright("x", s).alias("gx"),
+            F.shiftright("y", s).alias("gy"),
+            "salt",
+        )
+        .agg(F.count("*").alias("pn"))
+        .groupBy("gx", "gy")
+        .agg(F.sum("pn").alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_count))
+    )
+    nine = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({dx} AS dx, {dy} AS dy)"
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        + ")"
+    )
+    votes = (
+        occ.select("gx", "gy", F.explode(nine).alias("o"))
+        .groupBy(
+            (F.col("gx") + F.col("o.dx")).alias("tgx"),
+            (F.col("gy") + F.col("o.dy")).alias("tgy"),
+        )
+        .agg(F.count("*").alias("nv"))
+    )
+    # nv == 9 forces the center itself occupied (an unoccupied center can
+    # collect at most 8 neighbor votes), so eroded is a subset of occ
+    eroded = votes.filter(F.col("nv") == 9).select(
+        F.col("tgx").alias("gx"), F.col("tgy").alias("gy")
+    )
+    opened = (
+        eroded.select("gx", "gy", F.explode(nine).alias("o"))
+        .select(
+            (F.col("gx") + F.col("o.dx")).alias("gx"),
+            (F.col("gy") + F.col("o.dy")).alias("gy"),
+        )
+        .distinct()
+    )
+    return (
+        occ.join(opened, ["gx", "gy"])
+        .join(eroded.withColumn("core", F.lit(1)), ["gx", "gy"], "left")
+        .select(
+            "gx",
+            "gy",
+            "n_docs",
+            F.coalesce(F.col("core"), F.lit(0)).cast("int").alias("is_core"),
+        )
+    )
+
+
+def cell_morphology_oracle(shift: int = 6, min_count: int = 1) -> str:
+    """Appends to a CTE chain defining ``doc_geo`` (needs x, y): identical
+    histogram -> 9-vote erosion -> distinct dilation -> subset join."""
+    s = int(shift)
+    nine = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""mo_cells AS (
+  SELECT x >> {s} AS gx, y >> {s} AS gy, COUNT(*) AS n_docs
+  FROM doc_geo GROUP BY 1, 2 HAVING COUNT(*) >= {int(min_count)}
+), mo_votes AS (
+  SELECT c.gx + o.dx AS tgx, c.gy + o.dy AS tgy, COUNT(*) AS nv
+  FROM mo_cells c, (VALUES {nine}) o(dx, dy)
+  GROUP BY 1, 2
+), mo_eroded AS (
+  SELECT tgx AS gx, tgy AS gy FROM mo_votes WHERE nv = 9
+), mo_opened AS (
+  SELECT DISTINCT e.gx + o.dx AS gx, e.gy + o.dy AS gy
+  FROM mo_eroded e, (VALUES {nine}) o(dx, dy)
+)
+SELECT c.gx, c.gy, c.n_docs,
+       CAST(CASE WHEN e.gx IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_core
+FROM mo_cells c
+JOIN mo_opened p ON c.gx = p.gx AND c.gy = p.gy
+LEFT JOIN mo_eroded e ON c.gx = e.gx AND c.gy = e.gy"""

@@ -530,3 +530,86 @@ SELECT CAST(p.gcell AS BIGINT) AS gcell, CAST(e.dim AS INT) AS dim,
        CAST(SUM(p.cnt * e.qv) AS BIGINT) AS qsum
 FROM prof p JOIN ev e ON p.vec_id = e.vec_id
 GROUP BY p.gcell, e.dim"""
+
+
+def geo_cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    x_lo: int,
+    x_hi: int,
+    y_lo: int,
+    y_hi: int,
+    k: int = 10,
+) -> DataFrame:
+    """GEO-CONSTRAINED similarity search: exact top-k by cosine among the
+    vectors whose derived lattice coordinates fall inside the box —
+    ``(vec_id, x, y, cos_e6)``, the "find similar documents NEAR HERE"
+    query a multimodal geo corpus serves (spatial index and embedding
+    index composed in one plan).  Each vector gets the engine's
+    deterministic lattice coordinates (the exact-LCG streams of
+    :mod:`..sources.derive` keyed on ``vec_id`` — the same derivation the
+    geofence/trajectory families use for events), the box filters FIRST,
+    and the cosine runs only on the survivors.
+
+    Plan: codegen coordinate derivation + box predicate (on a stored
+    Hilbert-sorted embedding table this is the pruned scan
+    ``grq_stored`` demonstrates — filter-before-similarity is the whole
+    point), then the JVM-side fold cosine of :func:`cosine_topk` and a
+    distributed partial top-k (per-partition TakeOrdered, ties broken by
+    vec_id).  No Python, no join, no full-corpus similarity pass."""
+    from ..sources import derive
+
+    qlit = "array(" + ", ".join(f"CAST({float(v)} AS FLOAT)" for v in query_vec) + ")"
+    qn = float(np.sqrt(np.sum(np.float64(np.asarray(query_vec, dtype=np.float32)) ** 2)))
+    cos = F.expr(
+        f"CAST(FLOOR(1000000.0 * {_dot_sql('embedding', qlit)} / "
+        f"(SQRT({_norm2_sql('embedding')}) * {qn!r})) AS BIGINT)"
+    )
+    pts = embeddings.withColumn(
+        "x", F.expr(derive.x_sql("vec_id"))
+    ).withColumn("y", F.expr(derive.y_sql("vec_id")))
+    boxed = pts.filter(
+        F.col("x").between(int(x_lo), int(x_hi))
+        & F.col("y").between(int(y_lo), int(y_hi))
+    )
+    return (
+        boxed.select("vec_id", "x", "y", cos.alias("cos_e6"))
+        .orderBy(F.col("cos_e6").desc(), F.col("vec_id"))
+        .limit(int(k))
+    )
+
+
+def geo_cosine_topk_oracle(
+    query_vec: list[float],
+    x_lo: int,
+    x_hi: int,
+    y_lo: int,
+    y_hi: int,
+    k: int = 10,
+    table: str = "embeddings",
+) -> str:
+    """Identical derivation + box + left-fold cosine (see
+    :func:`cosine_topk_oracle` for the fold-order argument) + the same
+    deterministic tie-break."""
+    from ..sources import derive
+
+    qn = float(np.sqrt(np.sum(np.float64(np.asarray(query_vec, dtype=np.float32)) ** 2)))
+    qlit = "[" + ", ".join(f"CAST({float(v)} AS FLOAT)" for v in query_vec) + "]"
+    dot = (
+        f"list_reduce(list_transform(list_zip(embedding, {qlit}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)"
+    )
+    norm = (
+        "list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), "
+        "(a, b) -> a + b)"
+    )
+    return f"""WITH gct_pts AS (
+  SELECT vec_id, {derive.x_sql('vec_id')} AS x, {derive.y_sql('vec_id')} AS y,
+         embedding
+  FROM {table}
+)
+SELECT vec_id, x, y,
+       CAST(FLOOR(1000000.0 * {dot} / (SQRT({norm}) * {qn!r})) AS BIGINT) AS cos_e6
+FROM gct_pts
+WHERE x BETWEEN {int(x_lo)} AND {int(x_hi)} AND y BETWEEN {int(y_lo)} AND {int(y_hi)}
+ORDER BY cos_e6 DESC, vec_id LIMIT {int(k)}"""

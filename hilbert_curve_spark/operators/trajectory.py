@@ -1996,3 +1996,82 @@ SELECT cell, CAST(SUM(i) AS BIGINT) AS inflow,
        CAST(SUM(i) - SUM(o) AS BIGINT) AS net_flow,
        CAST(SUM(s) AS BIGINT) AS self_flows
 FROM contrib GROUP BY cell"""
+
+
+def user_drift(events: DataFrame, days: int = 7) -> DataFrame:
+    """Per-user centroid DRIFT: the displacement of each user's integer
+    activity centroid between consecutive active ``days``-day buckets —
+    ``(user_id, bucket, n_events, cx, cy, dx, dy, gap_buckets, dist2)``,
+    one row per active bucket that HAS a previous active bucket (the first
+    bucket per user has no drift and is not emitted).  The longitudinal
+    companion of :func:`radius_gyration` (spread at a moment) — drift is
+    the classic home-relocation / migration detector over a mobility
+    corpus.
+
+    Exact-integer: bucket = whole-second epoch DIV (days*86400), centroid =
+    coordinate sums DIV count, dist2 = dx^2 + dy^2 — no floats anywhere.
+
+    Plan: events are shuffled ONCE (the (user_id, bucket) hash agg with
+    map-side combine); the lag window re-shuffles only the AGGREGATED
+    frame — |users| x |active buckets| rows, never events.  No joins, no
+    explode."""
+    day_s = int(days) * 86400
+    pts = _with_coords_epoch(events)
+    agg = pts.groupBy(
+        "user_id", F.expr(f"CAST(ep DIV {day_s} AS BIGINT)").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr("CAST(SUM(ex) DIV COUNT(*) AS BIGINT)").alias("cx"),
+        F.expr("CAST(SUM(ey) DIV COUNT(*) AS BIGINT)").alias("cy"),
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    dx = F.col("cx") - F.lag("cx").over(w)
+    dy = F.col("cy") - F.lag("cy").over(w)
+    out = (
+        agg.withColumn("dx", dx)
+        .withColumn("dy", dy)
+        .withColumn(
+            "gap_buckets", (F.col("bucket") - F.lag("bucket").over(w)).cast("long")
+        )
+    )
+    return out.filter(F.col("dx").isNotNull()).select(
+        "user_id",
+        "bucket",
+        "n_events",
+        "cx",
+        "cy",
+        F.col("dx").cast("long").alias("dx"),
+        F.col("dy").cast("long").alias("dy"),
+        "gap_buckets",
+        (F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
+        .cast("long")
+        .alias("dist2"),
+    )
+
+
+def user_drift_oracle(days: int = 7, table: str = "events") -> str:
+    """Identical bucket/centroid/lag arithmetic (epoch is whole-second in
+    the fixture, so ``epoch()`` and Spark's long cast agree; ``//`` is
+    DuckDB's floor division on the non-negative lattice = Spark's DIV)."""
+    from ..sources import derive
+
+    day_s = int(days) * 86400
+    return f"""WITH ud_pts AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts) / {day_s}) AS BIGINT) AS bucket,
+         {derive.x_sql('event_id')} AS ex, {derive.y_sql('event_id')} AS ey
+  FROM {table}
+), ud_agg AS (
+  SELECT user_id, bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(ex) // COUNT(*) AS BIGINT) AS cx,
+         CAST(SUM(ey) // COUNT(*) AS BIGINT) AS cy
+  FROM ud_pts GROUP BY 1, 2
+), ud_lag AS (
+  SELECT user_id, bucket, n_events, cx, cy,
+         cx - LAG(cx) OVER w AS dx, cy - LAG(cy) OVER w AS dy,
+         CAST(bucket - LAG(bucket) OVER w AS BIGINT) AS gap_buckets
+  FROM ud_agg WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
+)
+SELECT user_id, bucket, n_events, cx, cy,
+       CAST(dx AS BIGINT) AS dx, CAST(dy AS BIGINT) AS dy, gap_buckets,
+       CAST(dx * dx + dy * dy AS BIGINT) AS dist2
+FROM ud_lag WHERE dx IS NOT NULL"""

@@ -87,3 +87,84 @@ def read_pruned(
     if not files:
         return spark.read.parquet(path).limit(0)
     return spark.read.parquet(*files)
+
+
+def write_with_keyword_manifest(
+    doc_geo: DataFrame,
+    path: str,
+    partitions: int = 32,
+    sort_col: str = "hilbert",
+) -> None:
+    """Write the curve-sorted table plus a manifest carrying BOTH pruning
+    dimensions: per-file curve bounds (``lower/upper``, as
+    :func:`write_with_manifest`) and the file's distinct keyword VALUE SET
+    (``kw_set`` — the Iceberg per-column value-set / bloom-filter analogue;
+    the reference's counterpart is the keyword-keyed bucket map ``KDB`` in
+    `Scheme/RSKQ/RSKQ_Biginteger.java:618-873, reference` — only buckets a
+    query keyword names are ever touched).
+
+    The set is exact here (the fixture keyword universe is ~8k strings); at
+    100 TB a hot keyword appears in every file, so the set stays small per
+    file only for the rare keywords that benefit from pruning — which is
+    exactly the Iceberg bloom-filter tradeoff this models.  The manifest is
+    still ~1 row per data file: driver-broadcast planning scale."""
+    write_sorted(doc_geo, path, partitions=partitions, sort_col=sort_col)
+    spark = doc_geo.sparkSession
+    (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min(sort_col).alias("lower"),
+            F.max(sort_col).alias("upper"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("keywords")))
+            ).alias("kw_set"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "/_kwmanifest")
+    )
+
+
+def prune_files_keyword(
+    spark: SparkSession,
+    path: str,
+    keywords: list[str],
+    ranges: list[tuple[int, int]] | None = None,
+) -> tuple[list[str], int]:
+    """Plan a keyword (+ optional curve-cover) query against the manifest
+    alone: keep files whose value set intersects the query keywords AND —
+    when a cover is given — whose curve interval overlaps a cover range.
+    Lossless by construction: a skipped file provably contains no row that
+    could satisfy the disjunctive keyword test, regardless of its
+    coordinates."""
+    man = spark.read.parquet(path + "/_kwmanifest")
+    pred = F.arrays_overlap(
+        F.col("kw_set"), F.array(*[F.lit(k) for k in keywords])
+    )
+    if ranges:
+        import functools
+        import operator
+
+        pred = pred & functools.reduce(
+            operator.or_,
+            [(F.col("lower") <= hi) & (F.col("upper") >= lo) for lo, hi in ranges],
+        )
+    rows = man.select("file").filter(pred).collect()
+    total = man.count()
+    return sorted(r.file for r in rows), total
+
+
+def read_keyword_pruned(
+    spark: SparkSession,
+    path: str,
+    keywords: list[str],
+    ranges: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Scan only the keyword-manifest-selected files (empty selection ->
+    empty frame with the table's schema, as :func:`read_pruned`)."""
+    files, _ = prune_files_keyword(spark, path, keywords, ranges)
+    if not files:
+        return spark.read.parquet(path).limit(0)
+    return spark.read.parquet(*files)

@@ -89,6 +89,18 @@ def batch_boxes(n_extra: int = 5, edge: int = EDGE) -> list[tuple[int, int, int,
     return out
 NGRAM_K = 20
 
+# wave 24: rare keyword whose manifest value-set prunes most files (k4000
+# appears in ~1/1000 keyword slots — see sources/derive.keyword_sql)
+KW_RARE = ["k4000"]
+# geo-constrained ANN: the quarter-plane box holds exactly the low-diagonal
+# derived cluster (~40% of vectors) — filter-then-rank is non-trivial
+GEO_ANN_BOX = dict(x_lo=0, x_hi=EDGE // 2 - 1, y_lo=0, y_hi=EDGE // 2 - 1)
+# morphology: 2^6 cells over the trimodal corpus leave a speckled periphery
+# the opening must remove and dense cores it must keep
+MORPH_SHIFT = 6
+MORPH_MIN = 2
+DRIFT_DAYS = 7
+
 # Ranked disjunctive search: BRQ 'any' over R2 + integer-idf scoring.
 # Mixed zipf-head and rare keywords so the weights actually discriminate.
 RANKED_KWS = ["k8", "k11", "k120", "k4000"]

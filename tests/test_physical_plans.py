@@ -681,3 +681,37 @@ def test_cell_flow_balance_od_bounded_no_python(spark, sf_dir):
     plan = _plan(cell_flow_balance(events, 60, 8))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_geo_topk_no_python_no_join(spark, sf_dir):
+    from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators.similarity import geo_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = geo_cosine_topk(emb, W.ANN_QUERY, **W.GEO_ANN_BOX, k=W.ANN_K)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan  # filter + fold cosine + TakeOrdered only
+    assert "TakeOrderedAndProject" in plan  # distributed partial top-k
+
+
+def test_cell_morphology_cells_bounded_no_python(sorted_geo):
+    from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators.rollup import cell_morphology
+
+    plan = _plan(cell_morphology(sorted_geo, W.MORPH_SHIFT, W.MORPH_MIN))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_user_drift_single_shuffle_no_join_no_python(spark, sf_dir):
+    from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators.trajectory import user_drift
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(user_drift(events, W.DRIFT_DAYS))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    # one user_id exchange feeds both the agg and the lag window
+    assert plan.count("Exchange hashpartitioning") <= 2
