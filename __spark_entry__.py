@@ -2131,6 +2131,39 @@ def _geo_topk_oracle() -> str:
     return sim_ops.geo_cosine_topk_oracle(ANN_QUERY, **W.GEO_ANN_BOX, k=ANN_K)
 
 
+def _geofence_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell episodes per (user, fence): enter/exit/duration
+    (`operators/events.py::geofence_dwell`)."""
+    return ev_ops.geofence_dwell(_events(spark, sf_dir), W.POLYGONS, W.DWELL_GAP_MIN)
+
+
+def _geofence_dwell_oracle() -> str:
+    return ev_ops.geofence_dwell_oracle(W.POLYGONS, W.DWELL_GAP_MIN)
+
+
+def _user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (`operators/events.py::user_retention`)."""
+    return ev_ops.user_retention(_events(spark, sf_dir), W.RETENTION_DAYS)
+
+
+def _user_retention_oracle() -> str:
+    return ev_ops.user_retention_oracle(W.RETENTION_DAYS)
+
+
+def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel diff between two snapshot versions in ONE log agg
+    (`operators/updates.py::snapshot_diff`)."""
+    return upd_ops.snapshot_diff(
+        upd_ops.build_update_stream(spark, sf_dir), W.DIFF_FROM, W.DIFF_TO
+    )
+
+
+def _snapshot_diff_oracle() -> str:
+    return upd_ops.snapshot_diff_sql(
+        upd_ops.update_stream_sql(), W.DIFF_FROM, W.DIFF_TO
+    )
+
+
 def _core_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Home-range core area: smallest cell set holding >= 90% of the corpus
     (`operators/rollup.py::core_area`)."""
@@ -2476,6 +2509,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_morphology": _cell_morphology,
         "user_drift": _user_drift,
         "geo_topk": _geo_topk,
+        # -- wave 25 --
+        "geofence_dwell": _geofence_dwell,
+        "user_retention": _user_retention,
+        "snapshot_diff": _snapshot_diff,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -2760,6 +2797,9 @@ def oracle_sql() -> dict[str, str]:
         "cell_morphology": _cell_morphology_oracle(),
         "user_drift": _user_drift_oracle(),
         "geo_topk": _geo_topk_oracle(),
+        "geofence_dwell": _geofence_dwell_oracle(),
+        "user_retention": _user_retention_oracle(),
+        "snapshot_diff": _snapshot_diff_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

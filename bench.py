@@ -794,6 +794,23 @@ def _storage_queries(spark, geo):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         return geo_cosine_topk(emb, W.ANN_QUERY, **W.GEO_ANN_BOX, k=W.ANN_K).count()
 
+    def q_geofence_dwell():
+        from hilbert_curve_spark.operators.events import geofence_dwell
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return geofence_dwell(events, W.POLYGONS, W.DWELL_GAP_MIN).count()
+
+    def q_user_retention():
+        from hilbert_curve_spark.operators.events import user_retention
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return user_retention(events, W.RETENTION_DAYS).count()
+
+    def q_snapshot_diff():
+        from hilbert_curve_spark.operators.updates import snapshot_diff
+
+        return snapshot_diff(_update_log(), W.DIFF_FROM, W.DIFF_TO).count()
+
     return {
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
@@ -827,6 +844,9 @@ def _storage_queries(spark, geo):
         "cell_morphology": q_cell_morphology,
         "user_drift": q_user_drift,
         "geo_topk": q_geo_topk,
+        "geofence_dwell": q_geofence_dwell,
+        "user_retention": q_user_retention,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 

@@ -560,3 +560,161 @@ SELECT {bucket} AS window_start_s, t.poly_id, COUNT(*) AS n_events,
        CAST(SUM(CAST(FLOOR(v.value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_e6
 FROM ev v JOIN tagged t ON v.event_id = t.event_id AND t.rn = 1
 GROUP BY 1, 2"""
+
+
+def geofence_dwell(
+    events: DataFrame, polygons: list[dict], gap_minutes: int = 120
+) -> DataFrame:
+    """DWELL EPISODES per (user, fence): for each user, a maximal run of
+    consecutive fence-tagged events in the SAME polygon with gaps
+    ``<= gap_minutes`` is one visit — ``(user_id, poly_id, episode,
+    n_events, enter_s, exit_s, dwell_s)``.  The duration analytic the
+    per-window :func:`geofence_counts` cannot answer (how LONG did each
+    visit last, not how many events landed in each bucket).
+
+    Episode boundaries are defined over the user's TAGGED events only
+    (events outside every fence are invisible to the run — a gap spanning
+    them still merges when within ``gap_minutes``); a boundary fires on a
+    polygon CHANGE or a gap overflow, so ``poly_id`` is constant within an
+    episode by construction.
+
+    Plan: the same codegen ray-cast first-match tag as
+    :func:`geofence_counts` (no join for a literal fence set), then ONE
+    user_id shuffle shared by the lag window and the (user, episode)
+    aggregation — the gap-and-island shape of :func:`sessionize` with the
+    polygon-change disjunct fused into the boundary test."""
+    from ..sources import derive
+    from .pip import inside_polygon_expr
+
+    if not polygons:
+        raise ValueError("geofence_dwell needs at least one polygon")
+    pts = events.withColumn(
+        "ex", F.expr(derive.x_sql("event_id"))
+    ).withColumn("ey", F.expr(derive.y_sql("event_id")))
+    chain = None
+    for p in polygons:
+        cond = inside_polygon_expr(p["vertices"], "ex", "ey")
+        branch = F.when(cond, F.lit(p["poly_id"]))
+        chain = branch if chain is None else chain.when(cond, F.lit(p["poly_id"]))
+    tagged = pts.withColumn("poly_id", chain).filter(F.col("poly_id").isNotNull())
+    gap = int(gap_minutes) * 60
+    ep = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    boundary = F.when(
+        (F.col("poly_id") != F.lag("poly_id").over(w))
+        | (F.col("ep") - F.lag("ep").over(w) > gap),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = (
+        tagged.withColumn("ep", ep)
+        .withColumn("b", boundary)
+        .withColumn("episode", F.sum("b").over(w).cast("long"))
+    )
+    return runs.groupBy("user_id", "episode").agg(
+        F.min("poly_id").alias("poly_id"),
+        F.count("*").alias("n_events"),
+        F.min("ep").alias("enter_s"),
+        F.max("ep").alias("exit_s"),
+        (F.max("ep") - F.min("ep")).alias("dwell_s"),
+    ).select(
+        "user_id", "poly_id", "episode", "n_events", "enter_s", "exit_s", "dwell_s"
+    )
+
+
+def geofence_dwell_oracle(
+    polygons: list[dict], gap_minutes: int = 120, table: str = "events"
+) -> str:
+    """Identical tag (crossing-count pip + listed-order first match) and
+    gap-and-island replay; whole-second epochs as :func:`sessionize_oracle`."""
+    from ..sources import derive
+    from .pip import _edges
+
+    edge_rows = []
+    for i, p in enumerate(polygons):
+        for x1, y1, x2, y2 in _edges(p["vertices"]):
+            edge_rows.append(f"('{p['poly_id']}', {i}, {x1}, {y1}, {x2}, {y2})")
+    values = ", ".join(edge_rows)
+    gap = int(gap_minutes) * 60
+    return f"""WITH gd_ev AS (
+  SELECT event_id, ts, user_id,
+         {derive.x_sql('event_id')} AS ex, {derive.y_sql('event_id')} AS ey
+  FROM {table}
+), gd_edges(poly_id, ord, x1, y1, x2, y2) AS (VALUES {values}),
+gd_pip AS (
+  SELECT e.poly_id, e.ord, v.event_id,
+         SUM(CASE WHEN ((e.y1 > v.ey) <> (e.y2 > v.ey)) AND
+                  (CASE WHEN e.y2 - e.y1 > 0
+                        THEN v.ex * (e.y2 - e.y1) < e.x1 * (e.y2 - e.y1) + (v.ey - e.y1) * (e.x2 - e.x1)
+                        ELSE v.ex * (e.y2 - e.y1) > e.x1 * (e.y2 - e.y1) + (v.ey - e.y1) * (e.x2 - e.x1)
+                   END)
+             THEN 1 ELSE 0 END) AS crossings
+  FROM gd_ev v, gd_edges e
+  GROUP BY e.poly_id, e.ord, v.event_id
+), gd_tag AS (
+  SELECT event_id, poly_id,
+         ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ord) AS rn
+  FROM gd_pip WHERE crossings % 2 = 1
+), gd_runs AS (
+  SELECT v.user_id, v.ts, v.event_id, t.poly_id,
+         CAST(FLOOR(epoch(v.ts)) AS BIGINT) AS ep,
+         CASE WHEN t.poly_id <> LAG(t.poly_id) OVER w
+                   OR CAST(FLOOR(epoch(v.ts)) AS BIGINT)
+                      - LAG(CAST(FLOOR(epoch(v.ts)) AS BIGINT)) OVER w > {gap}
+              THEN 1 ELSE 0 END AS b
+  FROM gd_ev v JOIN gd_tag t ON v.event_id = t.event_id AND t.rn = 1
+  WINDOW w AS (PARTITION BY v.user_id ORDER BY v.ts, v.event_id)
+), gd_epi AS (
+  SELECT user_id, poly_id, ep,
+         CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS episode
+  FROM gd_runs
+)
+SELECT user_id, MIN(poly_id) AS poly_id, episode, COUNT(*) AS n_events,
+       CAST(MIN(ep) AS BIGINT) AS enter_s, CAST(MAX(ep) AS BIGINT) AS exit_s,
+       CAST(MAX(ep) - MIN(ep) AS BIGINT) AS dwell_s
+FROM gd_epi GROUP BY user_id, episode"""
+
+
+def user_retention(events: DataFrame, days: int = 7) -> DataFrame:
+    """Cohort RETENTION matrix: users grouped by their first active
+    ``days``-day bucket (the cohort), counted at every later bucket they
+    return in — ``(cohort, age, n_users)`` where ``age`` is buckets since
+    the cohort bucket (``age = 0`` row = cohort size).  The standard
+    growth-analytics triangle, exact-integer end to end.
+
+    Plan: events collapse to DISTINCT (user, bucket) first (one hash agg
+    with map-side combine — the only pass over events); the cohort is a
+    MIN window over that bounded frame (|users| x |active buckets| rows)
+    and the final (cohort, age) agg is map-side combined.  No joins."""
+    day_s = int(days) * 86400
+    # two-step NTZ->TIMESTAMP->BIGINT cast (see sessionize); integer DIV on
+    # the non-negative epoch == the oracle's FLOOR division
+    ub = events.select(
+        "user_id",
+        F.expr(f"CAST(CAST(CAST(ts AS TIMESTAMP) AS BIGINT) DIV {day_s} AS BIGINT)").alias(
+            "bucket"
+        ),
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    return (
+        ub.withColumn("cohort", F.min("bucket").over(w))
+        .groupBy("cohort", (F.col("bucket") - F.col("cohort")).alias("age"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+def user_retention_oracle(days: int = 7, table: str = "events") -> str:
+    """Identical distinct-bucket / MIN-window / (cohort, age) replay."""
+    day_s = int(days) * 86400
+    return f"""WITH ur_b AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(ts) / {day_s}) AS BIGINT) AS bucket
+  FROM {table}
+), ur_c AS (
+  SELECT user_id, bucket,
+         MIN(bucket) OVER (PARTITION BY user_id) AS cohort
+  FROM ur_b
+)
+SELECT cohort, CAST(bucket - cohort AS BIGINT) AS age,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ur_c GROUP BY 1, 2"""

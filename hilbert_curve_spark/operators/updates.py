@@ -258,3 +258,55 @@ def merge_as_of(updates: DataFrame, version: int) -> DataFrame:
 
 def merge_as_of_sql(stream_sql: str, version: int) -> str:
     return merge_on_read_sql(f"SELECT * FROM ({stream_sql}) WHERE version <= {version}")
+
+
+def snapshot_diff(updates: DataFrame, v_from: int, v_to: int) -> DataFrame:
+    """Time-travel DIFF between two snapshot versions — ``(doc_id,
+    status)`` with ``status in ('added', 'removed')`` for every doc whose
+    liveness differs between the ``v_from`` and ``v_to`` horizons (the
+    Iceberg changelog / snapshot-compare read; reference semantics: two
+    chain walks at different stop versions, compared).
+
+    Plan: ONE hash aggregation over the delta log — per doc the latest
+    op at each horizon is a conditional MAX of the packed key
+    ``version * 2 + (op = 'add')`` (versions are unique per doc, so the
+    max picks the newest op and its parity says add/del), then a codegen
+    status projection.  No window, no join, no second log scan — strictly
+    cheaper than folding two :func:`merge_as_of` snapshots and
+    full-outer-joining them, and map-side combinable at any log size."""
+    packed = F.col("version") * 2 + (F.col("op") == "add").cast("int")
+    agg = updates.groupBy("doc_id").agg(
+        F.max(F.when(F.col("version") <= int(v_from), packed)).alias("pf"),
+        F.max(F.when(F.col("version") <= int(v_to), packed)).alias("pt"),
+    )
+    from_live = F.coalesce(F.pmod(F.col("pf"), F.lit(2)) == 1, F.lit(False))
+    to_live = F.coalesce(F.pmod(F.col("pt"), F.lit(2)) == 1, F.lit(False))
+    return (
+        agg.withColumn(
+            "status",
+            F.when(to_live & ~from_live, F.lit("added")).when(
+                from_live & ~to_live, F.lit("removed")
+            ),
+        )
+        .filter(F.col("status").isNotNull())
+        .select("doc_id", "status")
+    )
+
+
+def snapshot_diff_sql(stream_sql: str, v_from: int, v_to: int) -> str:
+    """Identical packed-max replay over the same derived log."""
+    return f"""SELECT doc_id, status FROM (
+  SELECT doc_id,
+         CASE WHEN COALESCE(pt % 2 = 1, FALSE) AND NOT COALESCE(pf % 2 = 1, FALSE)
+                THEN 'added'
+              WHEN COALESCE(pf % 2 = 1, FALSE) AND NOT COALESCE(pt % 2 = 1, FALSE)
+                THEN 'removed' END AS status
+  FROM (
+    SELECT doc_id,
+           MAX(CASE WHEN version <= {int(v_from)}
+                    THEN version * 2 + CASE WHEN op = 'add' THEN 1 ELSE 0 END END) AS pf,
+           MAX(CASE WHEN version <= {int(v_to)}
+                    THEN version * 2 + CASE WHEN op = 'add' THEN 1 ELSE 0 END END) AS pt
+    FROM ({stream_sql}) GROUP BY doc_id
+  )
+) WHERE status IS NOT NULL"""

@@ -100,6 +100,13 @@ GEO_ANN_BOX = dict(x_lo=0, x_hi=EDGE // 2 - 1, y_lo=0, y_hi=EDGE // 2 - 1)
 MORPH_SHIFT = 6
 MORPH_MIN = 2
 DRIFT_DAYS = 7
+# wave 25: dwell gap (minutes), retention bucket (days), diff horizons
+# (v1 -> v3 over the 3-batch delta log: the net-removed set — docs deleted
+# at v2 and NOT re-added at v3)
+DWELL_GAP_MIN = 120
+RETENTION_DAYS = 7
+DIFF_FROM = 1
+DIFF_TO = 3
 
 # Ranked disjunctive search: BRQ 'any' over R2 + integer-idf scoring.
 # Mixed zipf-head and rare keywords so the weights actually discriminate.

@@ -715,3 +715,37 @@ def test_user_drift_single_shuffle_no_join_no_python(spark, sf_dir):
     assert "Join" not in plan
     # one user_id exchange feeds both the agg and the lag window
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_geofence_dwell_no_join_no_python(spark, sf_dir):
+    from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators.events import geofence_dwell
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(geofence_dwell(events, W.POLYGONS, W.DWELL_GAP_MIN))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan  # literal fences tag in codegen, no join
+
+
+def test_user_retention_events_shuffled_once_no_python(spark, sf_dir):
+    from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators.events import user_retention
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(user_retention(events, W.RETENTION_DAYS))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_snapshot_diff_one_agg_no_window_no_join(spark, sf_dir):
+    from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators.updates import (
+        build_update_stream,
+        snapshot_diff,
+    )
+
+    log = build_update_stream(spark, sf_dir, amp=4)
+    plan = _plan(snapshot_diff(log, W.DIFF_FROM, W.DIFF_TO))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan  # packed conditional MAX, not a row_number fold
