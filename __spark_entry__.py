@@ -2164,6 +2164,42 @@ def _snapshot_diff_oracle() -> str:
     )
 
 
+def _span_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kind-bigram census of the interleaved span sequences through a real
+    shuffle (`operators/spans.py::span_kind_transitions`)."""
+    return spans_ops.span_kind_transitions(build_documents(spark, sf_dir))
+
+
+def _span_transitions_oracle() -> str:
+    return spans_ops.span_kind_transitions_oracle()
+
+
+def _od_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional imbalance of the OD matrix
+    (`operators/trajectory.py::od_asymmetry`)."""
+    return traj_ops.od_asymmetry(_events(spark, sf_dir), 60, 8)
+
+
+def _od_asymmetry_oracle() -> str:
+    return traj_ops.od_asymmetry_oracle(60, 8)
+
+
+def _cell_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density percentile-band raster
+    (`operators/rollup.py::cell_percentile_bands`)."""
+    from hilbert_curve_spark.operators.rollup import cell_percentile_bands
+
+    return cell_percentile_bands(_doc_geo(spark, sf_dir), W.BANDS, W.TOPKW_SHIFT)
+
+
+def _cell_bands_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import cell_percentile_bands_oracle
+
+    return f"{_doc_geo_cte()}, " + cell_percentile_bands_oracle(
+        W.BANDS, W.TOPKW_SHIFT
+    )
+
+
 def _core_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Home-range core area: smallest cell set holding >= 90% of the corpus
     (`operators/rollup.py::core_area`)."""
@@ -2513,6 +2549,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geofence_dwell": _geofence_dwell,
         "user_retention": _user_retention,
         "snapshot_diff": _snapshot_diff,
+        # -- wave 26 --
+        "span_transitions": _span_transitions,
+        "od_asymmetry": _od_asymmetry,
+        "cell_bands": _cell_bands,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -2800,6 +2840,9 @@ def oracle_sql() -> dict[str, str]:
         "geofence_dwell": _geofence_dwell_oracle(),
         "user_retention": _user_retention_oracle(),
         "snapshot_diff": _snapshot_diff_oracle(),
+        "span_transitions": _span_transitions_oracle(),
+        "od_asymmetry": _od_asymmetry_oracle(),
+        "cell_bands": _cell_bands_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

@@ -811,6 +811,24 @@ def _storage_queries(spark, geo):
 
         return snapshot_diff(_update_log(), W.DIFF_FROM, W.DIFF_TO).count()
 
+    def q_span_transitions():
+        from hilbert_curve_spark.operators.spans import span_kind_transitions
+        from hilbert_curve_spark.sources.interleave import build_documents
+
+        docs = build_documents(spark, SF_DIR, amp=AMP)
+        return span_kind_transitions(docs).count()
+
+    def q_od_asymmetry():
+        from hilbert_curve_spark.operators.trajectory import od_asymmetry
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return od_asymmetry(events, 60, 8).count()
+
+    def q_cell_bands():
+        from hilbert_curve_spark.operators.rollup import cell_percentile_bands
+
+        return cell_percentile_bands(geo, W.BANDS, W.TOPKW_SHIFT).count()
+
     return {
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
@@ -847,6 +865,9 @@ def _storage_queries(spark, geo):
         "geofence_dwell": q_geofence_dwell,
         "user_retention": q_user_retention,
         "snapshot_diff": q_snapshot_diff,
+        "span_transitions": q_span_transitions,
+        "od_asymmetry": q_od_asymmetry,
+        "cell_bands": q_cell_bands,
     }
 
 

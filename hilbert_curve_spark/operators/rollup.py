@@ -1339,3 +1339,86 @@ SELECT c.gx, c.gy, c.n_docs,
 FROM mo_cells c
 JOIN mo_opened p ON c.gx = p.gx AND c.gy = p.gy
 LEFT JOIN mo_eroded e ON c.gx = e.gx AND c.gy = e.gy"""
+
+
+def cell_percentile_bands(
+    doc_geo: DataFrame,
+    n_bands: int = 10,
+    shift: int = 6,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Density PERCENTILE-BAND raster — :func:`core_area` generalized from
+    one threshold to a full quantile classification: every occupied cell
+    labeled with the band its strict-before cumulative mass falls in when
+    cells are ranked densest-first — ``(gcell, n_docs, cum_docs, band)``
+    with ``band = FLOOR(n_bands * (cum_docs - n_docs) / total)`` in
+    ``[0, n_bands)``.  Band 0 is the densest core; the bands are exactly
+    the choropleth legend a tile renderer needs, and ``band < k``
+    reproduces ``core_area`` at ``mass_pct = 100k/n_bands``.
+
+    Same physical plan as ``core_area``: one salted corpus scan into the
+    histogram, then the ordering window over O(occupied cells) rows —
+    deliberate driver-scale work (a raster's occupied-cell list is
+    manifest-sized)."""
+    m = config.edge >> shift
+    hist = (
+        doc_geo.withColumn(
+            "salt", F.pmod(F.hash("doc_id"), F.lit(config.salt_buckets))
+        )
+        .groupBy(
+            F.shiftright("x", shift).alias("gx"),
+            F.shiftright("y", shift).alias("gy"),
+            "salt",
+        )
+        .agg(F.count("*").alias("pn"))
+        .groupBy("gx", "gy")
+        .agg(F.sum("pn").alias("n_docs"))
+        .select(
+            (F.col("gx") * m + F.col("gy")).cast("long").alias("gcell"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_docs"), F.asc("gcell"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    nb = int(n_bands)
+    return (
+        hist.withColumn("cum_docs", F.sum("n_docs").over(wc).cast("long"))
+        .withColumn("total", F.sum("n_docs").over(total).cast("long"))
+        .select(
+            "gcell",
+            "n_docs",
+            "cum_docs",
+            F.expr(f"CAST({nb} * (cum_docs - n_docs) DIV total AS BIGINT)").alias(
+                "band"
+            ),
+        )
+    )
+
+
+def cell_percentile_bands_oracle(
+    n_bands: int = 10, shift: int = 6, config: EngineConfig = DEFAULT
+) -> str:
+    """Appends to a CTE chain defining ``doc_geo``: identical histogram,
+    ordering, and integer band rule."""
+    m = config.edge >> shift
+    s = int(shift)
+    nb = int(n_bands)
+    return f"""pb_hist AS (
+  SELECT CAST((x >> {s}) * {m} + (y >> {s}) AS BIGINT) AS gcell,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM doc_geo GROUP BY 1
+), pb_ranked AS (
+  SELECT gcell, n_docs,
+         CAST(SUM(n_docs) OVER (ORDER BY n_docs DESC, gcell
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+         CAST(SUM(n_docs) OVER () AS BIGINT) AS total
+  FROM pb_hist
+)
+SELECT gcell, n_docs, cum_docs,
+       CAST({nb} * (cum_docs - n_docs) // total AS BIGINT) AS band
+FROM pb_ranked"""

@@ -398,3 +398,49 @@ def span_chunks_inline(
             F.col("c.last_offset").alias("last_offset"),
         )
     )
+
+
+def span_kind_transitions(docs: DataFrame, partitions: int = 32) -> DataFrame:
+    """Kind-BIGRAM census over the interleaved span sequences:
+    ``(from_kind, to_kind, n_pairs)`` counting every consecutive span pair
+    inside every document, AFTER a genuine array-carrying shuffle — the
+    structural profile of the interleaving (geo->text, text->media, ...)
+    and a second driver-visible order probe: any in-array reorder anywhere
+    in the shuffle path changes the bigram counts, complementing
+    ``span_stats``'s position/offset check with a sequence-shape check.
+
+    Plan: the adjacent pairs come from ONE native array expression
+    (``transform(sequence(...))`` zipping the array with its own tail — no
+    posexplode of singles, no window, no self-join), then a single hash
+    aggregation with map-side combine over at most ``|kinds|^2`` groups."""
+    shuffled = docs.repartition(partitions, "doc_id")
+    pairs = F.expr(
+        "transform(sequence(1, size(spans) - 1), "
+        "i -> struct(spans[i - 1].kind AS from_kind, spans[i].kind AS to_kind))"
+    )
+    return (
+        shuffled.filter(F.size("spans") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.from_kind").alias("from_kind"),
+            F.col("p.to_kind").alias("to_kind"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+def span_kind_transitions_oracle(
+    table: str = "documents", amp: int = derive.AMP
+) -> str:
+    """Rebuilds the flat spans (single-sourced ``flat_spans_sql``) and joins
+    each span to its successor on the contiguous offset — the arrays never
+    exist oracle-side, so agreement proves the Spark arrays carry the exact
+    derived sequence."""
+    return (
+        f"WITH {flat_spans_sql(table, amp)} "
+        f"SELECT a.kind AS from_kind, b.kind AS to_kind, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_pairs "
+        f"FROM spans a JOIN spans b "
+        f"ON a.doc_id = b.doc_id AND b.off = a.off + 1 "
+        f"GROUP BY 1, 2"
+    )

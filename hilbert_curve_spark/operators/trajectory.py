@@ -2075,3 +2075,54 @@ SELECT user_id, bucket, n_events, cx, cy,
        CAST(dx AS BIGINT) AS dx, CAST(dy AS BIGINT) AS dy, gap_buckets,
        CAST(dx * dx + dy * dy AS BIGINT) AS dist2
 FROM ud_lag WHERE dx IS NOT NULL"""
+
+
+def od_asymmetry(
+    events: DataFrame, window_minutes: int = 60, cell_shift: int = 8
+) -> DataFrame:
+    """Directional IMBALANCE of the OD matrix: for every unordered cell
+    pair with flow in at least one direction, the two directional totals
+    and the integer asymmetry index — ``(cell_a, cell_b, flow_ab, flow_ba,
+    asym_pct)`` with ``cell_a < cell_b`` and ``asym_pct = FLOOR(100 *
+    |ab - ba| / (ab + ba))`` (0 = perfectly balanced commute, 100 =
+    one-way).  The classic commuting-structure statistic over
+    :func:`od_flows`.
+
+    Plan: the OD aggregation's two hash-agg stages, then ONE more
+    map-side-combined agg on the normalized pair key (least/greatest) with
+    conditional sums — every frame bounded by distinct OD triples."""
+    od = od_flows(events, window_minutes, cell_shift).filter(
+        F.col("o_cell") != F.col("d_cell")
+    )
+    lo = F.least("o_cell", "d_cell")
+    hi = F.greatest("o_cell", "d_cell")
+    n = F.col("n_flows").cast("long")
+    agg = od.groupBy(lo.alias("cell_a"), hi.alias("cell_b")).agg(
+        F.sum(F.when(F.col("o_cell") < F.col("d_cell"), n).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("flow_ab"),
+        F.sum(F.when(F.col("o_cell") > F.col("d_cell"), n).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("flow_ba"),
+    )
+    asym = F.expr(
+        "CAST(FLOOR(100 * ABS(flow_ab - flow_ba) / (flow_ab + flow_ba)) AS BIGINT)"
+    )
+    return agg.withColumn("asym_pct", asym)
+
+
+def od_asymmetry_oracle(
+    window_minutes: int = 60, cell_shift: int = 8, table: str = "events"
+) -> str:
+    """Replays the od_flows oracle, then the identical normalized-pair agg
+    (DuckDB LEAST/GREATEST + integer FLOOR index)."""
+    od_sql = od_flows_oracle(window_minutes, cell_shift, table)
+    return f"""WITH oa_flows AS ({od_sql}), oa AS (
+  SELECT LEAST(o_cell, d_cell) AS cell_a, GREATEST(o_cell, d_cell) AS cell_b,
+         CAST(SUM(CASE WHEN o_cell < d_cell THEN n_flows ELSE 0 END) AS BIGINT) AS flow_ab,
+         CAST(SUM(CASE WHEN o_cell > d_cell THEN n_flows ELSE 0 END) AS BIGINT) AS flow_ba
+  FROM oa_flows WHERE o_cell <> d_cell GROUP BY 1, 2
+)
+SELECT cell_a, cell_b, flow_ab, flow_ba,
+       CAST(FLOOR(100 * ABS(flow_ab - flow_ba) / (flow_ab + flow_ba)) AS BIGINT) AS asym_pct
+FROM oa"""

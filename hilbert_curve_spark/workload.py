@@ -107,6 +107,8 @@ DWELL_GAP_MIN = 120
 RETENTION_DAYS = 7
 DIFF_FROM = 1
 DIFF_TO = 3
+# wave 26: decile bands over the occupancy raster
+BANDS = 10
 
 # Ranked disjunctive search: BRQ 'any' over R2 + integer-idf scoring.
 # Mixed zipf-head and rare keywords so the weights actually discriminate.

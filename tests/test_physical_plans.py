@@ -749,3 +749,31 @@ def test_snapshot_diff_one_agg_no_window_no_join(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
     assert "Window" not in plan  # packed conditional MAX, not a row_number fold
+
+
+def test_span_transitions_array_native_no_python(spark, sf_dir):
+    from hilbert_curve_spark.operators.spans import span_kind_transitions
+    from hilbert_curve_spark.sources.interleave import build_documents
+
+    docs = build_documents(spark, sf_dir, amp=2)
+    plan = _plan(span_kind_transitions(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_od_asymmetry_od_bounded_no_python(spark, sf_dir):
+    from hilbert_curve_spark.operators.trajectory import od_asymmetry
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(od_asymmetry(events, 60, 8))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_cell_bands_no_python(sorted_geo):
+    from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators.rollup import cell_percentile_bands
+
+    plan = _plan(cell_percentile_bands(sorted_geo, W.BANDS, W.TOPKW_SHIFT))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
