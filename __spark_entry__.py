@@ -2200,6 +2200,34 @@ def _cell_bands_oracle() -> str:
     )
 
 
+def _user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Simpson visit diversity
+    (`operators/trajectory.py::user_entropy`)."""
+    return traj_ops.user_entropy(_events(spark, sf_dir), 8)
+
+
+def _user_entropy_oracle() -> str:
+    return traj_ops.user_entropy_oracle(8)
+
+
+def _diff_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword profile of the v1->v3 snapshot changelog
+    (`operators/updates.py::changelog_keywords`)."""
+    diff = upd_ops.snapshot_diff(
+        upd_ops.build_update_stream(spark, sf_dir), W.DIFF_FROM, W.DIFF_TO
+    )
+    return upd_ops.changelog_keywords(diff, _doc_geo(spark, sf_dir))
+
+
+def _diff_keywords_oracle() -> str:
+    return upd_ops.changelog_keywords_sql(
+        upd_ops.snapshot_diff_sql(
+            upd_ops.update_stream_sql(), W.DIFF_FROM, W.DIFF_TO
+        ),
+        derive.doc_geo_select_sql("documents"),
+    )
+
+
 def _core_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Home-range core area: smallest cell set holding >= 90% of the corpus
     (`operators/rollup.py::core_area`)."""
@@ -2553,6 +2581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_transitions": _span_transitions,
         "od_asymmetry": _od_asymmetry,
         "cell_bands": _cell_bands,
+        # -- wave 27 --
+        "user_entropy": _user_entropy,
+        "diff_keywords": _diff_keywords,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -2843,6 +2874,8 @@ def oracle_sql() -> dict[str, str]:
         "span_transitions": _span_transitions_oracle(),
         "od_asymmetry": _od_asymmetry_oracle(),
         "cell_bands": _cell_bands_oracle(),
+        "user_entropy": _user_entropy_oracle(),
+        "diff_keywords": _diff_keywords_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

@@ -829,6 +829,21 @@ def _storage_queries(spark, geo):
 
         return cell_percentile_bands(geo, W.BANDS, W.TOPKW_SHIFT).count()
 
+    def q_user_entropy():
+        from hilbert_curve_spark.operators.trajectory import user_entropy
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return user_entropy(events, 8).count()
+
+    def q_diff_keywords():
+        from hilbert_curve_spark.operators.updates import (
+            changelog_keywords,
+            snapshot_diff,
+        )
+
+        diff = snapshot_diff(_update_log(), W.DIFF_FROM, W.DIFF_TO)
+        return changelog_keywords(diff, geo).count()
+
     return {
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
@@ -868,6 +883,8 @@ def _storage_queries(spark, geo):
         "span_transitions": q_span_transitions,
         "od_asymmetry": q_od_asymmetry,
         "cell_bands": q_cell_bands,
+        "user_entropy": q_user_entropy,
+        "diff_keywords": q_diff_keywords,
     }
 
 

@@ -2126,3 +2126,57 @@ def od_asymmetry_oracle(
 SELECT cell_a, cell_b, flow_ab, flow_ba,
        CAST(FLOOR(100 * ABS(flow_ab - flow_ba) / (flow_ab + flow_ba)) AS BIGINT) AS asym_pct
 FROM oa"""
+
+
+def user_entropy(events: DataFrame, cell_shift: int = 8) -> DataFrame:
+    """Per-user visit DIVERSITY (mobility predictability, Song et al. 2010
+    lineage, in exact-integer Simpson form): ``(user_id, n_events, n_cells,
+    simpson_e6)`` where ``simpson_e6 = FLOOR(1e6 * SUM(n_c^2) / n^2)`` over
+    the user's per-cell visit counts — 1e6 means every event in one cell
+    (fully predictable), 1e6/n_cells means uniform spread.  Simpson instead
+    of Shannon because it stays in integer/FLOOR-division arithmetic both
+    engines compute bit-identically (no logarithms).
+
+    Plan: two hash aggregations — (user, cell) counts, then the per-user
+    moment fold — both map-side combined; the second runs over the bounded
+    (user, cell) frame.  No window, no join.
+
+    Overflow bound (ANSI): ``1e6 * SUM(nc^2) <= 1e6 * n^2`` stays inside
+    int64 while a single user has <= ~3.0M events — far above any real
+    per-user cardinality; past that, pre-divide by ``SUM(nc)`` first (the
+    documented dial, costs one ulp of the e6 quantization)."""
+    pts = _with_coords_epoch(events)
+    s = int(cell_shift)
+    per_cell = pts.groupBy(
+        "user_id",
+        (F.shiftright("ex", s) * 65536 + F.shiftright("ey", s)).alias("vcell"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    return per_cell.groupBy("user_id").agg(
+        F.sum("nc").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.expr(
+            "CAST(FLOOR(1000000 * SUM(nc * nc) / (SUM(nc) * SUM(nc))) AS BIGINT)"
+        ).alias("simpson_e6"),
+    )
+
+
+def user_entropy_oracle(cell_shift: int = 8, table: str = "events") -> str:
+    """Identical two-level fold (DuckDB ``>>`` matches Spark shiftright on
+    the non-negative lattice; FLOOR-wrapped division only)."""
+    from ..sources import derive
+
+    s = int(cell_shift)
+    return f"""WITH ue_pts AS (
+  SELECT user_id,
+         (({derive.x_sql('event_id')} >> {s}) * 65536
+          + ({derive.y_sql('event_id')} >> {s})) AS vcell
+  FROM {table}
+), ue_cells AS (
+  SELECT user_id, vcell, CAST(COUNT(*) AS BIGINT) AS nc
+  FROM ue_pts GROUP BY 1, 2
+)
+SELECT user_id, CAST(SUM(nc) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(FLOOR(1000000 * SUM(nc * nc) / (SUM(nc) * SUM(nc))) AS BIGINT)
+         AS simpson_e6
+FROM ue_cells GROUP BY user_id"""

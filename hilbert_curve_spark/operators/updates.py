@@ -310,3 +310,48 @@ def snapshot_diff_sql(stream_sql: str, v_from: int, v_to: int) -> str:
     FROM ({stream_sql}) GROUP BY doc_id
   )
 ) WHERE status IS NOT NULL"""
+
+
+def changelog_keywords(diff: DataFrame, doc_geo: DataFrame) -> DataFrame:
+    """CONTENT profile of a snapshot changelog: which keywords the docs
+    added/removed between two versions carry — ``(status, keyword,
+    n_docs)``, the "what changed *about the corpus*" companion of
+    :func:`snapshot_diff` (Iceberg changelog joined back to the table —
+    the audit query every data-governance pipeline runs on a diff).
+
+    Plan: the diff side is tiny relative to the corpus (changed docs
+    only), so the doc_id equi-join broadcasts it; keywords explode AFTER
+    the join (only changed docs fan out) and per-doc duplicates are
+    removed array-side (``array_distinct`` — no DISTINCT shuffle).  The
+    final agg is map-side combined over |statuses| x |keywords| groups."""
+    joined = doc_geo.select("doc_id", "keywords").join(
+        F.broadcast(diff), "doc_id"
+    )
+    return (
+        joined.select(
+            "status", F.explode(F.array_distinct("keywords")).alias("keyword")
+        )
+        .groupBy("status", "keyword")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def changelog_keywords_sql(diff_sql: str, doc_geo_body: str) -> str:
+    """Oracle: the diff SQL as a CTE, the derived corpus keyword slots
+    unpivoted + per-doc deduped, joined and counted identically.
+    ``doc_geo_body`` is a SELECT producing (doc_key, kw0..kw3) — the
+    single-sourced ``derive.doc_geo_select_sql`` shape."""
+    from ..sources import derive
+
+    arms = " UNION ALL ".join(
+        f"SELECT doc_key, kw{j} AS keyword FROM ck_geo"
+        for j in range(derive.KW_PER_DOC)
+    )
+    return f"""WITH ck_diff AS ({diff_sql}), ck_geo AS ({doc_geo_body}),
+ck_kws AS (SELECT DISTINCT doc_key, keyword FROM ({arms})),
+ck_join AS (
+  SELECT d.status, k.keyword FROM ck_diff d
+  JOIN ck_kws k ON d.doc_id = k.doc_key
+)
+SELECT status, keyword, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ck_join GROUP BY 1, 2"""

@@ -777,3 +777,32 @@ def test_cell_bands_no_python(sorted_geo):
     plan = _plan(cell_percentile_bands(sorted_geo, W.BANDS, W.TOPKW_SHIFT))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_user_entropy_two_aggs_no_join_no_window_no_python(spark, sf_dir):
+    from hilbert_curve_spark.operators.trajectory import user_entropy
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(user_entropy(events, 8))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_changelog_keywords_broadcasts_diff_no_python(spark, sf_dir):
+    from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators.updates import (
+        build_update_stream,
+        changelog_keywords,
+        snapshot_diff,
+    )
+    from hilbert_curve_spark.operators.encode import encode_documents
+    from hilbert_curve_spark.sources.interleave import build_documents
+
+    geo = encode_documents(build_documents(spark, sf_dir, amp=2))
+    diff = snapshot_diff(
+        build_update_stream(spark, sf_dir, amp=2), W.DIFF_FROM, W.DIFF_TO
+    )
+    plan = _plan(changelog_keywords(diff, geo))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # the tiny diff side broadcasts
+    assert "BroadcastNestedLoopJoin" not in plan
