@@ -2228,6 +2228,20 @@ def _diff_keywords_oracle() -> str:
     )
 
 
+def _grid_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration exact-integer Lloyd's k-means, the optimization
+    itself oracle-replayed (`operators/graph.py::grid_kmeans`)."""
+    return graph_ops.grid_kmeans(
+        _doc_geo(spark, sf_dir), W.KMEANS_K, W.KMEANS_ITERS, W.TOPKW_SHIFT
+    )
+
+
+def _grid_kmeans_oracle() -> str:
+    return f"{_doc_geo_cte()}, " + graph_ops.grid_kmeans_oracle(
+        W.KMEANS_K, W.KMEANS_ITERS, W.TOPKW_SHIFT
+    )
+
+
 def _core_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Home-range core area: smallest cell set holding >= 90% of the corpus
     (`operators/rollup.py::core_area`)."""
@@ -2584,6 +2598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- wave 27 --
         "user_entropy": _user_entropy,
         "diff_keywords": _diff_keywords,
+        # -- wave 28 --
+        "grid_kmeans": _grid_kmeans,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -2876,6 +2892,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_bands": _cell_bands_oracle(),
         "user_entropy": _user_entropy_oracle(),
         "diff_keywords": _diff_keywords_oracle(),
+        "grid_kmeans": _grid_kmeans_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

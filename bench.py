@@ -844,6 +844,11 @@ def _storage_queries(spark, geo):
         diff = snapshot_diff(_update_log(), W.DIFF_FROM, W.DIFF_TO)
         return changelog_keywords(diff, geo).count()
 
+    def q_grid_kmeans():
+        from hilbert_curve_spark.operators.graph import grid_kmeans
+
+        return grid_kmeans(geo, W.KMEANS_K, W.KMEANS_ITERS, W.TOPKW_SHIFT).count()
+
     return {
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
@@ -885,6 +890,7 @@ def _storage_queries(spark, geo):
         "cell_bands": q_cell_bands,
         "user_entropy": q_user_entropy,
         "diff_keywords": q_diff_keywords,
+        "grid_kmeans": q_grid_kmeans,
     }
 
 

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..config import DEFAULT, EngineConfig
+
 
 def _edge_stats(edges: DataFrame) -> tuple:
     """(count, checksum-of-u, checksum-of-v) in ONE aggregate job.  The
@@ -334,4 +336,176 @@ def dedup_survivors_oracle(pairs_sql: str, table: str = "documents") -> str:
         + f"SELECT doc_id FROM {table} WHERE doc_id NOT IN "
         "(SELECT node FROM (SELECT node, MIN(label) AS rep FROM cc GROUP BY node) "
         "WHERE node <> rep)"
+    )
+
+
+def grid_kmeans(
+    doc_geo: DataFrame,
+    k: int = 6,
+    iters: int = 3,
+    shift: int = 6,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Fixed-iteration LLOYD'S K-MEANS over the lattice, exact-integer end
+    to end — ``(cid, cx, cy, n_docs)``: the final centroids and their
+    membership counts after exactly ``iters`` assign/update rounds.  The
+    "periodic k-means job" every IVF/partitioning layer assumes
+    (``similarity.ivf_centroids`` cites it as its at-scale producer) made
+    a first-class, ORACLE-CHECKED operator: deterministic seeding (the
+    ``k`` densest ``2^shift`` cells' centers, ties to the smaller flat
+    key), integer centroid updates (``SUM DIV COUNT``), argmin ties to
+    the smaller cid, and a fixed iteration count — so DuckDB replays the
+    whole optimization as ``iters`` unrolled CTEs and must match
+    bit-for-bit.
+
+    Plan per round: ONE corpus-side codegen projection (the argmin over k
+    literal centroids is an ``array_min`` of (dist2, cid) structs — no
+    join, no shuffle on the doc side) + ONE k-group hash aggregation with
+    map-side combine; the k-row update is a driver action, exactly like
+    the kNN growth probe and the IVF centroid read (bounded control rows,
+    never data).  Empty clusters keep their previous centroid (replayed
+    identically by the oracle's LEFT JOIN + COALESCE)."""
+    s = int(shift)
+    half = 1 << (s - 1)
+    seeds = (
+        doc_geo.groupBy(
+            F.shiftright("x", s).alias("gx"), F.shiftright("y", s).alias("gy")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc(F.col("gx") * (config.edge >> s) + F.col("gy")))
+        .limit(int(k))
+        .collect()
+    )
+    cents = [
+        ((r.gx << s) + half, (r.gy << s) + half) for r in seeds
+    ]  # deterministic: rows arrive sorted from the TakeOrdered above
+    pts = doc_geo.select("doc_id", "x", "y")
+    assign_col = None
+    for _ in range(int(iters)):
+        arms = F.array(
+            *[
+                F.struct(
+                    (
+                        (F.col("x") - F.lit(cx)) * (F.col("x") - F.lit(cx))
+                        + (F.col("y") - F.lit(cy)) * (F.col("y") - F.lit(cy))
+                    )
+                    .cast("long")
+                    .alias("d"),
+                    F.lit(i).alias("c"),
+                )
+                for i, (cx, cy) in enumerate(cents)
+            ]
+        )
+        assign_col = F.array_min(arms).getField("c")
+        # k groups is maximal key skew: two-phase salted fold (partials per
+        # (cid, salt), then the k-row final) — same rationale as
+        # skew.salted_cell_counts, decomposable because the update is
+        # SUM/COUNT
+        partial = (
+            pts.withColumn("cid", assign_col)
+            .withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(config.salt_buckets)))
+            .groupBy("cid", "salt")
+            .agg(
+                F.sum("x").alias("sx"),
+                F.sum("y").alias("sy"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        upd = {
+            r.cid: (r.cx, r.cy)
+            for r in partial.groupBy("cid")
+            .agg(
+                F.expr("CAST(SUM(sx) DIV SUM(n) AS BIGINT)").alias("cx"),
+                F.expr("CAST(SUM(sy) DIV SUM(n) AS BIGINT)").alias("cy"),
+            )
+            .collect()
+        }
+        cents = [upd.get(i, c) for i, c in enumerate(cents)]
+    arms = F.array(
+        *[
+            F.struct(
+                (
+                    (F.col("x") - F.lit(cx)) * (F.col("x") - F.lit(cx))
+                    + (F.col("y") - F.lit(cy)) * (F.col("y") - F.lit(cy))
+                )
+                .cast("long")
+                .alias("d"),
+                F.lit(i).alias("c"),
+            )
+            for i, (cx, cy) in enumerate(cents)
+        ]
+    )
+    final = (
+        pts.withColumn("cid", F.array_min(arms).getField("c"))
+        .withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(config.salt_buckets)))
+        .groupBy("cid", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"))
+        .groupBy("cid")
+        .agg(F.sum("pn").cast("long").alias("n_docs"))
+    )
+    cent_rows = ", ".join(
+        f"({i}, {cx}, {cy})" for i, (cx, cy) in enumerate(cents)
+    )
+    spark = doc_geo.sparkSession
+    cent_df = spark.sql(
+        f"SELECT * FROM (VALUES {cent_rows}) AS t(cid, cx, cy)"
+    ).select(
+        F.col("cid").cast("int"),
+        F.col("cx").cast("long"),
+        F.col("cy").cast("long"),
+    )
+    return cent_df.join(final, "cid", "left").select(
+        "cid", "cx", "cy", F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs")
+    )
+
+
+def grid_kmeans_oracle(
+    k: int = 6, iters: int = 3, shift: int = 6, config: EngineConfig = DEFAULT
+) -> str:
+    """Appends to a CTE chain defining ``doc_geo``: the seeding, every
+    assign/update round unrolled, and the final membership count — the
+    complete optimization replayed in pure SQL."""
+    s = int(shift)
+    half = 1 << (s - 1)
+    m = config.edge >> s
+    parts = [
+        f"""km_hist AS (
+  SELECT x >> {s} AS gx, y >> {s} AS gy, COUNT(*) AS n
+  FROM doc_geo GROUP BY 1, 2
+), km_c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, gx * {m} + gy) - 1 AS INTEGER) AS cid,
+         CAST((gx << {s}) + {half} AS BIGINT) AS cx,
+         CAST((gy << {s}) + {half} AS BIGINT) AS cy
+  FROM km_hist ORDER BY n DESC, gx * {m} + gy LIMIT {int(k)}
+)"""
+    ]
+    for i in range(int(iters)):
+        prev, nxt = f"km_c{i}", f"km_c{i + 1}"
+        parts.append(
+            f"""km_a{i} AS (
+  SELECT d.x, d.y, arg_min(c.cid, ((d.x - c.cx) * (d.x - c.cx)
+         + (d.y - c.cy) * (d.y - c.cy)) * {int(k)} + c.cid) AS cid
+  FROM doc_geo d, {prev} c GROUP BY d.doc_key, d.x, d.y
+)"""
+        )
+        parts.append(
+            f"""{nxt} AS (
+  SELECT p.cid,
+         CAST(CASE WHEN COUNT(a.x) = 0 THEN p.cx ELSE SUM(a.x) // COUNT(a.x) END AS BIGINT) AS cx,
+         CAST(CASE WHEN COUNT(a.y) = 0 THEN p.cy ELSE SUM(a.y) // COUNT(a.y) END AS BIGINT) AS cy
+  FROM {prev} p LEFT JOIN km_a{i} a ON a.cid = p.cid
+  GROUP BY p.cid, p.cx, p.cy
+)"""
+        )
+    last = f"km_c{int(iters)}"
+    return (
+        ", ".join(parts)
+        + f""", km_final AS (
+  SELECT arg_min(c.cid, ((d.x - c.cx) * (d.x - c.cx)
+         + (d.y - c.cy) * (d.y - c.cy)) * {int(k)} + c.cid) AS cid
+  FROM doc_geo d, {last} c GROUP BY d.doc_key, d.x, d.y
+)
+SELECT c.cid, c.cx, c.cy, CAST(COUNT(f.cid) AS BIGINT) AS n_docs
+FROM {last} c LEFT JOIN km_final f ON f.cid = c.cid
+GROUP BY c.cid, c.cx, c.cy"""
     )

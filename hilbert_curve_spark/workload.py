@@ -109,6 +109,10 @@ DIFF_FROM = 1
 DIFF_TO = 3
 # wave 26: decile bands over the occupancy raster
 BANDS = 10
+# wave 28: fixed-iteration k-means (k seeds from the densest cells; 3
+# Lloyd rounds is where the trimodal corpus centroids stop moving)
+KMEANS_K = 6
+KMEANS_ITERS = 3
 
 # Ranked disjunctive search: BRQ 'any' over R2 + integer-idf scoring.
 # Mixed zipf-head and rare keywords so the weights actually discriminate.

@@ -806,3 +806,16 @@ def test_changelog_keywords_broadcasts_diff_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # the tiny diff side broadcasts
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grid_kmeans_assign_is_codegen_no_doc_join(sorted_geo):
+    from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators.graph import grid_kmeans
+
+    q = grid_kmeans(sorted_geo, W.KMEANS_K, 1, W.TOPKW_SHIFT)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only join is the k-row centroid VALUES attach — never a doc join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
