@@ -2242,6 +2242,39 @@ def _grid_kmeans_oracle() -> str:
     )
 
 
+def _occupancy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-counting occupancy curve over the cell pyramid
+    (`operators/rollup.py::occupancy_profile`)."""
+    from hilbert_curve_spark.operators.rollup import occupancy_profile
+
+    return occupancy_profile(_doc_geo(spark, sf_dir), W.PYRAMID_LEVELS)
+
+
+def _occupancy_profile_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import occupancy_profile_oracle_select
+
+    hcte = tiles_ops.hilbert_sql_cte(
+        DEFAULT.order,
+        "SELECT x AS cx, y AS cy FROM doc_geo",
+        pre_ctes=f"doc_geo AS ({derive.doc_geo_select_sql('documents')}), ",
+    )
+    return f"{hcte}{occupancy_profile_oracle_select(W.PYRAMID_LEVELS, DEFAULT)}"
+
+
+def _kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch mergeability proved on real data
+    (`operators/rollup.py::kmv_merge`)."""
+    from hilbert_curve_spark.operators.rollup import kmv_merge
+
+    return kmv_merge(_doc_geo(spark, sf_dir), 8, 16)
+
+
+def _kmv_merge_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import kmv_merge_oracle
+
+    return f"{_doc_geo_cte()}, " + kmv_merge_oracle(8, 16)
+
+
 def _core_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Home-range core area: smallest cell set holding >= 90% of the corpus
     (`operators/rollup.py::core_area`)."""
@@ -2600,6 +2633,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_keywords": _diff_keywords,
         # -- wave 28 --
         "grid_kmeans": _grid_kmeans,
+        # -- wave 29 --
+        "occupancy_profile": _occupancy_profile,
+        "kmv_merge": _kmv_merge,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -2893,6 +2929,8 @@ def oracle_sql() -> dict[str, str]:
         "user_entropy": _user_entropy_oracle(),
         "diff_keywords": _diff_keywords_oracle(),
         "grid_kmeans": _grid_kmeans_oracle(),
+        "occupancy_profile": _occupancy_profile_oracle(),
+        "kmv_merge": _kmv_merge_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

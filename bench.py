@@ -849,6 +849,16 @@ def _storage_queries(spark, geo):
 
         return grid_kmeans(geo, W.KMEANS_K, W.KMEANS_ITERS, W.TOPKW_SHIFT).count()
 
+    def q_occupancy_profile():
+        from hilbert_curve_spark.operators.rollup import occupancy_profile
+
+        return occupancy_profile(geo, W.PYRAMID_LEVELS).count()
+
+    def q_kmv_merge():
+        from hilbert_curve_spark.operators.rollup import kmv_merge
+
+        return kmv_merge(geo, 8, 16).count()
+
     return {
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
@@ -891,6 +901,8 @@ def _storage_queries(spark, geo):
         "user_entropy": q_user_entropy,
         "diff_keywords": q_diff_keywords,
         "grid_kmeans": q_grid_kmeans,
+        "occupancy_profile": q_occupancy_profile,
+        "kmv_merge": q_kmv_merge,
     }
 
 

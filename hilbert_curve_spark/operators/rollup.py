@@ -1422,3 +1422,169 @@ def cell_percentile_bands_oracle(
 SELECT gcell, n_docs, cum_docs,
        CAST({nb} * (cum_docs - n_docs) // total AS BIGINT) AS band
 FROM pb_ranked"""
+
+
+def occupancy_profile(
+    doc_geo: DataFrame, levels: int = 5, config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """Box-counting OCCUPANCY profile of the corpus: per pyramid level,
+    the occupied-cell count, the total mass, and the densest cell —
+    ``(level, n_cells, total_docs, max_docs)``.  ``n_cells`` across levels
+    is the box-counting-dimension curve (how fast occupancy collapses as
+    cells coarsen — the standard fractal-dimension / storage-planning
+    statistic), and ``total_docs`` being IDENTICAL at every level is a
+    free conservation check on the rollup.
+
+    Plan: the :func:`cell_pyramid` rollup (ONE salted corpus scan + native
+    ancestor explode) followed by a |levels|-group aggregation — the
+    profile costs the pyramid plus epsilon."""
+    return (
+        cell_pyramid(doc_geo, levels, config)
+        .groupBy("level")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("n_docs").cast("long").alias("total_docs"),
+            F.max("n_docs").cast("long").alias("max_docs"),
+        )
+    )
+
+
+def occupancy_profile_oracle_select(levels: int, config: EngineConfig = DEFAULT) -> str:
+    """SELECT body over the same ``doc_geo``+``hv`` CTE chain
+    ``cell_pyramid_oracle_select`` uses (the caller supplies the
+    recursive-CTE hilbert computation): wraps the identical per-level
+    union in the profile aggregation."""
+    inner = cell_pyramid_oracle_select(levels, config)
+    # inner = ", base AS (...) SELECT <union>" — split at the single
+    # ") SELECT " boundary closing the base CTE so the union can sit in a
+    # named CTE of its own
+    prefix, union = inner.split(") SELECT ", 1)
+    return (
+        f"{prefix}), op_pyr AS (SELECT {union}) "
+        f"SELECT level, CAST(COUNT(*) AS BIGINT) AS n_cells, "
+        f"CAST(SUM(n_docs) AS BIGINT) AS total_docs, "
+        f"CAST(MAX(n_docs) AS BIGINT) AS max_docs "
+        f"FROM op_pyr GROUP BY level"
+    )
+
+
+def kmv_merge(
+    doc_geo: DataFrame, shift: int = 8, k: int = 16, config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """KMV sketch MERGEABILITY, driver-checked: the per-cell k-minimum
+    sketches of :func:`cell_distinct_kmv`, merged, must yield the SAME
+    global distinct estimate as a direct global KMV — one row
+    ``(k, n_partial_hashes, merged_estimate, direct_estimate,
+    exact_distinct, merged_eq_direct)``.  Mergeability is the property
+    that makes a sketch distributable (per-partition partials folded at
+    the coordinator — the HLL/Theta pattern); here it is PROVED on real
+    data by a query, not assumed: every global top-k hash is inside its
+    own cell's top-k (fewer than k hashes beat it anywhere, so fewer than
+    k beat it in its cell), hence the union of partials contains the
+    global top-k.
+
+    Plan: distinct (cell, keyword) pairs -> per-cell window top-k (the
+    partial sketches, cells-bounded) -> distinct hash union -> one global
+    k-th order statistic; the direct arm is the same fold without the
+    cell stage.  Both arms are single-row aggregates joined at the end —
+    driver-scale frames after the first aggregation."""
+    from .dedup import _hex_to_long_sql
+    from pyspark.sql import Window
+
+    grid = config.edge >> shift
+    m_space = 1 << 40
+    kk = int(k)
+    gcell = F.shiftright("x", shift) * grid + F.shiftright("y", shift)
+    pairs = doc_geo.select(
+        gcell.alias("gcell"), F.explode("keywords").alias("kw")
+    ).distinct()
+    hashed = pairs.withColumn(
+        "h", F.expr(f"GREATEST({_hex_to_long_sql('md5(kw)', 1, 10)}, 1)")
+    )
+    w = Window.partitionBy("gcell").orderBy("h", "kw")
+    partials = (
+        hashed.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= kk)
+        .select("h")
+    )
+    est = (
+        f"CASE WHEN nd <= {kk} THEN nd "
+        f"ELSE ({(kk - 1) * m_space}L DIV h) END"
+    )
+    gw = Window.orderBy("h")
+
+    def _arm(hs: DataFrame, n_col: str) -> DataFrame:
+        ds = hs.select("h").distinct()
+        ranked = ds.withColumn("r", F.row_number().over(gw)).withColumn(
+            "nd", F.count(F.lit(1)).over(Window.partitionBy())
+        )
+        return ranked.filter(
+            F.col("r") == F.least(F.lit(kk), F.col("nd"))
+        ).select(
+            F.col("h").alias("kth"),
+            F.col("nd").alias(n_col),
+            F.expr(est).cast("long").alias(n_col + "_est"),
+        )
+
+    merged = _arm(partials, "n_merged")
+    direct = _arm(hashed.select("kw", "h").distinct(), "n_direct")
+    return merged.crossJoin(direct).select(
+        F.lit(kk).cast("int").alias("k"),
+        F.col("n_merged").cast("long").alias("n_partial_hashes"),
+        F.col("n_merged_est").alias("merged_estimate"),
+        F.col("n_direct_est").alias("direct_estimate"),
+        F.col("n_direct").cast("long").alias("exact_distinct"),
+        (F.col("n_merged_est") == F.col("n_direct_est"))
+        .cast("int")
+        .alias("merged_eq_direct"),
+    )
+
+
+def kmv_merge_oracle(
+    shift: int = 8, k: int = 16, config: EngineConfig = DEFAULT
+) -> str:
+    """Appends to a CTE chain defining ``doc_geo`` (needs x, y, kw0..kw3):
+    identical partial-sketch, merge, and direct arms."""
+    from ..sources import derive as _derive
+    from .dedup import _hex_to_long_sql
+
+    grid = config.edge >> shift
+    m_space = 1 << 40
+    kk = int(k)
+    arms = " UNION ALL ".join(
+        f"SELECT x, y, kw{j} AS kw FROM doc_geo" for j in range(_derive.KW_PER_DOC)
+    )
+    h = _hex_to_long_sql("md5(kw)", 1, 10)
+    est = f"CASE WHEN nd <= {kk} THEN nd ELSE ({(kk - 1) * m_space} // kth) END"
+    return f"""km_kwp AS (
+  SELECT DISTINCT (x >> {shift}) * {grid} + (y >> {shift}) AS gcell, kw
+  FROM ({arms})
+), km_hashed AS (
+  SELECT gcell, kw, GREATEST({h}, 1) AS h FROM km_kwp
+), km_partials AS (
+  SELECT h FROM (
+    SELECT h, ROW_NUMBER() OVER (PARTITION BY gcell ORDER BY h, kw) AS r
+    FROM km_hashed
+  ) WHERE r <= {kk}
+), km_merged AS (
+  SELECT kth, nd FROM (
+    SELECT h AS kth, ROW_NUMBER() OVER (ORDER BY h) AS r,
+           COUNT(*) OVER () AS nd
+    FROM (SELECT DISTINCT h FROM km_partials)
+  ) WHERE r = LEAST({kk}, nd)
+), km_direct AS (
+  SELECT kth, nd FROM (
+    SELECT h AS kth, ROW_NUMBER() OVER (ORDER BY h) AS r,
+           COUNT(*) OVER () AS nd
+    FROM (SELECT DISTINCT h FROM km_hashed)
+  ) WHERE r = LEAST({kk}, nd)
+)
+SELECT CAST({kk} AS INTEGER) AS k,
+       CAST(m.nd AS BIGINT) AS n_partial_hashes,
+       CAST((SELECT {est} FROM km_merged x(kth, nd)) AS BIGINT) AS merged_estimate,
+       CAST((SELECT {est} FROM km_direct x(kth, nd)) AS BIGINT) AS direct_estimate,
+       CAST(d.nd AS BIGINT) AS exact_distinct,
+       CAST(CASE WHEN (SELECT {est} FROM km_merged x(kth, nd))
+                    = (SELECT {est} FROM km_direct x(kth, nd))
+            THEN 1 ELSE 0 END AS INTEGER) AS merged_eq_direct
+FROM km_merged m, km_direct d"""

@@ -819,3 +819,21 @@ def test_grid_kmeans_assign_is_codegen_no_doc_join(sorted_geo):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_occupancy_profile_no_python(sorted_geo):
+    from hilbert_curve_spark import workload as W
+    from hilbert_curve_spark.operators.rollup import occupancy_profile
+
+    plan = _plan(occupancy_profile(sorted_geo, W.PYRAMID_LEVELS))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_kmv_merge_no_python_no_cartesian_blowup(sorted_geo):
+    from hilbert_curve_spark.operators.rollup import kmv_merge
+
+    plan = _plan(kmv_merge(sorted_geo, 8, 16))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only cross join is 1-row x 1-row (merged x direct arms)
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
