@@ -2275,6 +2275,61 @@ def _kmv_merge_oracle() -> str:
     return f"{_doc_geo_cte()}, " + kmv_merge_oracle(8, 16)
 
 
+def _events_stream_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming geofence dwell end-to-end: per-user flush sentinels close
+    every open episode deterministically, so the emitted rows equal the
+    BATCH geofence_dwell bit-for-bit and the batch oracle applies
+    (`streaming/event_streams.py::geofence_dwell_stream`)."""
+    from hilbert_curve_spark.streaming import event_streams as es
+
+    events = _events(spark, sf_dir)
+    max_s = events.agg(
+        F.max(F.col("ts").cast("timestamp").cast("long")).alias("m")
+    ).first()["m"]
+    sentinel_s = max_s + W.DWELL_GAP_MIN * 60 + 3600
+    sentinels = (
+        events.select("user_id")
+        .distinct()
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.timestamp_seconds(F.lit(sentinel_s)).alias("ts"),
+            F.col("user_id"),
+            F.lit("flush").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+    )
+    replay = (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .unionByName(sentinels)
+    )
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="hcs_stream_src_")
+    replay.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(es.EVENTS_SCHEMA).parquet(src)
+    out = _run_stream_to_df(
+        spark,
+        es.geofence_dwell_stream(stream, W.POLYGONS, W.DWELL_GAP_MIN),
+        "append",
+        "drv_dwell",
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    return out
+
+
+def _hotspot_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell top-decile persistence across days
+    (`operators/trajectory.py::hotspot_persistence`)."""
+    return traj_ops.hotspot_persistence(_events(spark, sf_dir), 8)
+
+
+def _hotspot_persistence_oracle() -> str:
+    return traj_ops.hotspot_persistence_oracle(8)
+
+
 def _core_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Home-range core area: smallest cell set holding >= 90% of the corpus
     (`operators/rollup.py::core_area`)."""
@@ -2636,6 +2691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- wave 29 --
         "occupancy_profile": _occupancy_profile,
         "kmv_merge": _kmv_merge,
+        # -- wave 30 --
+        "events_stream_dwell": _events_stream_dwell,
+        "hotspot_persistence": _hotspot_persistence,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -2931,6 +2989,8 @@ def oracle_sql() -> dict[str, str]:
         "grid_kmeans": _grid_kmeans_oracle(),
         "occupancy_profile": _occupancy_profile_oracle(),
         "kmv_merge": _kmv_merge_oracle(),
+        "events_stream_dwell": _geofence_dwell_oracle(),
+        "hotspot_persistence": _hotspot_persistence_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

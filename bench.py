@@ -859,6 +859,12 @@ def _storage_queries(spark, geo):
 
         return kmv_merge(geo, 8, 16).count()
 
+    def q_hotspot_persistence():
+        from hilbert_curve_spark.operators.trajectory import hotspot_persistence
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return hotspot_persistence(events, 8).count()
+
     return {
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
@@ -903,6 +909,7 @@ def _storage_queries(spark, geo):
         "grid_kmeans": q_grid_kmeans,
         "occupancy_profile": q_occupancy_profile,
         "kmv_merge": q_kmv_merge,
+        "hotspot_persistence": q_hotspot_persistence,
     }
 
 

@@ -2180,3 +2180,63 @@ SELECT user_id, CAST(SUM(nc) AS BIGINT) AS n_events,
        CAST(FLOOR(1000000 * SUM(nc * nc) / (SUM(nc) * SUM(nc))) AS BIGINT)
          AS simpson_e6
 FROM ue_cells GROUP BY user_id"""
+
+
+def hotspot_persistence(events: DataFrame, cell_shift: int = 8) -> DataFrame:
+    """Temporal STABILITY of hotspots: per cell, how many days it was
+    active and how many of those it ranked in the day's top decile of
+    cells by event count — ``(cell, n_days_active, n_days_hot)``.  The
+    emerging/persistent/sporadic classification input of the space-time
+    hot-spot family (complements the two-horizon
+    :func:`emerging_hotspots`, which compares exactly two windows).
+
+    Exact integer rule: a cell is hot on a day iff its dense rank by
+    ``(count DESC, cell ASC)`` is ``<= CEIL(n_active_cells / 10)``
+    (integer ``(n + 9) DIV 10``) — deterministic, engine-neutral.
+
+    Plan: ONE events pass into the (day, cell) histogram (map-side
+    combine), then a per-day ranking window and the final per-cell agg —
+    both over |days| x |active cells| rows, never events."""
+    pts = _with_coords_epoch(events)
+    s = int(cell_shift)
+    daily = pts.groupBy(
+        F.expr("CAST(ep DIV 86400 AS BIGINT)").alias("day"),
+        (F.shiftright("ex", s) * 65536 + F.shiftright("ey", s)).alias("cell"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("day").orderBy(F.desc("n"), F.asc("cell"))
+    wd = Window.partitionBy("day")
+    ranked = daily.withColumn("r", F.row_number().over(w)).withColumn(
+        "nact", F.count(F.lit(1)).over(wd)
+    )
+    # integer ceil: r <= (nact + 9) DIV 10 — integer on both sides
+    hot = F.expr("CASE WHEN r <= (nact + 9) DIV 10 THEN 1 ELSE 0 END")
+    return ranked.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_active"),
+        F.sum(hot).cast("long").alias("n_days_hot"),
+    )
+
+
+def hotspot_persistence_oracle(cell_shift: int = 8, table: str = "events") -> str:
+    """Identical daily histogram, per-day ranking, and integer-ceil decile
+    rule."""
+    from ..sources import derive
+
+    s = int(cell_shift)
+    return f"""WITH hp_pts AS (
+  SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+         (({derive.x_sql('event_id')} >> {s}) * 65536
+          + ({derive.y_sql('event_id')} >> {s})) AS cell
+  FROM {table}
+), hp_daily AS (
+  SELECT day, cell, CAST(COUNT(*) AS BIGINT) AS n
+  FROM hp_pts GROUP BY 1, 2
+), hp_ranked AS (
+  SELECT day, cell, n,
+         ROW_NUMBER() OVER (PARTITION BY day ORDER BY n DESC, cell) AS r,
+         COUNT(*) OVER (PARTITION BY day) AS nact
+  FROM hp_daily
+)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_days_active,
+       CAST(SUM(CASE WHEN r <= (nact + 9) // 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_days_hot
+FROM hp_ranked GROUP BY cell"""

@@ -589,3 +589,116 @@ def geo_funnel_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DWELL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("poly_id", StringType()),
+        StructField("episode", LongType()),
+        StructField("n_events", LongType()),
+        StructField("enter_s", LongType()),
+        StructField("exit_s", LongType()),
+        StructField("dwell_s", LongType()),
+    ]
+)
+
+_DWELL_STATE_SCHEMA = StructType(
+    [
+        StructField("episode", LongType()),
+        StructField("poly", StringType()),
+        StructField("n", LongType()),
+        StructField("start", LongType()),
+        StructField("last", LongType()),
+    ]
+)
+
+
+def geofence_dwell_stream(
+    events: DataFrame, polygons: list[dict], gap_minutes: int = 120
+) -> DataFrame:
+    """Streaming geofence DWELL episodes — the stateful twin of
+    ``operators/events.geofence_dwell`` with identical integer arithmetic
+    and episode numbering, so emitted rows byte-match the batch run.
+
+    The fence tag is the same codegen derive+ray-cast projection as the
+    batch form (streaming-compatible: pure per-row expressions); rows with
+    ``event_type = 'flush'`` BYPASS the tag — the replay harness plants one
+    per user after every real event, so each user's open episode closes
+    DETERMINISTICALLY when its flush arrives (no event-time-timeout race
+    at stream end), and the flush itself opens nothing.  State is one
+    fixed-width row per active user."""
+    from ..operators.pip import inside_polygon_expr
+    from ..sources import derive
+
+    gap = int(gap_minutes) * 60
+    pts = events.withColumn(
+        "ex", F.expr(derive.x_sql("event_id"))
+    ).withColumn("ey", F.expr(derive.y_sql("event_id")))
+    chain = None
+    for p in polygons:
+        cond = inside_polygon_expr(p["vertices"], "ex", "ey")
+        branch = F.when(cond, F.lit(p["poly_id"]))
+        chain = branch if chain is None else chain.when(cond, F.lit(p["poly_id"]))
+    tagged = pts.withColumn(
+        "poly_id",
+        F.when(F.col("event_type") == "flush", F.lit("_flush_")).otherwise(chain),
+    ).filter(F.col("poly_id").isNotNull())
+
+    def _emit(user_id, episode, poly, n, start, last):
+        return {
+            "user_id": user_id, "poly_id": poly, "episode": episode,
+            "n_events": n, "enter_s": start, "exit_s": last,
+            "dwell_s": last - start,
+        }
+
+    def _dwell(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - flush rows close states
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        secs = rows["ts"].astype("int64") // 1_000_000_000
+        wm_s = state.getCurrentWatermarkMs() // 1000
+        seq = [
+            (int(s), str(p))
+            for s, p in zip(secs.tolist(), rows["poly_id"].tolist())
+            if wm_s <= 0 or s >= wm_s
+        ]
+        cur = tuple(state.get) if state.exists else None
+        out = []
+        for s, poly in seq:
+            if poly == "_flush_":
+                if cur is not None and cur[2]:
+                    out.append(_emit(user_id, cur[0], cur[1], cur[2], cur[3], cur[4]))
+                    cur = (cur[0] + 1, "", 0, 0, 0)
+                continue
+            if cur is None or cur[2] == 0:
+                episode = cur[0] if cur is not None else 0
+                cur = (episode, poly, 1, s, s)
+            else:
+                episode, cpoly, n, start, last = cur
+                if poly != cpoly or s - last > gap:
+                    out.append(_emit(user_id, episode, cpoly, n, start, last))
+                    cur = (episode + 1, poly, 1, s, s)
+                else:
+                    cur = (episode, poly, n + 1, start, s)
+        if cur is not None:
+            state.update((int(cur[0]), str(cur[1]), int(cur[2]), int(cur[3]), int(cur[4])))
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        tagged.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _dwell,
+            outputStructType=DWELL_SCHEMA,
+            stateStructType=_DWELL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
