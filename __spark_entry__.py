@@ -2330,6 +2330,50 @@ def _hotspot_persistence_oracle() -> str:
     return traj_ops.hotspot_persistence_oracle(8)
 
 
+def _knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer PageRank over the radius-bounded kNN graph
+    (`operators/graph.py::pagerank` on `spatial_join.knn_graph` edges)."""
+    from hilbert_curve_spark.operators.spatial_join import knn_graph
+
+    edges = knn_graph(
+        _doc_geo(spark, sf_dir), W.KNN_GRAPH_K, W.KNN_GRAPH_RADIUS
+    ).select(F.col("doc_id").alias("src"), F.col("nbr_id").alias("dst"))
+    return graph_ops.pagerank(edges)
+
+
+def _knn_pagerank_oracle() -> str:
+    return f"{_doc_geo_cte()}, " + graph_ops.pagerank_oracle(
+        W.KNN_GRAPH_K, W.KNN_GRAPH_RADIUS
+    )
+
+
+def _knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented per-node triangle counts over the kNN graph
+    (`operators/graph.py::triangle_counts`)."""
+    from hilbert_curve_spark.operators.spatial_join import knn_graph
+
+    edges = knn_graph(
+        _doc_geo(spark, sf_dir), W.KNN_GRAPH_K, W.KNN_GRAPH_RADIUS
+    ).select(F.col("doc_id").alias("src"), F.col("nbr_id").alias("dst"))
+    return graph_ops.triangle_counts(edges)
+
+
+def _knn_triangles_oracle() -> str:
+    return f"{_doc_geo_cte()}, " + graph_ops.triangle_counts_oracle(
+        W.KNN_GRAPH_K, W.KNN_GRAPH_RADIUS
+    )
+
+
+def _cell_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD-based per-cell daily anomaly counts
+    (`operators/trajectory.py::cell_mad_anomaly`)."""
+    return traj_ops.cell_mad_anomaly(_events(spark, sf_dir), 8)
+
+
+def _cell_mad_anomaly_oracle() -> str:
+    return traj_ops.cell_mad_anomaly_oracle(8)
+
+
 def _core_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Home-range core area: smallest cell set holding >= 90% of the corpus
     (`operators/rollup.py::core_area`)."""
@@ -2694,6 +2738,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- wave 30 --
         "events_stream_dwell": _events_stream_dwell,
         "hotspot_persistence": _hotspot_persistence,
+        # -- wave 31 --
+        "knn_pagerank": _knn_pagerank,
+        "knn_triangles": _knn_triangles,
+        "cell_mad_anomaly": _cell_mad_anomaly,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -2991,6 +3039,9 @@ def oracle_sql() -> dict[str, str]:
         "kmv_merge": _kmv_merge_oracle(),
         "events_stream_dwell": _geofence_dwell_oracle(),
         "hotspot_persistence": _hotspot_persistence_oracle(),
+        "knn_pagerank": _knn_pagerank_oracle(),
+        "knn_triangles": _knn_triangles_oracle(),
+        "cell_mad_anomaly": _cell_mad_anomaly_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

@@ -865,6 +865,31 @@ def _storage_queries(spark, geo):
         events = spark.read.parquet(f"{SF_DIR}/events.parquet")
         return hotspot_persistence(events, 8).count()
 
+    def _knn_edges():
+        from pyspark.sql import functions as F
+
+        from hilbert_curve_spark.operators.spatial_join import knn_graph
+
+        return knn_graph(geo, W.KNN_GRAPH_K, W.KNN_GRAPH_RADIUS).select(
+            F.col("doc_id").alias("src"), F.col("nbr_id").alias("dst")
+        )
+
+    def q_knn_pagerank():
+        from hilbert_curve_spark.operators.graph import pagerank
+
+        return pagerank(_knn_edges()).count()
+
+    def q_knn_triangles():
+        from hilbert_curve_spark.operators.graph import triangle_counts
+
+        return triangle_counts(_knn_edges()).count()
+
+    def q_cell_mad_anomaly():
+        from hilbert_curve_spark.operators.trajectory import cell_mad_anomaly
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return cell_mad_anomaly(events, 8).count()
+
     return {
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
@@ -910,6 +935,9 @@ def _storage_queries(spark, geo):
         "occupancy_profile": q_occupancy_profile,
         "kmv_merge": q_kmv_merge,
         "hotspot_persistence": q_hotspot_persistence,
+        "knn_pagerank": q_knn_pagerank,
+        "knn_triangles": q_knn_triangles,
+        "cell_mad_anomaly": q_cell_mad_anomaly,
     }
 
 

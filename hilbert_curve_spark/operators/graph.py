@@ -509,3 +509,222 @@ SELECT c.cid, c.cx, c.cy, CAST(COUNT(f.cid) AS BIGINT) AS n_docs
 FROM {last} c LEFT JOIN km_final f ON f.cid = c.cid
 GROUP BY c.cid, c.cx, c.cy"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics over the spatial kNN graph: PageRank + triangle counting
+# ---------------------------------------------------------------------------
+
+
+def _knn_edge_sql(k: int, radius: int, doc_geo_table: str = "doc_geo") -> str:
+    """CTE fragment producing the directed kNN edge set ``pr_e(src, dst)``
+    — the oracle-side twin of ``spatial_join.knn_graph``'s output (plain
+    quadratic within-radius join + identical ``(dist2, nbr)`` rank; exact
+    at oracle scale)."""
+    d2 = "((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))"
+    return f"""pr_sym AS (
+  SELECT a.doc_key AS src, b.doc_key AS dst, {d2} AS dist2
+  FROM {doc_geo_table} a JOIN {doc_geo_table} b
+    ON a.doc_key <> b.doc_key AND {d2} <= {int(radius) * int(radius)}
+), pr_rk AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist2, dst) AS rnk
+  FROM pr_sym
+), pr_e AS (
+  SELECT src, dst FROM pr_rk WHERE rnk <= {int(k)}
+)"""
+
+
+def pagerank(
+    edges: DataFrame, iters: int = 3, scale: int = 1_000_000
+) -> DataFrame:
+    """Fixed-iteration INTEGER PageRank over a directed edge set —
+    ``(doc_id, rank_e6)``: node importance after exactly ``iters`` power
+    iterations with damping 0.85, every step in exact int64 arithmetic so
+    the DuckDB oracle replays the whole computation as unrolled CTEs and
+    must match bit-for-bit (same fixed-iteration discipline as
+    :func:`grid_kmeans`; the reference has no graph operator — this is
+    the pipeline-side importance ranking its curve-neighbor graph feeds,
+    `Scheme/RSKQ/RSKQ_Biginteger.java` neighbor search made a bulk graph
+    by ``spatial_join.knn_graph``).
+
+    Integer rule per round: each node sends ``r DIV out_degree`` along
+    every out-edge (floor; mass from dangling-free kNN sources), and
+    ``r' = (15 * scale) DIV 100 + (85 * inflow) DIV 100``.  Nodes with no
+    in-edges keep the base rank.  Overflow bound: ``85 * inflow <=
+    85 * in_deg * r_max`` — safe in int64 while ``in_deg * r_max < 1e17``
+    (at scale=1e6 that is an in-degree of 1e11; any real kNN graph is
+    orders of magnitude below).
+
+    Plan: the edge+degree frame is built ONCE (one groupBy + one join,
+    localCheckpoint to pin it); each round is one hash join on ``src``
+    + one map-side-combined aggregation on ``dst`` + one left join back
+    to the node list — three shuffles on the node id, no collect, state
+    bounded by |nodes|.  At 10^12 docs pre-partition edges and ranks on
+    the node id once and every round's join is co-located."""
+    e = edges.select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edj = e.join(deg, "src").localCheckpoint()
+    base = (15 * int(scale)) // 100
+    ranks = nodes.withColumn("r", F.lit(int(scale)).cast("long"))
+    for _ in range(int(iters)):
+        inflow = (
+            edj.join(ranks, edj["src"] == ranks["node"])
+            .select(F.col("dst"), F.expr("r DIV d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"(85 * COALESCE(s, 0L)) DIV 100")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("rank_e6"))
+
+
+def pagerank_oracle(
+    k: int, radius: int, iters: int = 3, scale: int = 1_000_000,
+    doc_geo_table: str = "doc_geo",
+) -> str:
+    """Appends to a CTE chain defining ``doc_geo``: the kNN edge set, the
+    degree table, and every power-iteration round unrolled — the complete
+    integer PageRank replayed in pure SQL."""
+    base = (15 * int(scale)) // 100
+    parts = [
+        _knn_edge_sql(k, radius, doc_geo_table),
+        """pr_nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM pr_e UNION ALL SELECT dst FROM pr_e
+  )
+)""",
+        "pr_deg AS (SELECT src, COUNT(*) AS d FROM pr_e GROUP BY src)",
+        f"pr_r0 AS (SELECT node, CAST({int(scale)} AS BIGINT) AS r FROM pr_nodes)",
+    ]
+    for i in range(1, int(iters) + 1):
+        parts.append(
+            f"""pr_in{i} AS (
+  SELECT e.dst AS node, SUM(r.r // g.d) AS s
+  FROM pr_e e JOIN pr_r{i - 1} r ON e.src = r.node
+  JOIN pr_deg g ON e.src = g.src
+  GROUP BY e.dst
+), pr_r{i} AS (
+  SELECT n.node, CAST({base} + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS r
+  FROM pr_nodes n LEFT JOIN pr_in{i} i ON n.node = i.node
+)"""
+        )
+    return (
+        ", ".join(parts)
+        + f"\nSELECT node AS doc_id, r AS rank_e6 FROM pr_r{int(iters)}"
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node TRIANGLE counts over the undirected closure of a directed
+    edge set — ``(doc_id, n_tri)`` for every node in the graph (zeros
+    included).  The local-clustering building block of the near-dup /
+    spatial-neighborhood graph family.
+
+    Scale shape is the degree-ORIENTED algorithm (Cohen's MapReduce
+    orientation; Suri & Vassilvitskii, WWW'11): orient every undirected
+    edge from the (degree, id)-smaller endpoint to the larger, so every
+    out-neighborhood is small (max out-degree O(sqrt(|E|)) regardless of
+    hub size) and each triangle materializes EXACTLY once as a wedge at
+    its unique (degree, id)-minimal apex closed by one hash join — never
+    the naive per-node neighbor-set intersection that explodes on hubs.
+
+    Plan: symmetrize+dedup (one shuffle), degree agg (one shuffle), the
+    wedge self-join on the apex + the closing equi-join on the third
+    edge, then a 3-way explode + count and a left join for the zeros.
+    No window over unbounded neighbor lists, no collect."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    keyed = und.join(da, "a").join(db, "b")
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    ori = keyed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint()
+    e1 = ori.select(F.col("u").alias("apex"), F.col("v").alias("p"))
+    e2 = ori.select(F.col("u").alias("apex"), F.col("v").alias("q"))
+    wedges = e1.join(e2, "apex").filter(F.col("p") < F.col("q"))
+    # the closing edge between p and q is oriented one way or the other;
+    # check both (p, q) and (q, p) against the oriented set
+    close = ori.select(
+        F.least("u", "v").alias("p"), F.greatest("u", "v").alias("q")
+    )
+    tris = wedges.join(close, ["p", "q"])
+    per_node = (
+        tris.select(F.explode(F.array("apex", "p", "q")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    nodes = deg.select("node")
+    return nodes.join(per_node, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+    )
+
+
+def triangle_counts_oracle(
+    k: int, radius: int, doc_geo_table: str = "doc_geo"
+) -> str:
+    """Appends to a CTE chain defining ``doc_geo``: identical undirected
+    closure, (degree, id) orientation, wedge close, and zero-filled
+    per-node counts."""
+    return (
+        _knn_edge_sql(k, radius, doc_geo_table)
+        + """, tc_und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM pr_e
+), tc_deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT a AS node FROM tc_und UNION ALL SELECT b FROM tc_und
+  ) GROUP BY node
+), tc_ori AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+              THEN u.a ELSE u.b END AS u,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+              THEN u.b ELSE u.a END AS v
+  FROM tc_und u
+  JOIN tc_deg da ON da.node = u.a
+  JOIN tc_deg db ON db.node = u.b
+), tc_tri AS (
+  SELECT e1.u AS apex, e1.v AS p, e2.v AS q
+  FROM tc_ori e1 JOIN tc_ori e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN tc_und e3 ON e3.a = e1.v AND e3.b = e2.v
+), tc_cnt AS (
+  SELECT node, COUNT(*) AS n_tri FROM (
+    SELECT apex AS node FROM tc_tri
+    UNION ALL SELECT p FROM tc_tri
+    UNION ALL SELECT q FROM tc_tri
+  ) GROUP BY node
+)
+SELECT d.node AS doc_id, CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri
+FROM tc_deg d LEFT JOIN tc_cnt c ON c.node = d.node"""
+    )

@@ -2240,3 +2240,110 @@ SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_days_active,
        CAST(SUM(CASE WHEN r <= (nact + 9) // 10 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_days_hot
 FROM hp_ranked GROUP BY cell"""
+
+
+def cell_mad_anomaly(events: DataFrame, cell_shift: int = 8) -> DataFrame:
+    """Robust per-cell anomaly detection over the daily activity series —
+    ``(cell, n_days, med_n, mad, n_anomalies)``: for each cell, the exact
+    lower MEDIAN of its daily event counts, the median absolute deviation
+    around it, and how many active days deviate by more than ``3 * mad``
+    (the classic robust outlier rule, immune to the anomalies themselves
+    — unlike a mean/stddev z-score, one burst day cannot mask itself by
+    inflating the scale estimate).
+
+    Exact integer discipline: both medians are the deterministic
+    lower-median ELEMENT — the value at rank ``(n + 1) DIV 2`` under
+    ``(value, day)`` order (same rule as ``spatial_join.zonal_median``);
+    with ``mad = 0`` any nonzero deviation is anomalous (deterministic,
+    replayed identically by the oracle).  Only ACTIVE days enter the
+    series (a day with zero events is absent, consistently with
+    ``hotspot_persistence``).
+
+    Plan: ONE events pass into the (day, cell) histogram with map-side
+    combine, then two rank-window + join passes over |days| x |active
+    cells| rows — events shuffle once; everything after is
+    histogram-bounded."""
+    pts = _with_coords_epoch(events)
+    s = int(cell_shift)
+    daily = pts.groupBy(
+        F.expr("CAST(ep DIV 86400 AS BIGINT)").alias("day"),
+        (F.shiftright("ex", s) * 65536 + F.shiftright("ey", s)).alias("cell"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w1 = Window.partitionBy("cell").orderBy("n", "day")
+    wc = Window.partitionBy("cell")
+    mid = F.expr("(cnt + 1) DIV 2")
+    med = (
+        daily.withColumn("rn", F.row_number().over(w1))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .groupBy("cell")
+        .agg(F.max(F.when(F.col("rn") == mid, F.col("n"))).alias("med_n"))
+    )
+    dev = daily.join(med, "cell").withColumn(
+        "ad", F.abs(F.col("n") - F.col("med_n"))
+    )
+    w2 = Window.partitionBy("cell").orderBy("ad", "day")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w2))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .groupBy("cell")
+        .agg(F.max(F.when(F.col("rn") == mid, F.col("ad"))).alias("mad"))
+    )
+    return (
+        dev.join(mad, "cell")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.max("med_n").alias("med_n"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("ad") > 3 * F.col("mad"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+    )
+
+
+def cell_mad_anomaly_oracle(cell_shift: int = 8, table: str = "events") -> str:
+    """Identical daily histogram, lower-median element, MAD, and 3*mad
+    rule."""
+    from ..sources import derive
+
+    s = int(cell_shift)
+    return f"""WITH ma_pts AS (
+  SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+         (({derive.x_sql('event_id')} >> {s}) * 65536
+          + ({derive.y_sql('event_id')} >> {s})) AS cell
+  FROM {table}
+), ma_daily AS (
+  SELECT day, cell, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ma_pts GROUP BY 1, 2
+), ma_rk AS (
+  SELECT day, cell, n,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY n, day) AS rn,
+         COUNT(*) OVER (PARTITION BY cell) AS cnt
+  FROM ma_daily
+), ma_med AS (
+  SELECT cell, MAX(CASE WHEN rn = (cnt + 1) // 2 THEN n END) AS med_n
+  FROM ma_rk GROUP BY cell
+), ma_dev AS (
+  SELECT d.day, d.cell, d.n, m.med_n, ABS(d.n - m.med_n) AS ad
+  FROM ma_daily d JOIN ma_med m ON d.cell = m.cell
+), ma_rk2 AS (
+  SELECT cell, ad,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY ad, day) AS rn,
+         COUNT(*) OVER (PARTITION BY cell) AS cnt
+  FROM ma_dev
+), ma_mad AS (
+  SELECT cell, MAX(CASE WHEN rn = (cnt + 1) // 2 THEN ad END) AS mad
+  FROM ma_rk2 GROUP BY cell
+)
+SELECT d.cell, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(d.med_n) AS BIGINT) AS med_n,
+       CAST(MAX(m.mad) AS BIGINT) AS mad,
+       CAST(SUM(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies
+FROM ma_dev d JOIN ma_mad m ON d.cell = m.cell
+GROUP BY d.cell"""
