@@ -2374,6 +2374,45 @@ def _cell_mad_anomaly_oracle() -> str:
     return traj_ops.cell_mad_anomaly_oracle(8)
 
 
+def _typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastSS deletion-neighborhood edit-distance-1 keyword linkage
+    (`operators/dedup.py::typo_pairs`)."""
+    from hilbert_curve_spark.operators.dedup import typo_pairs
+
+    return typo_pairs(_doc_geo(spark, sf_dir))
+
+
+def _typo_pairs_oracle() -> str:
+    from hilbert_curve_spark.operators.dedup import typo_pairs_oracle
+    from hilbert_curve_spark.sources.derive import KW_PER_DOC
+
+    return f"{_doc_geo_cte()}, " + typo_pairs_oracle(KW_PER_DOC)
+
+
+def _keyword_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-vs-cell association (PMI-style lift) surface
+    (`operators/brq.py::keyword_lift`)."""
+    from hilbert_curve_spark.operators.brq import keyword_lift
+
+    return keyword_lift(_doc_geo(spark, sf_dir), 6, 5)
+
+
+def _keyword_lift_oracle() -> str:
+    from hilbert_curve_spark.operators.brq import keyword_lift_oracle
+
+    return f"{_doc_geo_cte()}, " + keyword_lift_oracle(6, 5)
+
+
+def _gravity_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gravity-model OD corridor screening
+    (`operators/trajectory.py::gravity_residuals`)."""
+    return traj_ops.gravity_residuals(_events(spark, sf_dir), 60, 8, 3)
+
+
+def _gravity_residuals_oracle() -> str:
+    return traj_ops.gravity_residuals_oracle(60, 8, 3)
+
+
 def _core_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Home-range core area: smallest cell set holding >= 90% of the corpus
     (`operators/rollup.py::core_area`)."""
@@ -2742,6 +2781,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pagerank": _knn_pagerank,
         "knn_triangles": _knn_triangles,
         "cell_mad_anomaly": _cell_mad_anomaly,
+        # -- wave 32 --
+        "typo_pairs": _typo_pairs,
+        "keyword_lift": _keyword_lift,
+        "gravity_residuals": _gravity_residuals,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -3042,6 +3085,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_pagerank": _knn_pagerank_oracle(),
         "knn_triangles": _knn_triangles_oracle(),
         "cell_mad_anomaly": _cell_mad_anomaly_oracle(),
+        "typo_pairs": _typo_pairs_oracle(),
+        "keyword_lift": _keyword_lift_oracle(),
+        "gravity_residuals": _gravity_residuals_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

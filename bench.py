@@ -890,6 +890,22 @@ def _storage_queries(spark, geo):
         events = spark.read.parquet(f"{SF_DIR}/events.parquet")
         return cell_mad_anomaly(events, 8).count()
 
+    def q_typo_pairs():
+        from hilbert_curve_spark.operators.dedup import typo_pairs
+
+        return typo_pairs(geo).count()
+
+    def q_keyword_lift():
+        from hilbert_curve_spark.operators.brq import keyword_lift
+
+        return keyword_lift(geo, 6, 5).count()
+
+    def q_gravity_residuals():
+        from hilbert_curve_spark.operators.trajectory import gravity_residuals
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return gravity_residuals(events, 60, 8, 3).count()
+
     return {
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
@@ -938,6 +954,9 @@ def _storage_queries(spark, geo):
         "knn_pagerank": q_knn_pagerank,
         "knn_triangles": q_knn_triangles,
         "cell_mad_anomaly": q_cell_mad_anomaly,
+        "typo_pairs": q_typo_pairs,
+        "keyword_lift": q_keyword_lift,
+        "gravity_residuals": q_gravity_residuals,
     }
 
 

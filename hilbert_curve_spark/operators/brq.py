@@ -549,3 +549,92 @@ WHERE NOT EXISTS (
   SELECT 1 FROM gini o
   WHERE o.n_kw_slots >= c.n_kw_slots AND o.hhi_ppm >= c.hhi_ppm
     AND (o.n_kw_slots > c.n_kw_slots OR o.hhi_ppm > c.hhi_ppm))"""
+
+
+def keyword_lift(
+    doc_geo: DataFrame,
+    shift: int = 6,
+    min_count: int = 5,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Keyword-vs-geography ASSOCIATION surface — ``(gcell, kw, n_kc,
+    n_k, n_c, lift_ppm)`` for every (cell, keyword) pair observed at
+    least ``min_count`` times: ``lift_ppm = FLOOR(1e6 * n_kc * N /
+    (n_k * n_c))`` where ``N`` is the total keyword-slot count, ``n_k``
+    the keyword's global count and ``n_c`` the cell's slot count —
+    1e6 = independence, above = the keyword concentrates in the cell.
+    The pointwise-mutual-information (lift) companion of
+    :func:`cell_top_keyword` (which ranks by raw share) and
+    :func:`cell_keyword_gini` (which measures concentration without
+    naming the keyword).
+
+    Exact integer discipline: one FLOOR at the end, numerator composed as
+    ``(n_kc * N) * 1e6`` — int64-safe while ``n_kc * N < 9.2e12``
+    (at 4 slots/doc that is ~1.5M docs per partition-level run; beyond
+    that pre-divide by GCD or split the corpus — documented, not silent).
+
+    Plan: ONE explode scan into the (cell, kw) histogram (map-side
+    combine), then two histogram-bounded marginal aggs broadcast back —
+    the corpus shuffles once."""
+    grid = config.edge >> shift
+    gcell = (F.shiftright("x", shift) * grid + F.shiftright("y", shift)).cast(
+        "long"
+    )
+    kc = (
+        doc_geo.select(F.explode("keywords").alias("kw"), gcell.alias("gcell"))
+        .groupBy("gcell", "kw")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kc"))
+        .localCheckpoint()
+    )
+    k_marg = kc.groupBy("kw").agg(F.sum("n_kc").alias("n_k"))
+    c_marg = kc.groupBy("gcell").agg(F.sum("n_kc").alias("n_c"))
+    n_total = kc.agg(F.sum("n_kc").alias("n_total"))
+    return (
+        kc.filter(F.col("n_kc") >= int(min_count))
+        .join(F.broadcast(k_marg), "kw")
+        .join(F.broadcast(c_marg), "gcell")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "gcell",
+            "kw",
+            "n_kc",
+            F.col("n_k").cast("long").alias("n_k"),
+            F.col("n_c").cast("long").alias("n_c"),
+            F.expr(
+                "CAST((n_kc * n_total * 1000000) DIV (n_k * n_c) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+def keyword_lift_oracle(
+    shift: int = 6, min_count: int = 5, config: EngineConfig = DEFAULT
+) -> str:
+    """Appends to a CTE chain defining ``doc_geo``: identical histogram,
+    marginals, and FLOOR-ppm lift."""
+    from ..sources import derive as _derive
+
+    grid = config.edge >> shift
+    arms = " UNION ALL ".join(
+        f"SELECT (x >> {shift}) * {grid} + (y >> {shift}) AS gcell, kw{j} AS kw "
+        f"FROM doc_geo"
+        for j in range(_derive.KW_PER_DOC)
+    )
+    return f"""kl_kc AS (
+  SELECT CAST(gcell AS BIGINT) AS gcell, kw, CAST(COUNT(*) AS BIGINT) AS n_kc
+  FROM ({arms}) GROUP BY gcell, kw
+), kl_k AS (
+  SELECT kw, CAST(SUM(n_kc) AS BIGINT) AS n_k FROM kl_kc GROUP BY kw
+), kl_c AS (
+  SELECT gcell, CAST(SUM(n_kc) AS BIGINT) AS n_c FROM kl_kc GROUP BY gcell
+), kl_n AS (
+  SELECT CAST(SUM(n_kc) AS BIGINT) AS n_total FROM kl_kc
+)
+SELECT kc.gcell, kc.kw, kc.n_kc, k.n_k, c.n_c,
+       CAST((kc.n_kc * n.n_total * 1000000) // (k.n_k * c.n_c) AS BIGINT)
+         AS lift_ppm
+FROM kl_kc kc
+JOIN kl_k k ON kc.kw = k.kw
+JOIN kl_c c ON kc.gcell = c.gcell
+CROSS JOIN kl_n n
+WHERE kc.n_kc >= {int(min_count)}"""

@@ -509,3 +509,67 @@ FROM bandrows a JOIN bandrows b
   ON a.band = b.band AND a.piece = b.piece AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
+
+
+def typo_pairs(doc_geo: DataFrame) -> DataFrame:
+    """Edit-distance-1 keyword linkage — ``(kw1, kw2)``, every unordered
+    pair of DISTINCT corpus keywords at Levenshtein distance exactly 1.
+    The record-linkage / query-spelling companion of the n-gram and
+    MinHash families: fuzzy vocabulary matching as a *blocked* join, never
+    the quadratic scan the oracle runs.
+
+    Blocking is the FastSS deletion neighborhood (Bocek et al., 2007 —
+    the SymSpell scheme): each word emits itself plus every delete-one
+    variant.  RECALL-COMPLETE for distance 1 by case analysis — a
+    substitution pair shares the delete at the substituted position; an
+    insertion/deletion pair shares the shorter word itself (= the longer
+    word's delete at the inserted position).  Candidates are verified
+    with the exact ``levenshtein`` (JVM codegen in Spark, the same
+    classic DP in DuckDB), so false candidates drop and the blocked join
+    equals the quadratic one bit-for-bit.
+
+    Plan: vocabulary dedup (one shuffle, map-side combine), a native
+    ``transform(sequence(...))`` signature explode (~|word| signatures
+    per word, all codegen), one equi-join on the signature, distinct,
+    verify.  At a 10^9-token vocabulary the signature join stays linear
+    in candidates while the quadratic scan is off the table."""
+    vocab = (
+        doc_geo.select(F.explode("keywords").alias("kw")).distinct()
+    )
+    sigs = vocab.select(
+        "kw",
+        F.explode(
+            F.expr(
+                "array_distinct(concat(array(kw), "
+                "transform(sequence(1, length(kw)), "
+                "i -> concat(substr(kw, 1, i - 1), "
+                "substr(kw, i + 1, length(kw))))))"
+            )
+        ).alias("sig"),
+    )
+    a = sigs.select(F.col("kw").alias("kw1"), "sig")
+    b = sigs.select(F.col("kw").alias("kw2"), "sig")
+    return (
+        a.join(b, "sig")
+        .filter(F.col("kw1") < F.col("kw2"))
+        .select("kw1", "kw2")
+        .distinct()
+        .filter(F.expr("levenshtein(kw1, kw2) = 1"))
+    )
+
+
+def typo_pairs_oracle(kw_per_doc: int, doc_geo_table: str = "doc_geo") -> str:
+    """Appends to a CTE chain defining ``doc_geo``: the quadratic
+    ground truth — distinct vocabulary self-joined with the exact
+    ``levenshtein`` predicate (plus the length band it implies)."""
+    arms = " UNION ALL ".join(
+        f"SELECT kw{j} AS kw FROM {doc_geo_table}" for j in range(kw_per_doc)
+    )
+    return f"""tp_vocab AS (
+  SELECT DISTINCT kw FROM ({arms})
+)
+SELECT a.kw AS kw1, b.kw AS kw2
+FROM tp_vocab a JOIN tp_vocab b
+  ON a.kw < b.kw
+ AND ABS(LENGTH(a.kw) - LENGTH(b.kw)) <= 1
+ AND levenshtein(a.kw, b.kw) = 1"""

@@ -2347,3 +2347,105 @@ SELECT d.cell, CAST(COUNT(*) AS BIGINT) AS n_days,
          AS n_anomalies
 FROM ma_dev d JOIN ma_mad m ON d.cell = m.cell
 GROUP BY d.cell"""
+
+
+def gravity_residuals(
+    events: DataFrame,
+    window_minutes: int = 60,
+    cell_shift: int = 8,
+    min_flows: int = 3,
+) -> DataFrame:
+    """Gravity-model screening of the OD matrix — ``(o_cell, d_cell,
+    n_flows, o_out, d_in, lift_ppm)`` for OD pairs with at least
+    ``min_flows`` observed flows: the observed flow count against the
+    zero-parameter gravity expectation ``E[o,d] = o_out * d_in / G``
+    (``o_out``/``d_in`` the marginals, ``G`` the grand total), expressed
+    as ``lift_ppm = FLOOR(1e6 * n_flows * G / (o_out * d_in))`` — 1e6 =
+    exactly as gravity predicts, above = a corridor stronger than its
+    endpoints explain (the anomalous-corridor detector on top of
+    :func:`od_flows`; :func:`od_asymmetry` screens direction, this
+    screens magnitude).
+
+    Exact integer discipline: one FLOOR; int64-safe while ``n_flows * G <
+    9.2e12`` (G = total user-window flows — at larger G pre-aggregate per
+    shard or drop the ppm factor to 1e3; documented, not silent).
+
+    Plan: the od_flows histogram (two map-side-combined aggs over the
+    events pass) collapsed over windows, then two OD-bounded marginal
+    aggs broadcast back — nothing after the first agg touches events."""
+    total_od = (
+        od_flows(events, window_minutes, cell_shift)
+        .groupBy("o_cell", "d_cell")
+        .agg(F.sum("n_flows").cast("long").alias("n_flows"))
+        .localCheckpoint()
+    )
+    o_marg = total_od.groupBy("o_cell").agg(F.sum("n_flows").alias("o_out"))
+    d_marg = total_od.groupBy("d_cell").agg(F.sum("n_flows").alias("d_in"))
+    g = total_od.agg(F.sum("n_flows").alias("g_total"))
+    return (
+        total_od.filter(F.col("n_flows") >= int(min_flows))
+        .join(F.broadcast(o_marg), "o_cell")
+        .join(F.broadcast(d_marg), "d_cell")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "o_cell",
+            "d_cell",
+            "n_flows",
+            F.col("o_out").cast("long").alias("o_out"),
+            F.col("d_in").cast("long").alias("d_in"),
+            F.expr(
+                "CAST((n_flows * g_total * 1000000) DIV (o_out * d_in) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+def gravity_residuals_oracle(
+    window_minutes: int = 60,
+    cell_shift: int = 8,
+    min_flows: int = 3,
+    table: str = "events",
+) -> str:
+    """Identical OD histogram (the od_flows oracle collapsed over
+    windows), marginals, and FLOOR-ppm lift."""
+    from ..sources import derive
+    from ..sources.derive import EDGE
+
+    secs = int(window_minutes) * 60
+    step = 1 << int(cell_shift)
+    return f"""WITH gr_pts AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep,
+         CAST(({derive.x_sql('event_id')} // {step}) * {EDGE}
+              + ({derive.y_sql('event_id')} // {step}) AS BIGINT) AS cell
+  FROM {table}
+), gr_keyed AS (
+  SELECT user_id, cell, ep - ep % {secs} AS window_start_s,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ep - ep % {secs}
+                            ORDER BY ep, event_id) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ep - ep % {secs}
+                            ORDER BY ep DESC, event_id DESC) AS rl
+  FROM gr_pts
+), gr_od AS (
+  SELECT f.cell AS o_cell, l.cell AS d_cell
+  FROM (SELECT user_id, window_start_s, cell FROM gr_keyed WHERE rf = 1) f
+  JOIN (SELECT user_id, window_start_s, cell FROM gr_keyed WHERE rl = 1) l
+    ON f.user_id = l.user_id AND f.window_start_s = l.window_start_s
+), gr_t AS (
+  SELECT o_cell, d_cell, CAST(COUNT(*) AS BIGINT) AS n_flows
+  FROM gr_od GROUP BY o_cell, d_cell
+), gr_o AS (
+  SELECT o_cell, CAST(SUM(n_flows) AS BIGINT) AS o_out FROM gr_t GROUP BY o_cell
+), gr_d AS (
+  SELECT d_cell, CAST(SUM(n_flows) AS BIGINT) AS d_in FROM gr_t GROUP BY d_cell
+), gr_g AS (
+  SELECT CAST(SUM(n_flows) AS BIGINT) AS g_total FROM gr_t
+)
+SELECT t.o_cell, t.d_cell, t.n_flows, o.o_out, d.d_in,
+       CAST((t.n_flows * g.g_total * 1000000) // (o.o_out * d.d_in) AS BIGINT)
+         AS lift_ppm
+FROM gr_t t
+JOIN gr_o o ON t.o_cell = o.o_cell
+JOIN gr_d d ON t.d_cell = d.d_cell
+CROSS JOIN gr_g g
+WHERE t.n_flows >= {int(min_flows)}"""
