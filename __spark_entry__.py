@@ -2413,6 +2413,48 @@ def _gravity_residuals_oracle() -> str:
     return traj_ops.gravity_residuals_oracle(60, 8, 3)
 
 
+def _cell_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Sobel gradient over the density raster
+    (`operators/rollup.py::cell_gradient`)."""
+    from hilbert_curve_spark.operators.rollup import cell_gradient
+
+    return cell_gradient(_doc_geo(spark, sf_dir), 6)
+
+
+def _cell_gradient_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import cell_gradient_oracle
+
+    return f"{_doc_geo_cte()}, " + cell_gradient_oracle(6)
+
+
+def _fence_peak_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency per fence
+    (`operators/events.py::fence_peak_occupancy`)."""
+    return ev_ops.fence_peak_occupancy(
+        _events(spark, sf_dir), W.POLYGONS, W.DWELL_GAP_MIN
+    )
+
+
+def _fence_peak_occupancy_oracle() -> str:
+    return ev_ops.fence_peak_occupancy_oracle(W.POLYGONS, W.DWELL_GAP_MIN)
+
+
+def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment (quote detection) join
+    (`operators/dedup.py::containment_pairs`)."""
+    from hilbert_curve_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), 80, 3, 64
+    )
+
+
+def _containment_pairs_oracle() -> str:
+    from hilbert_curve_spark.operators.dedup import containment_pairs_oracle
+
+    return containment_pairs_oracle("documents", 80, 3, 64)
+
+
 def _core_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Home-range core area: smallest cell set holding >= 90% of the corpus
     (`operators/rollup.py::core_area`)."""
@@ -2785,6 +2827,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typo_pairs": _typo_pairs,
         "keyword_lift": _keyword_lift,
         "gravity_residuals": _gravity_residuals,
+        # -- wave 33 --
+        "cell_gradient": _cell_gradient,
+        "fence_peak_occupancy": _fence_peak_occupancy,
+        "containment_pairs": _containment_pairs,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -3088,6 +3134,9 @@ def oracle_sql() -> dict[str, str]:
         "typo_pairs": _typo_pairs_oracle(),
         "keyword_lift": _keyword_lift_oracle(),
         "gravity_residuals": _gravity_residuals_oracle(),
+        "cell_gradient": _cell_gradient_oracle(),
+        "fence_peak_occupancy": _fence_peak_occupancy_oracle(),
+        "containment_pairs": _containment_pairs_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

@@ -906,6 +906,23 @@ def _storage_queries(spark, geo):
         events = spark.read.parquet(f"{SF_DIR}/events.parquet")
         return gravity_residuals(events, 60, 8, 3).count()
 
+    def q_cell_gradient():
+        from hilbert_curve_spark.operators.rollup import cell_gradient
+
+        return cell_gradient(geo, 6).count()
+
+    def q_fence_peak_occupancy():
+        from hilbert_curve_spark.operators.events import fence_peak_occupancy
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return fence_peak_occupancy(events, W.POLYGONS, W.DWELL_GAP_MIN).count()
+
+    def q_containment_pairs():
+        from hilbert_curve_spark.operators.dedup import containment_pairs
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return containment_pairs(docs, 80, 3, 64).count()
+
     return {
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
@@ -957,6 +974,9 @@ def _storage_queries(spark, geo):
         "typo_pairs": q_typo_pairs,
         "keyword_lift": q_keyword_lift,
         "gravity_residuals": q_gravity_residuals,
+        "cell_gradient": q_cell_gradient,
+        "fence_peak_occupancy": q_fence_peak_occupancy,
+        "containment_pairs": q_containment_pairs,
     }
 
 

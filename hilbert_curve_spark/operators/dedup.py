@@ -573,3 +573,110 @@ FROM tp_vocab a JOIN tp_vocab b
   ON a.kw < b.kw
  AND ABS(LENGTH(a.kw) - LENGTH(b.kw)) <= 1
  AND levenshtein(a.kw, b.kw) = 1"""
+
+
+def containment_pairs(
+    docs: DataFrame, threshold_pct: int = 80, n: int = 3, df_cap: int = 64
+) -> DataFrame:
+    """Asymmetric shingle-CONTAINMENT join — quote / subset-duplicate
+    detection that Jaccard structurally misses: a short document fully
+    quoted inside a long one has tiny Jaccard but containment ~1.
+    Emits ``(doc_a, doc_b, inter, size_a, size_b, cont_a_pct,
+    cont_b_pct)`` for unordered pairs where EITHER direction's
+    containment ``FLOOR(100 * |A∩B| / |A|)`` reaches the threshold.
+
+    Shingles are the same 60-bit md5-hashed word n-grams as
+    :func:`jaccard_pairs`; *stop-shingle removal* is part of the operator
+    contract: grams with document frequency above ``df_cap`` are dropped
+    BEFORE pairing (the standard quote-detection move — boilerplate
+    n-grams otherwise pair everything with everything), and both sizes
+    and intersections are over surviving grams only.  Docs whose grams
+    are all stopped cannot pair.
+
+    Plan: the inverted-index join — posting lists per surviving gram
+    self-joined (doc_a < doc_b), one (pair) aggregation for the
+    intersection, sizes broadcast back.  ``df_cap`` is the scale bound:
+    candidate work is O(Σ df²) <= df_cap * |postings| — linear in the
+    corpus at fixed cap, never the all-pairs scan the oracle runs.
+    Banding cannot replace this (size blocking is NOT recall-complete
+    for containment — the contained side can be arbitrarily smaller)."""
+    g = docs.select("doc_id", _hashed_shingle_col(n).alias("grams"))
+    postings = g.select("doc_id", F.explode("grams").alias("gram"))
+    df = postings.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    live = postings.join(
+        F.broadcast(df.filter(F.col("df") <= int(df_cap))), "gram"
+    ).select("doc_id", "gram")
+    sizes = live.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    a = live.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = live.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    out = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "cont_a_pct", F.expr("CAST((100 * inter) DIV size_a AS BIGINT)")
+        )
+        .withColumn(
+            "cont_b_pct", F.expr("CAST((100 * inter) DIV size_b AS BIGINT)")
+        )
+    )
+    t = int(threshold_pct)
+    return out.filter(
+        (F.col("cont_a_pct") >= t) | (F.col("cont_b_pct") >= t)
+    ).select(
+        "doc_a", "doc_b", "inter", "size_a", "size_b",
+        "cont_a_pct", "cont_b_pct",
+    )
+
+
+def containment_pairs_oracle(
+    table: str = "documents",
+    threshold_pct: int = 80,
+    n: int = 3,
+    df_cap: int = 64,
+) -> str:
+    """Identical hashed shingles, stop-shingle cap, posting self-join,
+    and FLOOR-percent containment."""
+    grams = (
+        f"list_distinct([array_to_string(toks[i : i + {n - 1}], ' ') "
+        f"for i in range(1, greatest(2, len(toks) - {n - 2}))])"
+    )
+    hgrams = (
+        f"list_distinct(list_transform(list_transform({grams}, g -> md5(g)), "
+        f"m -> {token_hash60_sql('m')}))"
+    )
+    t = int(threshold_pct)
+    return f"""WITH cp_g AS (
+  SELECT doc_id, {hgrams} AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {table})
+), cp_post AS (
+  SELECT doc_id, UNNEST(grams) AS gram FROM cp_g
+), cp_df AS (
+  SELECT gram, COUNT(*) AS df FROM cp_post GROUP BY gram
+), cp_live AS (
+  SELECT p.doc_id, p.gram FROM cp_post p
+  JOIN cp_df d ON p.gram = d.gram AND d.df <= {int(df_cap)}
+), cp_sz AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM cp_live GROUP BY doc_id
+), cp_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cp_live a JOIN cp_live b
+    ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
+       CAST((100 * i.inter) // sa.sz AS BIGINT) AS cont_a_pct,
+       CAST((100 * i.inter) // sb.sz AS BIGINT) AS cont_b_pct
+FROM cp_inter i
+JOIN cp_sz sa ON i.doc_a = sa.doc_id
+JOIN cp_sz sb ON i.doc_b = sb.doc_id
+WHERE (100 * i.inter) // sa.sz >= {t} OR (100 * i.inter) // sb.sz >= {t}"""

@@ -718,3 +718,91 @@ def user_retention_oracle(days: int = 7, table: str = "events") -> str:
 SELECT cohort, CAST(bucket - cohort AS BIGINT) AS age,
        CAST(COUNT(*) AS BIGINT) AS n_users
 FROM ur_c GROUP BY 1, 2"""
+
+
+def fence_peak_occupancy(
+    events: DataFrame, polygons: list[dict], gap_minutes: int = 120
+) -> DataFrame:
+    """Peak CONCURRENCY per fence — ``(poly_id, n_episodes, peak,
+    peak_t)``: the maximum number of users dwelling in each polygon at
+    the same second, the classic capacity question the per-window
+    :func:`geofence_counts` (arrivals) and :func:`geofence_dwell`
+    (durations) both miss, answered by a sweep-line over the dwell
+    episodes.
+
+    Convention: an episode occupies the CLOSED second range ``[enter_s,
+    exit_s]`` (so a one-event visit still occupies its second); the sweep
+    emits ``+1`` at ``enter_s`` and ``-1`` at ``exit_s + 1`` and exits
+    apply before entries at the same second (half-open marks make that
+    automatic once marks collapse per (fence, second) to a NET delta —
+    the intra-second order then cannot matter, which is what makes the
+    running sum engine-neutral).  ``peak_t`` is the EARLIEST second
+    attaining the peak (deterministic tie-break).
+
+    Plan: the dwell episodes (one user_id shuffle), two narrow mark
+    projections unioned, a (fence, second) collapse with map-side
+    combine, then ONE cumulative window per fence over the collapsed
+    marks — bounded by distinct (fence, active-second) pairs, never
+    events."""
+    dwell = geofence_dwell(events, polygons, gap_minutes)
+    marks = dwell.select(
+        "poly_id", F.col("enter_s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        dwell.select(
+            "poly_id", (F.col("exit_s") + 1).alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    net = marks.groupBy("poly_id", "t").agg(F.sum("delta").alias("net"))
+    w = Window.partitionBy("poly_id").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = net.withColumn("run", F.sum("net").over(w))
+    epi = dwell.groupBy("poly_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_episodes")
+    )
+    wp = Window.partitionBy("poly_id")
+    peak = (
+        run.withColumn("mx", F.max("run").over(wp))
+        .filter(F.col("run") == F.col("mx"))
+        .groupBy("poly_id")
+        .agg(
+            F.max("mx").cast("long").alias("peak"),
+            F.min("t").cast("long").alias("peak_t"),
+        )
+    )
+    return epi.join(peak, "poly_id").select(
+        "poly_id", "n_episodes", "peak", "peak_t"
+    )
+
+
+def fence_peak_occupancy_oracle(
+    polygons: list[dict], gap_minutes: int = 120, table: str = "events"
+) -> str:
+    """The dwell oracle as a derived table, then the identical sweep:
+    half-open marks, per-(fence, second) net collapse, cumulative sum,
+    earliest-peak tie-break."""
+    dwell_sql = geofence_dwell_oracle(polygons, gap_minutes, table)
+    return f"""WITH fp_dwell AS ({dwell_sql}),
+fp_marks AS (
+  SELECT poly_id, enter_s AS t, 1 AS delta FROM fp_dwell
+  UNION ALL
+  SELECT poly_id, exit_s + 1 AS t, -1 AS delta FROM fp_dwell
+), fp_net AS (
+  SELECT poly_id, t, SUM(delta) AS net FROM fp_marks GROUP BY poly_id, t
+), fp_run AS (
+  SELECT poly_id, t,
+         SUM(net) OVER (PARTITION BY poly_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS run
+  FROM fp_net
+), fp_peak AS (
+  SELECT poly_id, CAST(MAX(run) AS BIGINT) AS peak FROM fp_run GROUP BY poly_id
+), fp_epi AS (
+  SELECT poly_id, CAST(COUNT(*) AS BIGINT) AS n_episodes
+  FROM fp_dwell GROUP BY poly_id
+)
+SELECT e.poly_id, e.n_episodes, p.peak,
+       CAST(MIN(r.t) AS BIGINT) AS peak_t
+FROM fp_epi e
+JOIN fp_peak p ON e.poly_id = p.poly_id
+JOIN fp_run r ON r.poly_id = e.poly_id AND r.run = p.peak
+GROUP BY e.poly_id, e.n_episodes, p.peak"""

@@ -1588,3 +1588,111 @@ SELECT CAST({kk} AS INTEGER) AS k,
                     = (SELECT {est} FROM km_direct x(kth, nd))
             THEN 1 ELSE 0 END AS INTEGER) AS merged_eq_direct
 FROM km_merged m, km_direct d"""
+
+
+def cell_gradient(
+    doc_geo: DataFrame, shift: int = 6, config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """Integer SOBEL gradient over the density raster — ``(gx, gy,
+    n_docs, grad_x, grad_y, g2)`` for every nonempty grid cell: the 3x3
+    Sobel response of the per-cell count field (absent neighbors count
+    0), with ``g2 = grad_x^2 + grad_y^2`` the squared magnitude —
+    division- and sqrt-free, so exact-integer and oracle-checkable.  The
+    edge-detector companion of :func:`focal_stats` (which smooths):
+    ridges of ``g2`` trace density cliffs — coastline-style boundaries of
+    the hot regions that :func:`cell_pyramid` and ``hotspot_regions``
+    only describe from inside.
+
+    The Sobel x-kernel at relative offset ``(rx, ry)`` is ``rx * (2 -
+    |ry|)`` (y mirrored), so a source cell emitting to the target at
+    offset ``(dx, dy)`` contributes ``-dx * (2 - |dy|) * n`` to the
+    target's ``grad_x`` — one arithmetic form shared by both engines.
+
+    Plan: ONE salted corpus pass into the cell histogram, an 8-way
+    native offset explode of the TINY histogram, one histogram-bounded
+    re-aggregation, and a left join back to the nonempty cells (isolated
+    cells keep zero gradients).  O(cells) after the first pass.  Int64
+    bound: ``|grad| <= 4 * max_cell_count``, ``g2 <= 32 *
+    max_cell_count^2`` — safe below ~5e8 docs per cell (salt the shift
+    coarser long before that)."""
+    s = int(shift)
+    cells = (
+        doc_geo.withColumn(
+            "salt", F.pmod(F.hash("doc_id"), F.lit(config.salt_buckets))
+        )
+        .groupBy(
+            F.shiftright("x", s).alias("gx"),
+            F.shiftright("y", s).alias("gy"),
+            "salt",
+        )
+        .agg(F.count("*").alias("pn"))
+        .groupBy("gx", "gy")
+        .agg(F.sum("pn").cast("long").alias("n_docs"))
+    )
+    offs = ", ".join(
+        f"named_struct('dx', {dx}L, 'dy', {dy}L)"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    contrib = (
+        cells.withColumn("o", F.explode(F.expr(f"array({offs})")))
+        .select(
+            (F.col("gx") + F.col("o.dx")).alias("tgx"),
+            (F.col("gy") + F.col("o.dy")).alias("tgy"),
+            (-F.col("o.dx") * (2 - F.abs(F.col("o.dy"))) * F.col("n_docs")).alias("cx"),
+            (-F.col("o.dy") * (2 - F.abs(F.col("o.dx"))) * F.col("n_docs")).alias("cy"),
+        )
+    )
+    grad = contrib.groupBy("tgx", "tgy").agg(
+        F.sum("cx").alias("sgx"), F.sum("cy").alias("sgy")
+    )
+    return (
+        cells.join(
+            grad,
+            (F.col("gx") == F.col("tgx")) & (F.col("gy") == F.col("tgy")),
+            "left",
+        )
+        .select(
+            "gx",
+            "gy",
+            "n_docs",
+            F.coalesce(F.col("sgx"), F.lit(0)).cast("long").alias("grad_x"),
+            F.coalesce(F.col("sgy"), F.lit(0)).cast("long").alias("grad_y"),
+            (
+                F.coalesce(F.col("sgx"), F.lit(0)) * F.coalesce(F.col("sgx"), F.lit(0))
+                + F.coalesce(F.col("sgy"), F.lit(0)) * F.coalesce(F.col("sgy"), F.lit(0))
+            ).cast("long").alias("g2"),
+        )
+    )
+
+
+def cell_gradient_oracle(shift: int = 6) -> str:
+    """Appends to a CTE chain defining ``doc_geo``: identical histogram,
+    8-arm offset contributions with the same ``-d * (2 - |d|)`` kernel
+    form, and zero-filled isolated cells."""
+    s = int(shift)
+    eight = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    return f"""sg_cells AS (
+  SELECT x >> {s} AS gx, y >> {s} AS gy, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM doc_geo GROUP BY 1, 2
+), sg_contrib AS (
+  SELECT c.gx + o.dx AS tgx, c.gy + o.dy AS tgy,
+         -o.dx * (2 - ABS(o.dy)) * c.n_docs AS cx,
+         -o.dy * (2 - ABS(o.dx)) * c.n_docs AS cy
+  FROM sg_cells c, (VALUES {eight}) AS o(dx, dy)
+), sg_grad AS (
+  SELECT tgx, tgy, CAST(SUM(cx) AS BIGINT) AS sgx, CAST(SUM(cy) AS BIGINT) AS sgy
+  FROM sg_contrib GROUP BY tgx, tgy
+)
+SELECT c.gx, c.gy, c.n_docs,
+       CAST(COALESCE(g.sgx, 0) AS BIGINT) AS grad_x,
+       CAST(COALESCE(g.sgy, 0) AS BIGINT) AS grad_y,
+       CAST(COALESCE(g.sgx, 0) * COALESCE(g.sgx, 0)
+            + COALESCE(g.sgy, 0) * COALESCE(g.sgy, 0) AS BIGINT) AS g2
+FROM sg_cells c LEFT JOIN sg_grad g ON c.gx = g.tgx AND c.gy = g.tgy"""
