@@ -2455,6 +2455,50 @@ def _containment_pairs_oracle() -> str:
     return containment_pairs_oracle("documents", 80, 3, 64)
 
 
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook assignment + quantization error
+    (`operators/similarity.py::pq_codes`)."""
+    return sim_ops.pq_codes(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), 4, 4, 2
+    )
+
+
+def _pq_codes_oracle() -> str:
+    return sim_ops.pq_codes_oracle(4, 4, 2, len(ANN_QUERY))
+
+
+def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes
+    (`operators/similarity.py::pq_topk`)."""
+    return sim_ops.pq_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), ANN_QUERY, ANN_K, 4, 4, 2
+    )
+
+
+def _pq_topk_oracle() -> str:
+    return sim_ops.pq_topk_oracle(ANN_QUERY, ANN_K, 4, 4, 2, len(ANN_QUERY))
+
+
+def _commute_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Home->work commute OD matrix
+    (`operators/trajectory.py::commute_matrix`)."""
+    return traj_ops.commute_matrix(_events(spark, sf_dir), 8)
+
+
+def _commute_matrix_oracle() -> str:
+    return traj_ops.commute_matrix_oracle(8)
+
+
+def _activity_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native CUBE over (day, cell) with exact distinct users
+    (`operators/trajectory.py::activity_cube`)."""
+    return traj_ops.activity_cube(_events(spark, sf_dir), 8)
+
+
+def _activity_cube_oracle() -> str:
+    return traj_ops.activity_cube_oracle(8)
+
+
 def _core_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Home-range core area: smallest cell set holding >= 90% of the corpus
     (`operators/rollup.py::core_area`)."""
@@ -2831,6 +2875,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_gradient": _cell_gradient,
         "fence_peak_occupancy": _fence_peak_occupancy,
         "containment_pairs": _containment_pairs,
+        # -- wave 34 --
+        "pq_codes": _pq_codes,
+        "pq_topk": _pq_topk,
+        # -- wave 35 --
+        "commute_matrix": _commute_matrix,
+        "activity_cube": _activity_cube,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -3137,6 +3187,10 @@ def oracle_sql() -> dict[str, str]:
         "cell_gradient": _cell_gradient_oracle(),
         "fence_peak_occupancy": _fence_peak_occupancy_oracle(),
         "containment_pairs": _containment_pairs_oracle(),
+        "pq_codes": _pq_codes_oracle(),
+        "pq_topk": _pq_topk_oracle(),
+        "commute_matrix": _commute_matrix_oracle(),
+        "activity_cube": _activity_cube_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

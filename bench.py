@@ -923,6 +923,24 @@ def _storage_queries(spark, geo):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         return containment_pairs(docs, 80, 3, 64).count()
 
+    def q_pq_topk():
+        from hilbert_curve_spark.operators.similarity import pq_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        return pq_topk(emb, W.ANN_QUERY, W.ANN_K, 4, 4, 2).count()
+
+    def q_commute_matrix():
+        from hilbert_curve_spark.operators.trajectory import commute_matrix
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return commute_matrix(events, 8).count()
+
+    def q_activity_cube():
+        from hilbert_curve_spark.operators.trajectory import activity_cube
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return activity_cube(events, 8).count()
+
     return {
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
@@ -977,6 +995,9 @@ def _storage_queries(spark, geo):
         "cell_gradient": q_cell_gradient,
         "fence_peak_occupancy": q_fence_peak_occupancy,
         "containment_pairs": q_containment_pairs,
+        "pq_topk": q_pq_topk,
+        "commute_matrix": q_commute_matrix,
+        "activity_cube": q_activity_cube,
     }
 
 

@@ -613,3 +613,286 @@ SELECT vec_id, x, y,
 FROM gct_pts
 WHERE x BETWEEN {int(x_lo)} AND {int(x_hi)} AND y BETWEEN {int(y_lo)} AND {int(y_hi)}
 ORDER BY cos_e6 DESC, vec_id LIMIT {int(k)}"""
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-bound ANN strategy
+# ---------------------------------------------------------------------------
+
+# components are quantized to int64 once (FLOOR(v * 1e6) + offset) and
+# EVERYTHING downstream — codebook training, assignment, ADC ranking — is
+# exact integer arithmetic, so the whole optimization unrolls into a
+# DuckDB oracle like grid_kmeans.  The offset keeps every quantized value
+# non-negative (safe for |v| < 2.09), making integer division floor ==
+# truncation in BOTH engines (the SUM DIV COUNT centroid update would
+# otherwise diverge on negative sums).
+_PQ_OFFSET = 1 << 21
+_PQ_SCALE = 1_000_000
+
+
+def _pq_quant_sql(col: str = "embedding") -> str:
+    return (
+        f"transform({col}, v -> CAST(FLOOR(CAST(v AS DOUBLE) * {_PQ_SCALE}.0) "
+        f"AS BIGINT) + {_PQ_OFFSET})"
+    )
+
+
+def _pq_sub_dist_sql(s: int, subdim: int, cent: list[int]) -> str:
+    """Codegen int64 L2^2 between subspace ``s`` of the quantized vector
+    column ``qv`` and a literal centroid."""
+    lits = ", ".join(f"{int(c)}L" for c in cent)
+    return (
+        f"aggregate(zip_with(slice(qv, {s * subdim + 1}, {subdim}), "
+        f"array({lits}), (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"
+    )
+
+
+def _pq_code_col(s: int, subdim: int, cents_s: list[list[int]]) -> F.Column:
+    """argmin centroid for subspace ``s`` — ties to the smaller cid via
+    lexicographic struct min (the grid_kmeans pattern)."""
+    structs = ", ".join(
+        f"named_struct('d', {_pq_sub_dist_sql(s, subdim, c)}, 'c', {cid})"
+        for cid, c in enumerate(cents_s)
+    )
+    return F.expr(f"array_min(array({structs}))")
+
+
+def _pq_train(
+    embeddings: DataFrame, m: int, k: int, iters: int
+) -> tuple[list[list[list[int]]], int]:
+    """Per-subspace Lloyd's k-means over the int64-quantized vectors with
+    the deterministic protocol the oracle replays: seeds are the ``k``
+    smallest vec_ids' subvectors, assignment ties to the smaller cid,
+    centroid updates are ``SUM DIV COUNT`` per (subspace, cid, dim),
+    empty clusters keep their previous centroid, exactly ``iters``
+    rounds.  Driver traffic per round is ONE m*k*subdim-row collect
+    (bounded control rows, never data — same discipline as grid_kmeans
+    and the kNN growth probe)."""
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    subdim = dim // int(m)
+    base = embeddings.select(
+        "vec_id", F.expr(_pq_quant_sql()).alias("qv")
+    ).localCheckpoint()
+    seed_rows = base.orderBy("vec_id").limit(int(k)).collect()
+    cents = [
+        [list(r["qv"][s * subdim : (s + 1) * subdim]) for r in seed_rows]
+        for s in range(int(m))
+    ]
+    dims = base.select(
+        "vec_id", F.posexplode("qv").alias("p", "q")
+    ).select(
+        "vec_id",
+        F.expr(f"p DIV {subdim}").alias("s"),
+        F.expr(f"p % {subdim}").alias("pos"),
+        "q",
+    )
+    for _ in range(int(iters)):
+        codes = base.select(
+            "vec_id",
+            *[
+                _pq_code_col(s, subdim, cents[s]).getField("c").alias(f"c{s}")
+                for s in range(int(m))
+            ],
+        )
+        cid_at = F.expr(
+            "element_at(array(" + ", ".join(f"c{s}" for s in range(int(m))) + "), "
+            "CAST(s + 1 AS INT))"
+        )
+        upd = (
+            dims.join(codes, "vec_id")
+            .withColumn("cid", cid_at)
+            .groupBy("s", "cid", "pos")
+            .agg(F.expr("SUM(q) DIV COUNT(*)").alias("cent"))
+            .collect()
+        )
+        new = [[list(c) for c in cents[s]] for s in range(int(m))]
+        for r in upd:
+            new[r["s"]][r["cid"]][r["pos"]] = r["cent"]
+        cents = new
+    return cents, subdim
+
+
+def pq_codes(
+    embeddings: DataFrame, m: int = 4, k: int = 4, iters: int = 2
+) -> DataFrame:
+    """PRODUCT-QUANTIZATION codebook assignment — ``(vec_id, c0..c{m-1},
+    qerr)``: each vector's per-subspace centroid codes after exactly
+    ``iters`` k-means rounds per subspace, plus the total int64
+    quantization error.  PQ (Jegou et al., TPAMI'11) completes the ANN
+    strategy set: brute cosine (exact baseline), sign-LSH (hash
+    buckets), IVF (partition pruning) — and PQ, the MEMORY-bound path: m
+    log2(k)-bit codes replace the full vector, so a 10^12-vector corpus
+    scans codes (bytes/vector) instead of floats (256 bytes/vector).
+
+    Training is driver-bounded (m*k*subdim control rows per round);
+    encoding is ONE codegen projection over the corpus — no shuffle, no
+    Python.  Exact-integer end to end (quantize -> train -> assign), so
+    the DuckDB oracle unrolls the whole optimization and must match
+    bit-for-bit."""
+    cents, subdim = _pq_train(embeddings, m, k, iters)
+    base = embeddings.select("vec_id", F.expr(_pq_quant_sql()).alias("qv"))
+    cols = []
+    err = None
+    for s in range(int(m)):
+        st = _pq_code_col(s, subdim, cents[s])
+        cols.append(st.getField("c").cast("long").alias(f"c{s}"))
+        err = st.getField("d") if err is None else err + st.getField("d")
+    return base.select("vec_id", *cols, err.cast("long").alias("qerr"))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    kq: int = 15,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """ASYMMETRIC-DISTANCE (ADC) top-k over the PQ codes — ``(vec_id,
+    adc_dist)``: the query stays unquantized-to-codes; its exact int64
+    distance to every (subspace, centroid) pair forms the m*k lookup
+    table, and each vector's ADC distance is the sum of m table lookups
+    on its codes — the scan touches CODES only (the PQ scale story; the
+    table is driver-side literals, k*m bounded).  Ties break on vec_id.
+    The reference's per-query curve-neighbor scan is the semantic
+    ancestor (`Scheme/RSKQ/RSKQ_Biginteger.java`); this is its
+    compressed-domain form."""
+    import math
+
+    cents, subdim = _pq_train(embeddings, m, k, iters)
+    qq = [
+        int(math.floor(float(np.float64(np.float32(v))) * _PQ_SCALE)) + _PQ_OFFSET
+        for v in query_vec
+    ]
+    adc = [
+        [
+            sum(
+                (qq[s * subdim + p] - cents[s][cid][p]) ** 2
+                for p in range(subdim)
+            )
+            for cid in range(int(k))
+        ]
+        for s in range(int(m))
+    ]
+    base = embeddings.select("vec_id", F.expr(_pq_quant_sql()).alias("qv"))
+    dist = None
+    for s in range(int(m)):
+        code = _pq_code_col(s, subdim, cents[s]).getField("c")
+        lut = "array(" + ", ".join(f"{v}L" for v in adc[s]) + ")"
+        term = F.element_at(F.expr(lut), (code + 1).cast("int"))
+        dist = term if dist is None else dist + term
+    return (
+        base.select("vec_id", dist.cast("long").alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(int(kq))
+    )
+
+
+def _pq_train_sql(m: int, k: int, iters: int, dim: int, table: str) -> str:
+    """CTE chain replaying the full PQ training: quantized dims, seeded
+    codebook, and every assign/update round unrolled."""
+    subdim = dim // int(m)
+    parts = [
+        f"""pq_dims AS (
+  SELECT vec_id, CAST((i - 1) // {subdim} AS BIGINT) AS s,
+         CAST((i - 1) % {subdim} AS BIGINT) AS pos,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_PQ_SCALE}.0) AS BIGINT)
+           + {_PQ_OFFSET} AS q
+  FROM {table}, range(1, {dim + 1}) t(i)
+)""",
+        f"""pq_seeds AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+  FROM {table} ORDER BY vec_id LIMIT {int(k)}
+)""",
+        """pq_c0 AS (
+  SELECT d.s, i.cid, d.pos, d.q AS cent
+  FROM pq_dims d JOIN pq_seeds i ON d.vec_id = i.vec_id
+)""",
+    ]
+    for i in range(1, int(iters) + 1):
+        parts.append(
+            f"""pq_d{i} AS (
+  SELECT d.vec_id, d.s, c.cid,
+         CAST(SUM((d.q - c.cent) * (d.q - c.cent)) AS BIGINT) AS dist
+  FROM pq_dims d JOIN pq_c{i - 1} c ON d.s = c.s AND d.pos = c.pos
+  GROUP BY d.vec_id, d.s, c.cid
+), pq_a{i} AS (
+  SELECT vec_id, s, arg_min(cid, dist * {int(k)} + cid) AS cid
+  FROM pq_d{i} GROUP BY vec_id, s
+), pq_u{i} AS (
+  SELECT a.s, a.cid, d.pos, CAST(SUM(d.q) // COUNT(*) AS BIGINT) AS cent
+  FROM pq_a{i} a JOIN pq_dims d ON d.vec_id = a.vec_id AND d.s = a.s
+  GROUP BY a.s, a.cid, d.pos
+), pq_c{i} AS (
+  SELECT p.s, p.cid, p.pos, CAST(COALESCE(u.cent, p.cent) AS BIGINT) AS cent
+  FROM pq_c{i - 1} p
+  LEFT JOIN pq_u{i} u ON p.s = u.s AND p.cid = u.cid AND p.pos = u.pos
+)"""
+        )
+    # codes are assignments against the FINAL codebook — one more argmin
+    # pass after the last update (pq_fd/pq_fa), exactly like the Spark
+    # operator's final projection
+    n = int(iters)
+    parts.append(
+        f"""pq_fd AS (
+  SELECT d.vec_id, d.s, c.cid,
+         CAST(SUM((d.q - c.cent) * (d.q - c.cent)) AS BIGINT) AS dist
+  FROM pq_dims d JOIN pq_c{n} c ON d.s = c.s AND d.pos = c.pos
+  GROUP BY d.vec_id, d.s, c.cid
+), pq_fa AS (
+  SELECT vec_id, s, arg_min(cid, dist * {int(k)} + cid) AS cid
+  FROM pq_fd GROUP BY vec_id, s
+)"""
+    )
+    return ", ".join(parts)
+
+
+def pq_codes_oracle(
+    m: int = 4, k: int = 4, iters: int = 2, dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    cases = ", ".join(
+        f"CAST(MAX(CASE WHEN s = {s} THEN cid END) AS BIGINT) AS c{s}"
+        for s in range(int(m))
+    )
+    return f"""WITH {_pq_train_sql(m, k, iters, dim, table)},
+pq_final AS (
+  SELECT a.vec_id, a.s, a.cid, d.dist
+  FROM pq_fa a JOIN pq_fd d
+    ON a.vec_id = d.vec_id AND a.s = d.s AND a.cid = d.cid
+)
+SELECT vec_id, {cases}, CAST(SUM(dist) AS BIGINT) AS qerr
+FROM pq_final GROUP BY vec_id"""
+
+
+def pq_topk_oracle(
+    query_vec: list[float],
+    kq: int = 15,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    import math
+
+    n = int(iters)
+    subdim = dim // int(m)
+    qq = [
+        int(math.floor(float(np.float64(np.float32(v))) * _PQ_SCALE)) + _PQ_OFFSET
+        for v in query_vec
+    ]
+    qvals = ", ".join(
+        f"({i // subdim}, {i % subdim}, {qq[i]})" for i in range(dim)
+    )
+    return f"""WITH {_pq_train_sql(m, k, iters, dim, table)},
+pq_q(s, pos, q) AS (VALUES {qvals}),
+pq_lut AS (
+  SELECT c.s, c.cid, CAST(SUM((q.q - c.cent) * (q.q - c.cent)) AS BIGINT) AS qd
+  FROM pq_c{n} c JOIN pq_q q ON c.s = q.s AND c.pos = q.pos
+  GROUP BY c.s, c.cid
+)
+SELECT a.vec_id, CAST(SUM(l.qd) AS BIGINT) AS adc_dist
+FROM pq_fa a JOIN pq_lut l ON a.s = l.s AND a.cid = l.cid
+GROUP BY a.vec_id
+ORDER BY adc_dist, a.vec_id LIMIT {int(kq)}"""

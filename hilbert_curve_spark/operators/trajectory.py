@@ -2449,3 +2449,181 @@ JOIN gr_o o ON t.o_cell = o.o_cell
 JOIN gr_d d ON t.d_cell = d.d_cell
 CROSS JOIN gr_g g
 WHERE t.n_flows >= {int(min_flows)}"""
+
+
+def commute_matrix(
+    events: DataFrame,
+    cell_shift: int = 8,
+    night: tuple[int, int] = (0, 6),
+    work: tuple[int, int] = (9, 17),
+) -> DataFrame:
+    """Home→work COMMUTE matrix — ``(home_cell, work_cell, n_users)``:
+    each user's modal cell during night hours (home, the
+    :func:`user_home_cells` rule restricted to ``night``) and during
+    business hours (work), counted per (home, work) pair over users that
+    have BOTH.  The static-OD complement of the event-window
+    :func:`od_flows` (which counts trips; this counts people).
+
+    Deterministic: hours are UTC ``(ep DIV 3600) % 24`` integers, bounds
+    half-open ``[lo, hi)``, modal ties break to the smaller cell id.
+
+    Plan: ONE events pass into the (user, period, cell) histogram (the
+    period tag is a codegen CASE — rows outside both bands drop at the
+    scan), one rank window per (user, period) over the bounded histogram,
+    a self-join ON user (both sides one row per user after the rank
+    filter), and the final matrix agg."""
+    from ..sources.derive import EDGE
+
+    pts = _with_coords_epoch(events)
+    step = 1 << int(cell_shift)
+    hour = F.expr("CAST((ep DIV 3600) % 24 AS BIGINT)")
+    period = (
+        F.when((hour >= night[0]) & (hour < night[1]), F.lit("home"))
+        .when((hour >= work[0]) & (hour < work[1]), F.lit("work"))
+    )
+    counts = (
+        pts.select(
+            "user_id",
+            period.alias("period"),
+            F.expr(
+                f"CAST(ex DIV {step} AS BIGINT) * {EDGE} "
+                f"+ CAST(ey DIV {step} AS BIGINT)"
+            ).alias("cell"),
+        )
+        .filter(F.col("period").isNotNull())
+        .groupBy("user_id", "period", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("user_id", "period").orderBy(
+        F.desc("n"), F.asc("cell")
+    )
+    modal = counts.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    home = modal.filter(F.col("period") == "home").select(
+        "user_id", F.col("cell").alias("home_cell")
+    )
+    work_c = modal.filter(F.col("period") == "work").select(
+        "user_id", F.col("cell").alias("work_cell")
+    )
+    return (
+        home.join(work_c, "user_id")
+        .groupBy("home_cell", "work_cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+def commute_matrix_oracle(
+    cell_shift: int = 8,
+    night: tuple[int, int] = (0, 6),
+    work: tuple[int, int] = (9, 17),
+    table: str = "events",
+) -> str:
+    """Identical period tag, modal rule, and matrix agg."""
+    from ..sources import derive
+    from ..sources.derive import EDGE
+
+    step = 1 << int(cell_shift)
+    return f"""WITH cm_pts AS (
+  SELECT user_id,
+         CASE WHEN (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) % 24 >= {night[0]}
+               AND (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) % 24 < {night[1]}
+              THEN 'home'
+              WHEN (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) % 24 >= {work[0]}
+               AND (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) % 24 < {work[1]}
+              THEN 'work' END AS period,
+         CAST(({derive.x_sql('event_id')} // {step}) * {EDGE}
+              + ({derive.y_sql('event_id')} // {step}) AS BIGINT) AS cell
+  FROM {table}
+), cm_counts AS (
+  SELECT user_id, period, cell, COUNT(*) AS n
+  FROM cm_pts WHERE period IS NOT NULL
+  GROUP BY user_id, period, cell
+), cm_modal AS (
+  SELECT user_id, period, cell,
+         ROW_NUMBER() OVER (PARTITION BY user_id, period
+                            ORDER BY n DESC, cell) AS rn
+  FROM cm_counts
+)
+SELECT h.cell AS home_cell, w.cell AS work_cell,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM (SELECT user_id, cell FROM cm_modal WHERE period = 'home' AND rn = 1) h
+JOIN (SELECT user_id, cell FROM cm_modal WHERE period = 'work' AND rn = 1) w
+  ON h.user_id = w.user_id
+GROUP BY h.cell, w.cell"""
+
+
+def activity_cube(events: DataFrame, cell_shift: int = 8) -> DataFrame:
+    """OLAP CUBE census over (day, cell) — every grouping set of the two
+    dimensions in one pass: ``(day, cell, grp, n_events, n_users)`` where
+    ``grp`` is the grouping id (0 = both dims, 1 = day only, 2 = cell
+    only, 3 = grand total) and rolled-up dimensions carry the ``-1``
+    sentinel (NULL would make the engine-neutral sort ambiguous).  The
+    cube materialization a dashboard layer runs nightly — Spark's native
+    ``cube()`` exercises partial aggregation across ALL grouping sets in
+    one shuffle (never |sets| scans).
+
+    ``n_users`` is an exact COUNT(DISTINCT) per grouping set — the expand
+    + two-phase distinct plan; at extreme scale swap in the KMV sketch
+    (``rollup.cell_kmv``) per documented trade-off."""
+    from ..sources.derive import EDGE
+
+    pts = _with_coords_epoch(events)
+    step = 1 << int(cell_shift)
+    keyed = pts.select(
+        "user_id",
+        F.expr("CAST(ep DIV 86400 AS BIGINT)").alias("day"),
+        F.expr(
+            f"CAST(ex DIV {step} AS BIGINT) * {EDGE} "
+            f"+ CAST(ey DIV {step} AS BIGINT)"
+        ).alias("cell"),
+    )
+    return (
+        keyed.cube("day", "cell")
+        .agg(
+            F.grouping_id().cast("long").alias("grp"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            F.coalesce(F.col("day"), F.lit(-1)).cast("long").alias("day"),
+            F.coalesce(F.col("cell"), F.lit(-1)).cast("long").alias("cell"),
+            "grp",
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+def activity_cube_oracle(cell_shift: int = 8, table: str = "events") -> str:
+    """Engine-neutral replay as four explicit UNION arms (identical to the
+    cube's grouping sets, with the same grp codes and -1 sentinels) —
+    no reliance on DuckDB's GROUPING() encoding matching Spark's."""
+    from ..sources import derive
+    from ..sources.derive import EDGE
+
+    step = 1 << int(cell_shift)
+    base = f"""SELECT user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(({derive.x_sql('event_id')} // {step}) * {EDGE}
+              + ({derive.y_sql('event_id')} // {step}) AS BIGINT) AS cell
+  FROM {table}"""
+    return f"""WITH ac_keyed AS (
+  {base}
+)
+SELECT CAST(day AS BIGINT) AS day, CAST(cell AS BIGINT) AS cell,
+       CAST(0 AS BIGINT) AS grp, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM ac_keyed GROUP BY day, cell
+UNION ALL
+SELECT CAST(day AS BIGINT), CAST(-1 AS BIGINT), CAST(1 AS BIGINT),
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT user_id) AS BIGINT)
+FROM ac_keyed GROUP BY day
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(cell AS BIGINT), CAST(2 AS BIGINT),
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT user_id) AS BIGINT)
+FROM ac_keyed GROUP BY cell
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(3 AS BIGINT),
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT user_id) AS BIGINT)
+FROM ac_keyed"""
