@@ -2499,6 +2499,58 @@ def _activity_cube_oracle() -> str:
     return traj_ops.activity_cube_oracle(8)
 
 
+def _label_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-classifier accuracy over the labeled embeddings eval set
+    (`operators/similarity.py::label_knn_accuracy`)."""
+    return sim_ops.label_knn_accuracy(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), 5
+    )
+
+
+def _label_knn_accuracy_oracle() -> str:
+    return sim_ops.label_knn_accuracy_oracle(5)
+
+
+def _embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked near-dup cluster purity vs ground-truth labels
+    (`operators/similarity.py::embed_cluster_purity`)."""
+    return sim_ops.embed_cluster_purity(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), 3, 150_000
+    )
+
+
+def _embed_cluster_purity_oracle() -> str:
+    return sim_ops.embed_cluster_purity_oracle(3, 150_000, len(ANN_QUERY))
+
+
+def _format_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Shared shape of the source-format fidelity queries: export doc_geo
+    in ``fmt``, re-read with an explicit schema, and run the R1 box query
+    on the re-ingested table — equality with the box oracle on the
+    ORIGINAL corpus proves lossless type round-tripping
+    (`sources/readers.py::write_geo_*`/`read_geo_*`)."""
+    import os
+
+    from hilbert_curve_spark.sources import readers
+
+    dg = _doc_geo(spark, sf_dir)
+    path = f"/tmp/hcs_{fmt}_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    getattr(readers, f"write_geo_{fmt}")(dg, path)
+    back = getattr(readers, f"read_geo_{fmt}")(spark, path)
+    return back.filter(
+        (F.col("x") >= W.R1["x_lo"]) & (F.col("x") <= W.R1["x_hi"])
+        & (F.col("y") >= W.R1["y_lo"]) & (F.col("y") <= W.R1["y_hi"])
+    ).select("doc_id", "x", "y")
+
+
+def _jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip(spark, sf_dir, "jsonl")
+
+
+def _orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip(spark, sf_dir, "orc")
+
+
 def _core_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Home-range core area: smallest cell set holding >= 90% of the corpus
     (`operators/rollup.py::core_area`)."""
@@ -2881,6 +2933,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- wave 35 --
         "commute_matrix": _commute_matrix,
         "activity_cube": _activity_cube,
+        # -- wave 36 --
+        "label_knn_accuracy": _label_knn_accuracy,
+        "embed_cluster_purity": _embed_cluster_purity,
+        # -- wave 37 --
+        "jsonl_roundtrip": _jsonl_roundtrip,
+        "orc_roundtrip": _orc_roundtrip,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -3191,6 +3249,16 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": _pq_topk_oracle(),
         "commute_matrix": _commute_matrix_oracle(),
         "activity_cube": _activity_cube_oracle(),
+        "label_knn_accuracy": _label_knn_accuracy_oracle(),
+        "embed_cluster_purity": _embed_cluster_purity_oracle(),
+        "jsonl_roundtrip": (
+            f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo "
+            f"WHERE {W.box_sql(W.R1)}"
+        ),
+        "orc_roundtrip": (
+            f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo "
+            f"WHERE {W.box_sql(W.R1)}"
+        ),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

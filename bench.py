@@ -941,6 +941,20 @@ def _storage_queries(spark, geo):
         events = spark.read.parquet(f"{SF_DIR}/events.parquet")
         return activity_cube(events, 8).count()
 
+    def q_label_knn_accuracy():
+        from hilbert_curve_spark.operators.similarity import label_knn_accuracy
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        return label_knn_accuracy(emb, 5).count()
+
+    def q_embed_cluster_purity():
+        from hilbert_curve_spark.operators.similarity import (
+            embed_cluster_purity,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        return embed_cluster_purity(emb, 3, 150_000).count()
+
     return {
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
@@ -998,6 +1012,8 @@ def _storage_queries(spark, geo):
         "pq_topk": q_pq_topk,
         "commute_matrix": q_commute_matrix,
         "activity_cube": q_activity_cube,
+        "label_knn_accuracy": q_label_knn_accuracy,
+        "embed_cluster_purity": q_embed_cluster_purity,
     }
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
@@ -896,3 +896,248 @@ SELECT a.vec_id, CAST(SUM(l.qd) AS BIGINT) AS adc_dist
 FROM pq_fa a JOIN pq_lut l ON a.s = l.s AND a.cid = l.cid
 GROUP BY a.vec_id
 ORDER BY adc_dist, a.vec_id LIMIT {int(kq)}"""
+
+
+# ---------------------------------------------------------------------------
+# Evaluation suite over the labeled embeddings
+# ---------------------------------------------------------------------------
+
+
+def label_knn_accuracy(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """kNN-classifier EVALUATION over the labeled eval set — ``(label,
+    n_vecs, n_correct, acc_ppm)``: each vector is classified by the
+    majority label of its ``k`` nearest neighbors (exact int64-quantized
+    L2; PQ's quantizer, so the whole metric is exact-integer and
+    oracle-checkable), scored against its own label, reported per true
+    label in FLOOR-ppm.  The embedding-quality gate every training-data
+    pipeline runs before trusting the dedup/ANN layers.
+
+    Determinism: neighbor ties break on ``(dist, nbr_id)``, vote ties on
+    ``(count DESC, label ASC)``.
+
+    Plan note: the all-pairs distance join is O(n^2) BY DESIGN — labeled
+    eval sets are small by construction (this is the honest shape of an
+    eval job, not a serving path); past ~100k labeled rows swap the
+    candidate generator to the IVF/LSH layers and keep the identical
+    vote/score tail."""
+    base = embeddings.select(
+        "vec_id", F.col("label").cast("long").alias("label"),
+        F.expr(_pq_quant_sql()).alias("qv"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("alabel"),
+        F.col("qv").alias("aq"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("bid"),
+        F.col("label").alias("blabel"),
+        F.col("qv").alias("bq"),
+    )
+    dist = F.expr(
+        "aggregate(zip_with(aq, bq, (x, y) -> (x - y) * (x - y)), 0L, "
+        "(acc, v) -> acc + v)"
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("aid") != F.col("bid"))
+        .select("aid", "alabel", "bid", "blabel", dist.alias("d"))
+    )
+    wk = Window.partitionBy("aid").orderBy("d", "bid")
+    knn = pairs.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= int(k)
+    )
+    votes = knn.groupBy("aid", "alabel", "blabel").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wv = Window.partitionBy("aid").orderBy(F.desc("n"), F.asc("blabel"))
+    pred = (
+        votes.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") == 1)
+        .select(
+            "aid", "alabel", F.col("blabel").alias("pred")
+        )
+    )
+    return pred.groupBy(F.col("alabel").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(
+            F.when(F.col("pred") == F.col("alabel"), 1).otherwise(0)
+        ).cast("long").alias("n_correct"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN pred = alabel THEN 1 ELSE 0 END))"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("acc_ppm"),
+    )
+
+
+def label_knn_accuracy_oracle(k: int = 5, table: str = "embeddings") -> str:
+    """Identical quantization, distance, neighbor/vote tie-breaks, and
+    FLOOR-ppm accuracy."""
+    dim_probe = f"(SELECT len(embedding) FROM {table} LIMIT 1)"
+    # quantized int lists via explicit index join (engine-neutral)
+    return f"""WITH ka_q AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding, v ->
+           CAST(FLOOR(CAST(v AS DOUBLE) * {_PQ_SCALE}.0) AS BIGINT)
+           + {_PQ_OFFSET}) AS qv
+  FROM {table}
+), ka_pairs AS (
+  SELECT a.vec_id AS aid, a.label AS alabel, b.vec_id AS bid,
+         b.label AS blabel,
+         list_reduce(list_transform(list_zip(a.qv, b.qv),
+           p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS d
+  FROM ka_q a JOIN ka_q b ON a.vec_id <> b.vec_id
+), ka_knn AS (
+  SELECT * FROM (
+    SELECT aid, alabel, blabel,
+           ROW_NUMBER() OVER (PARTITION BY aid ORDER BY d, bid) AS rn
+    FROM ka_pairs
+  ) WHERE rn <= {int(k)}
+), ka_votes AS (
+  SELECT aid, alabel, blabel, COUNT(*) AS n
+  FROM ka_knn GROUP BY aid, alabel, blabel
+), ka_pred AS (
+  SELECT aid, alabel, blabel AS pred FROM (
+    SELECT aid, alabel, blabel,
+           ROW_NUMBER() OVER (PARTITION BY aid ORDER BY n DESC, blabel) AS rv
+    FROM ka_votes
+  ) WHERE rv = 1
+)
+SELECT alabel AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN pred = alabel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST((1000000 * SUM(CASE WHEN pred = alabel THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS acc_ppm
+FROM ka_pred GROUP BY alabel"""
+
+
+def _lsh_cos_pairs_sql(nbits: int, threshold_e6: int, dim: int, table: str) -> str:
+    """Oracle-side pair generator: sign-LSH bucket blocking + int-cosine
+    threshold (same plane literals, fold order, and FLOOR as the Spark
+    side)."""
+    planes = _planes(dim, nbits)
+    dot_of = lambda plane_lit: (  # noqa: E731
+        f"list_reduce(list_transform(list_zip(embedding, {plane_lit}), "
+        f"p -> CAST(p[1] AS DOUBLE) * p[2]), (a, b) -> a + b)"
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_of(_plane_lit_duck(p))} > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    dot = (
+        "list_reduce(list_transform(list_zip(a.embedding, b.embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    norm = (
+        "SQRT(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE) "
+        "* CAST(v AS DOUBLE)), (x, y) -> x + y))"
+    )
+    return f"""WITH eb AS (
+  SELECT vec_id, embedding, {norm} AS nrm, ({bucket}) AS bucket FROM {table}
+)
+SELECT doc_a, doc_b FROM (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         CAST(FLOOR(1000000.0 * {dot} / (a.nrm * b.nrm)) AS BIGINT) AS cos_e6
+  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE cos_e6 >= {int(threshold_e6)}"""
+
+
+def embed_cluster_purity(
+    embeddings: DataFrame, nbits: int = 3, threshold_e6: int = 150_000
+) -> DataFrame:
+    """Cluster-quality EVALUATION of the embedding near-dup graph against
+    the ground-truth labels — ``(cluster, size, top_label, n_top,
+    purity_ppm)``: sign-LSH-bucketed cosine pairs (the honest at-scale
+    candidate generator — NOT label blocking, which would make purity
+    trivially 1e6) feed the alternating-star connected components, and
+    each multi-vector cluster is scored by its majority label's share in
+    FLOOR-ppm.  The dedup-threshold tuning loop made a first-class,
+    oracle-checked job.
+
+    Plan: the pair join is bucket-blocked (2^nbits buckets), CC is the
+    shuffle-bounded min-agg star algorithm, purity is one labels
+    broadcast join + two cluster-bounded aggs."""
+    from .graph import dedup_clusters
+
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    n = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"SQRT({_norm2_sql('embedding')})").alias("nrm"),
+        lsh_bucket_expr(dim, nbits).alias("bucket"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = F.expr(
+        f"CAST(FLOOR(1000000.0 * {_dot_sql('a.embedding', 'b.embedding')} "
+        f"/ (a.nrm * b.nrm)) AS BIGINT)"
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            cos.alias("cos_e6"),
+        )
+        .filter(F.col("cos_e6") >= int(threshold_e6))
+    )
+    cc = dedup_clusters(pairs)
+    labeled = cc.join(
+        F.broadcast(
+            embeddings.select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("label").cast("long").alias("label"),
+            )
+        ),
+        "doc_id",
+    )
+    counts = labeled.groupBy("rep_id", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("rep_id").orderBy(F.desc("n"), F.asc("label"))
+    ws = Window.partitionBy("rep_id")
+    return (
+        counts.withColumn("size", F.sum("n").over(ws))
+        .withColumn("rt", F.row_number().over(wt))
+        .filter(F.col("rt") == 1)
+        .select(
+            F.col("rep_id").alias("cluster"),
+            F.col("size").cast("long").alias("size"),
+            F.col("label").alias("top_label"),
+            F.col("n").cast("long").alias("n_top"),
+            F.expr("CAST((1000000 * n) DIV size AS BIGINT)").alias(
+                "purity_ppm"
+            ),
+        )
+    )
+
+
+def embed_cluster_purity_oracle(
+    nbits: int = 3, threshold_e6: int = 150_000, dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    from .graph import _cc_closure_sql
+
+    pairs_sql = _lsh_cos_pairs_sql(nbits, threshold_e6, dim, table)
+    return (
+        _cc_closure_sql(pairs_sql)
+        + f""", cp_cc AS (
+  SELECT node AS doc_id, MIN(label) AS rep_id FROM cc GROUP BY node
+), cp_lbl AS (
+  SELECT c.rep_id, CAST(e.label AS BIGINT) AS label, COUNT(*) AS n
+  FROM cp_cc c JOIN {table} e ON c.doc_id = e.vec_id
+  GROUP BY c.rep_id, e.label
+), cp_rank AS (
+  SELECT rep_id, label, n,
+         ROW_NUMBER() OVER (PARTITION BY rep_id ORDER BY n DESC, label) AS rt,
+         SUM(n) OVER (PARTITION BY rep_id) AS size
+  FROM cp_lbl
+)
+SELECT rep_id AS cluster, CAST(size AS BIGINT) AS size, label AS top_label,
+       CAST(n AS BIGINT) AS n_top,
+       CAST((1000000 * n) // size AS BIGINT) AS purity_ppm
+FROM cp_rank WHERE rt = 1"""
+    )

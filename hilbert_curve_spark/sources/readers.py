@@ -102,3 +102,30 @@ def osm_latest_nodes(nodes: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("osm_id", "latitude", "longitude")
     )
+
+
+_GEO_EXPORT_SCHEMA = "doc_id STRING, x BIGINT, y BIGINT"
+
+
+def write_geo_jsonl(doc_geo: DataFrame, path: str) -> None:
+    """doc_geo -> JSON-lines export (doc_id, x, y) — the interchange shape
+    downstream labeling / annotation tools consume."""
+    doc_geo.select("doc_id", "x", "y").write.mode("overwrite").json(path)
+
+
+def read_geo_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines -> typed DataFrame with an EXPLICIT schema — inference
+    on 10^12 rows means a full extra pass and nondeterministic widening;
+    a stated schema is both the fast and the correct path."""
+    return spark.read.schema(_GEO_EXPORT_SCHEMA).json(path)
+
+
+def write_geo_orc(doc_geo: DataFrame, path: str) -> None:
+    """doc_geo -> ORC export (doc_id, x, y) — the columnar alternative for
+    Hive-ecosystem consumers; Spark's native ORC writer, no extra
+    packages."""
+    doc_geo.select("doc_id", "x", "y").write.mode("overwrite").orc(path)
+
+
+def read_geo_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(_GEO_EXPORT_SCHEMA).orc(path)
