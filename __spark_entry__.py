@@ -2551,6 +2551,36 @@ def _orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _format_roundtrip(spark, sf_dir, "orc")
 
 
+def _traj_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-tick trajectory resampling with exact-integer lerp
+    (`operators/trajectory.py::traj_resample`)."""
+    return traj_ops.traj_resample(_events(spark, sf_dir), 21600)
+
+
+def _traj_resample_oracle() -> str:
+    return traj_ops.traj_resample_oracle(21600)
+
+
+def _markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-time next-cell Markov prediction accuracy
+    (`operators/trajectory.py::markov_accuracy`)."""
+    return traj_ops.markov_accuracy(_events(spark, sf_dir), 8, W.MARKOV_SPLIT_S)
+
+
+def _markov_accuracy_oracle() -> str:
+    return traj_ops.markov_accuracy_oracle(8, W.MARKOV_SPLIT_S)
+
+
+def _cell_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell lag-1 temporal autocorrelation sufficient statistics
+    (`operators/trajectory.py::cell_autocorr`)."""
+    return traj_ops.cell_autocorr(_events(spark, sf_dir), 8)
+
+
+def _cell_autocorr_oracle() -> str:
+    return traj_ops.cell_autocorr_oracle(8)
+
+
 def _core_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Home-range core area: smallest cell set holding >= 90% of the corpus
     (`operators/rollup.py::core_area`)."""
@@ -2939,6 +2969,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- wave 37 --
         "jsonl_roundtrip": _jsonl_roundtrip,
         "orc_roundtrip": _orc_roundtrip,
+        # -- wave 38 --
+        "traj_resample": _traj_resample,
+        "markov_accuracy": _markov_accuracy,
+        "cell_autocorr": _cell_autocorr,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -3259,6 +3293,9 @@ def oracle_sql() -> dict[str, str]:
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo "
             f"WHERE {W.box_sql(W.R1)}"
         ),
+        "traj_resample": _traj_resample_oracle(),
+        "markov_accuracy": _markov_accuracy_oracle(),
+        "cell_autocorr": _cell_autocorr_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

@@ -955,6 +955,24 @@ def _storage_queries(spark, geo):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         return embed_cluster_purity(emb, 3, 150_000).count()
 
+    def q_traj_resample():
+        from hilbert_curve_spark.operators.trajectory import traj_resample
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return traj_resample(events, 21600).count()
+
+    def q_markov_accuracy():
+        from hilbert_curve_spark.operators.trajectory import markov_accuracy
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return markov_accuracy(events, 8, W.MARKOV_SPLIT_S).count()
+
+    def q_cell_autocorr():
+        from hilbert_curve_spark.operators.trajectory import cell_autocorr
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return cell_autocorr(events, 8).count()
+
     return {
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
@@ -1014,6 +1032,9 @@ def _storage_queries(spark, geo):
         "activity_cube": q_activity_cube,
         "label_knn_accuracy": q_label_knn_accuracy,
         "embed_cluster_purity": q_embed_cluster_purity,
+        "traj_resample": q_traj_resample,
+        "markov_accuracy": q_markov_accuracy,
+        "cell_autocorr": q_cell_autocorr,
     }
 
 

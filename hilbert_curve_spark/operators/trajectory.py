@@ -2627,3 +2627,345 @@ UNION ALL
 SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(3 AS BIGINT),
        CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT user_id) AS BIGINT)
 FROM ac_keyed"""
+
+
+def traj_resample(events: DataFrame, step_s: int = 21600) -> DataFrame:
+    """Fixed-tick trajectory RESAMPLING — ``(user_id, tick_s, x, y)``: each
+    user's position linearly interpolated at every epoch multiple of
+    ``step_s`` inside their observed span (first event <= tick <= last
+    event).  Resampling is the canonical trajectory-normalization step
+    before any cross-user comparison (Hausdorff, co-location, convoy
+    mining): raw event streams sample each user at arbitrary times, the
+    resampled grid makes them directly joinable on ``tick_s``.  The
+    reference has no temporal surface (static points only,
+    `Scheme/RSKQ/RSKQ_Biginteger.java:1008, reference`); this is the
+    movement-analytics companion built on the same derived lattice.
+
+    Interpolation is exact-integer: with bracketing events ``p`` (latest
+    event at or before the tick, ties to the largest ``event_id``) and
+    ``n`` (earliest at or after, ties to the smallest ``event_id``),
+    ``x = px + ((nx - px) * (tick - pt)) DIV (nt - pt)`` (and same for
+    ``y``) when ``nt > pt``, else ``px``.  Both engines truncate integer
+    division toward zero (Spark ``DIV``, DuckDB ``//`` — verified on
+    negative numerators), so the lerp is bit-reproducible.
+
+    Plan: one tiny per-user min/max agg (map-side combine) generates the
+    tick rows via native ``sequence`` explode — never more than
+    ``span/step_s`` rows per user; the bracketing lookup is the union +
+    two-direction ``last(... ignorenulls)`` as-of pattern
+    (:func:`events.asof_enrich` family): event rows and tick rows union,
+    ONE user_id shuffle, and both window directions reuse the same
+    Exchange (ascending and descending sorts over one partitioning).  No
+    range join, no per-tick probe.  100 TB: bucket events by user_id and
+    the shuffle disappears; state per user is one row."""
+    step = int(step_s)
+    pts = _with_coords_epoch(events).select(
+        "user_id", "ep", "event_id", F.col("ex").alias("x"), F.col("ey").alias("y")
+    )
+    bounds = pts.groupBy("user_id").agg(
+        F.min("ep").alias("ep_lo"), F.max("ep").alias("ep_hi")
+    )
+    ticks = bounds.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN ((ep_lo + {step} - 1) DIV {step}) * {step} "
+                f"          <= (ep_hi DIV {step}) * {step} "
+                f"THEN sequence(((ep_lo + {step} - 1) DIV {step}) * {step}, "
+                f"              (ep_hi DIV {step}) * {step}, {step}) "
+                f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+            )
+        ).alias("t"),
+    ).select(
+        "user_id",
+        F.col("t").cast("long").alias("t"),
+        F.lit(1).alias("is_tick"),
+        F.lit(None).cast("long").alias("eid"),
+        F.lit(None).cast("long").alias("x"),
+        F.lit(None).cast("long").alias("y"),
+    )
+    evs = pts.select(
+        "user_id",
+        F.col("ep").alias("t"),
+        F.lit(0).alias("is_tick"),
+        F.col("event_id").alias("eid"),
+        "x",
+        "y",
+    )
+    u = evs.unionByName(ticks)
+    # prev = latest event at-or-before the tick (event sorts before the tick
+    # at equal t via is_tick; max event_id on equal ep); next = earliest
+    # at-or-after (min event_id on equal ep), via the reversed scan
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_tick", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").desc(), F.col("is_tick").asc(), F.col("eid").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lerp = (
+        "CAST(CASE WHEN nt > pt THEN p{c} + ((n{c} - p{c}) * (t - pt)) DIV (nt - pt) "
+        "ELSE p{c} END AS BIGINT)"
+    )
+    enriched = (
+        u.withColumn("pt", F.last(F.when(F.col("is_tick") == 0, F.col("t")), True).over(w_fwd))
+        .withColumn("px", F.last(F.when(F.col("is_tick") == 0, F.col("x")), True).over(w_fwd))
+        .withColumn("py", F.last(F.when(F.col("is_tick") == 0, F.col("y")), True).over(w_fwd))
+        .withColumn("nt", F.last(F.when(F.col("is_tick") == 0, F.col("t")), True).over(w_rev))
+        .withColumn("nx", F.last(F.when(F.col("is_tick") == 0, F.col("x")), True).over(w_rev))
+        .withColumn("ny", F.last(F.when(F.col("is_tick") == 0, F.col("y")), True).over(w_rev))
+    )
+    return (
+        enriched.filter(F.col("is_tick") == 1)
+        .select(
+            "user_id",
+            F.col("t").alias("tick_s"),
+            F.expr(lerp.format(c="x")).alias("x"),
+            F.expr(lerp.format(c="y")).alias("y"),
+        )
+    )
+
+
+def traj_resample_oracle(step_s: int = 21600, table: str = "events") -> str:
+    """Identical union + two-direction as-of windows and truncating lerp."""
+    from ..sources import derive
+
+    step = int(step_s)
+    lerp = (
+        "CAST(CASE WHEN nt > pt THEN p{c} + ((n{c} - p{c}) * (t - pt)) // (nt - pt) "
+        "ELSE p{c} END AS BIGINT)"
+    )
+    return f"""WITH rs_pts AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep, event_id,
+         {derive.x_sql('event_id')} AS x, {derive.y_sql('event_id')} AS y
+  FROM {table}
+), rs_bounds AS (
+  SELECT user_id, MIN(ep) AS ep_lo, MAX(ep) AS ep_hi FROM rs_pts GROUP BY user_id
+), rs_ticks AS (
+  SELECT user_id, CAST(t AS BIGINT) AS t, 1 AS is_tick,
+         CAST(NULL AS BIGINT) AS eid, CAST(NULL AS BIGINT) AS x,
+         CAST(NULL AS BIGINT) AS y
+  FROM rs_bounds, UNNEST(CASE WHEN ((ep_lo + {step} - 1) // {step}) * {step}
+                                   <= (ep_hi // {step}) * {step}
+      THEN generate_series(((ep_lo + {step} - 1) // {step}) * {step},
+                           (ep_hi // {step}) * {step}, {step})
+      ELSE CAST([] AS BIGINT[]) END) AS s(t)
+), rs_u AS (
+  SELECT user_id, ep AS t, 0 AS is_tick, event_id AS eid, x, y FROM rs_pts
+  UNION ALL SELECT * FROM rs_ticks
+), rs_enriched AS (
+  SELECT user_id, t, is_tick,
+         LAST_VALUE(CASE WHEN is_tick = 0 THEN t END IGNORE NULLS) OVER w_fwd AS pt,
+         LAST_VALUE(CASE WHEN is_tick = 0 THEN x END IGNORE NULLS) OVER w_fwd AS px,
+         LAST_VALUE(CASE WHEN is_tick = 0 THEN y END IGNORE NULLS) OVER w_fwd AS py,
+         LAST_VALUE(CASE WHEN is_tick = 0 THEN t END IGNORE NULLS) OVER w_rev AS nt,
+         LAST_VALUE(CASE WHEN is_tick = 0 THEN x END IGNORE NULLS) OVER w_rev AS nx,
+         LAST_VALUE(CASE WHEN is_tick = 0 THEN y END IGNORE NULLS) OVER w_rev AS ny
+  FROM rs_u
+  WINDOW w_fwd AS (PARTITION BY user_id ORDER BY t, is_tick, eid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_rev AS (PARTITION BY user_id ORDER BY t DESC, is_tick ASC, eid DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, CAST(t AS BIGINT) AS tick_s,
+       {lerp.format(c='x')} AS x, {lerp.format(c='y')} AS y
+FROM rs_enriched WHERE is_tick = 1"""
+
+
+def markov_accuracy(
+    events: DataFrame, cell_shift: int = 8, split_s: int = 1705881600
+) -> DataFrame:
+    """First-order Markov NEXT-CELL prediction, evaluated out-of-time —
+    ``(cell, predicted, n_eval, n_correct)``: per origin cell, the
+    most-frequent next cell learned from transitions BEFORE ``split_s``
+    (ties to the smallest next-cell id), scored against the transitions
+    at-or-after it.  This is the train/eval-split evaluation primitive of
+    a mobility-prediction pipeline (the location analogue of
+    ``label_knn_accuracy``): the engine must never let eval rows leak
+    into the model, and the split is on the LATER event of each
+    transition, so every scored pair is wholly unseen.
+
+    Origin cells with no training transitions are dropped from the eval
+    (no model row — documented; an inner join, not a silent 0).
+
+    Plan: one user_id shuffle builds the time-ordered transition pairs
+    (lag window, ``(ep, event_id)`` tie-break); the model is a
+    histogram-sized (origin, next) count + per-origin arg-max window; the
+    eval-side histogram broadcast-joins the model (both bounded by
+    distinct cell pairs, never events).  100 TB: events bucketed by
+    user_id make the pair stage shuffle-free; the model is tiny by
+    construction (<= cells^2 rows)."""
+    from ..sources.derive import EDGE
+
+    step = 1 << int(cell_shift)
+    split = int(split_s)
+    pts = _with_coords_epoch(events).select(
+        "user_id",
+        "ep",
+        "event_id",
+        F.expr(
+            f"CAST(ex DIV {step} AS BIGINT) * {EDGE} + CAST(ey DIV {step} AS BIGINT)"
+        ).alias("cell"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    pairs = (
+        pts.withColumn("prev_cell", F.lag("cell").over(w))
+        .filter(F.col("prev_cell").isNotNull())
+        .select("prev_cell", "cell", "ep")
+    )
+    train = (
+        pairs.filter(F.col("ep") < split)
+        .groupBy("prev_cell", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wm = Window.partitionBy("prev_cell").orderBy(F.col("n").desc(), F.col("cell").asc())
+    model = (
+        train.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select("prev_cell", F.col("cell").alias("predicted"))
+    )
+    ev = (
+        pairs.filter(F.col("ep") >= split)
+        .groupBy("prev_cell", "cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        ev.join(F.broadcast(model), "prev_cell")
+        .groupBy(F.col("prev_cell").alias("cell"), "predicted")
+        .agg(
+            F.sum("n").cast("long").alias("n_eval"),
+            F.sum(F.when(F.col("cell") == F.col("predicted"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        )
+    )
+
+
+def markov_accuracy_oracle(
+    cell_shift: int = 8, split_s: int = 1705881600, table: str = "events"
+) -> str:
+    """Identical pair derivation, arg-max tie-break, and split rule."""
+    from ..sources import derive
+    from ..sources.derive import EDGE
+
+    step = 1 << int(cell_shift)
+    split = int(split_s)
+    return f"""WITH mk_pts AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep, event_id,
+         CAST(({derive.x_sql('event_id')} // {step}) * {EDGE}
+              + ({derive.y_sql('event_id')} // {step}) AS BIGINT) AS cell
+  FROM {table}
+), mk_pairs AS (
+  SELECT LAG(cell) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS prev_cell,
+         cell, ep
+  FROM mk_pts
+), mk_train AS (
+  SELECT prev_cell, cell, COUNT(*) AS n
+  FROM mk_pairs WHERE prev_cell IS NOT NULL AND ep < {split}
+  GROUP BY prev_cell, cell
+), mk_model AS (
+  SELECT prev_cell, cell AS predicted
+  FROM (SELECT prev_cell, cell,
+               ROW_NUMBER() OVER (PARTITION BY prev_cell
+                                  ORDER BY n DESC, cell ASC) AS rk
+        FROM mk_train)
+  WHERE rk = 1
+), mk_eval AS (
+  SELECT prev_cell, cell, CAST(COUNT(*) AS BIGINT) AS n
+  FROM mk_pairs WHERE prev_cell IS NOT NULL AND ep >= {split}
+  GROUP BY prev_cell, cell
+)
+SELECT e.prev_cell AS cell, m.predicted,
+       CAST(SUM(e.n) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN e.cell = m.predicted THEN e.n ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM mk_eval e JOIN mk_model m ON e.prev_cell = m.prev_cell
+GROUP BY e.prev_cell, m.predicted"""
+
+
+def cell_autocorr(events: DataFrame, cell_shift: int = 8) -> DataFrame:
+    """Per-cell temporal LAG-1 autocorrelation sufficient statistics —
+    ``(cell, n_hours, s_cnt, s_sq, n_pairs, lag_prod)`` over the cell's
+    hourly visit-count series: ``n_hours`` occupied hour buckets,
+    ``s_cnt``/``s_sq`` the count sum and sum of squares, and over PRESENT-
+    ADJACENT hour pairs (bucket ``h`` and ``h+1`` both occupied)
+    ``n_pairs`` and the co-moment ``lag_prod = SUM(n_h * n_{h+1})``.
+    Integer sufficient statistics instead of a float coefficient keep the
+    result bit-exact across engines (the ``global_moran`` convention —
+    assemble r in the notebook, not the shuffle); absent hours are zero
+    counts, which contribute nothing to the co-moment, so restricting
+    pairs to present-adjacent buckets loses nothing.
+
+    Periodicity screening over the raster: commuter cells (strong hourly
+    persistence) score high lag products relative to their variance;
+    burst cells don't.  Complements :func:`cell_dow_anomaly` (weekly
+    profile) and :func:`cell_peak_hours` (diurnal profile) with the
+    sequential-dependence axis.
+
+    Plan: one (cell, hour) hash agg with map-side combine over the events
+    pass, then a lag window + final agg both partitioned by cell —
+    histogram-sized frames end to end."""
+    from ..sources.derive import EDGE
+
+    step = 1 << int(cell_shift)
+    pts = _with_coords_epoch(events)
+    hourly = (
+        pts.select(
+            F.expr(
+                f"CAST(ex DIV {step} AS BIGINT) * {EDGE} + CAST(ey DIV {step} AS BIGINT)"
+            ).alias("cell"),
+            F.expr("CAST(ep DIV 3600 AS BIGINT)").alias("hr"),
+        )
+        .groupBy("cell", "hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("cell").orderBy("hr")
+    return (
+        hourly.withColumn("p_hr", F.lag("hr").over(w))
+        .withColumn("p_n", F.lag("n").over(w))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("n").cast("long").alias("s_cnt"),
+            F.sum(F.col("n") * F.col("n")).cast("long").alias("s_sq"),
+            F.sum(
+                F.when(F.col("p_hr") == F.col("hr") - 1, 1).otherwise(0)
+            ).cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("p_hr") == F.col("hr") - 1, F.col("n") * F.col("p_n"))
+                .otherwise(0)
+            ).cast("long").alias("lag_prod"),
+        )
+    )
+
+
+def cell_autocorr_oracle(cell_shift: int = 8, table: str = "events") -> str:
+    """Identical hourly histogram, adjacency test, and integer moments."""
+    from ..sources import derive
+    from ..sources.derive import EDGE
+
+    step = 1 << int(cell_shift)
+    return f"""WITH au_hourly AS (
+  SELECT CAST(({derive.x_sql('event_id')} // {step}) * {EDGE}
+              + ({derive.y_sql('event_id')} // {step}) AS BIGINT) AS cell,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM {table} GROUP BY 1, 2
+), au_lagged AS (
+  SELECT cell, n,
+         LAG(hr) OVER (PARTITION BY cell ORDER BY hr) AS p_hr,
+         LAG(n) OVER (PARTITION BY cell ORDER BY hr) AS p_n,
+         hr
+  FROM au_hourly
+)
+SELECT cell,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(n) AS BIGINT) AS s_cnt,
+       CAST(SUM(n * n) AS BIGINT) AS s_sq,
+       CAST(SUM(CASE WHEN p_hr = hr - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN p_hr = hr - 1 THEN n * p_n ELSE 0 END) AS BIGINT)
+         AS lag_prod
+FROM au_lagged GROUP BY cell"""

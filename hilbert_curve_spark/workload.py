@@ -330,3 +330,9 @@ RING_POLYGONS = [
         ],
     ),
 ]
+
+# Markov next-cell evaluation: the out-of-time split (2024-01-22 00:00 UTC,
+# epoch whole seconds) — ~70/30 train/eval over the 30-day events span; the
+# split applies to the LATER event of each transition so no eval pair ever
+# contributes to the model.
+MARKOV_SPLIT_S = 1705881600
