@@ -2581,6 +2581,37 @@ def _cell_autocorr_oracle() -> str:
     return traj_ops.cell_autocorr_oracle(8)
 
 
+def _anon_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity cell-generalization publication plan
+    (`operators/rollup.py::anon_cells`)."""
+    from hilbert_curve_spark.operators.rollup import anon_cells
+
+    return anon_cells(_doc_geo(spark, sf_dir), W.K_ANON, W.PYRAMID_LEVELS, DEFAULT)
+
+
+def _anon_cells_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import anon_cells_oracle_select
+
+    hcte = tiles_ops.hilbert_sql_cte(
+        DEFAULT.order,
+        "SELECT x AS cx, y AS cy FROM doc_geo",
+        pre_ctes=f"doc_geo AS ({derive.doc_geo_select_sql('documents')}), ",
+    )
+    return f"{hcte}{anon_cells_oracle_select(W.K_ANON, W.PYRAMID_LEVELS, DEFAULT)}"
+
+
+def _contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim eval-probe contamination screen over the documents table
+    (`operators/textops.py::contamination_scan`)."""
+    return textops.contamination_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), W.EVAL_PROBES
+    )
+
+
+def _contamination_scan_oracle() -> str:
+    return textops.contamination_scan_oracle(W.EVAL_PROBES)
+
+
 def _core_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Home-range core area: smallest cell set holding >= 90% of the corpus
     (`operators/rollup.py::core_area`)."""
@@ -2973,6 +3004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_resample": _traj_resample,
         "markov_accuracy": _markov_accuracy,
         "cell_autocorr": _cell_autocorr,
+        # -- wave 39 --
+        "anon_cells": _anon_cells,
+        "contamination_scan": _contamination_scan,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -3296,6 +3330,8 @@ def oracle_sql() -> dict[str, str]:
         "traj_resample": _traj_resample_oracle(),
         "markov_accuracy": _markov_accuracy_oracle(),
         "cell_autocorr": _cell_autocorr_oracle(),
+        "anon_cells": _anon_cells_oracle(),
+        "contamination_scan": _contamination_scan_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

@@ -973,6 +973,17 @@ def _storage_queries(spark, geo):
         events = spark.read.parquet(f"{SF_DIR}/events.parquet")
         return cell_autocorr(events, 8).count()
 
+    def q_anon_cells():
+        from hilbert_curve_spark.operators.rollup import anon_cells
+
+        return anon_cells(geo, W.K_ANON, W.PYRAMID_LEVELS).count()
+
+    def q_contamination_scan():
+        from hilbert_curve_spark.operators.textops import contamination_scan
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return contamination_scan(docs, W.EVAL_PROBES).count()
+
     return {
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
@@ -1035,6 +1046,8 @@ def _storage_queries(spark, geo):
         "traj_resample": q_traj_resample,
         "markov_accuracy": q_markov_accuracy,
         "cell_autocorr": q_cell_autocorr,
+        "anon_cells": q_anon_cells,
+        "contamination_scan": q_contamination_scan,
     }
 
 

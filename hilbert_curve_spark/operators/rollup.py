@@ -1696,3 +1696,129 @@ SELECT c.gx, c.gy, c.n_docs,
        CAST(COALESCE(g.sgx, 0) * COALESCE(g.sgx, 0)
             + COALESCE(g.sgy, 0) * COALESCE(g.sgy, 0) AS BIGINT) AS g2
 FROM sg_cells c LEFT JOIN sg_grad g ON c.gx = g.tgx AND c.gy = g.tgy"""
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity cell generalization (privacy-preserving publication plan)
+# ---------------------------------------------------------------------------
+
+
+def anon_cells(
+    doc_geo: DataFrame, k: int, levels: int = 5, config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """k-anonymity GENERALIZATION plan over the cell pyramid —
+    ``(level, cell, n_pub, region_total)``: every document is published at
+    the FINEST pyramid level whose enclosing cell holds at least ``k``
+    documents (population-threshold cell generalization, the standard
+    release rule for location data: any published region is guaranteed to
+    contain >= k individuals, so a row can never be pinned below
+    k-anonymity).  Rows that qualify at no level, even the coarsest, are
+    SUPPRESSED and reported as the sentinel group ``(-1, -1, n, n)`` —
+    emitted unconditionally (0 when nothing is suppressed) so the output
+    schema and row-set shape are data-independent.
+
+    ``n_pub`` is how many documents the (level, cell) group publishes;
+    ``region_total`` is the region's full population (>= k by
+    construction — the guarantee the release relies on; ``n_pub`` itself
+    may be smaller because finer-qualifying documents left the group).
+
+    This is the privacy-pipeline counterpart of :func:`cell_pyramid`
+    (reference has no privacy surface; the pyramid convention is
+    `operators/rollup.py::cell_pyramid`, quad merges of the Hilbert cell
+    id).  Plan: everything after the ONE salted corpus scan is
+    histogram-sized — the per-level decision is a pure function of the
+    base cell (all docs in a base cell share it), so the corpus is never
+    re-touched: base histogram -> pyramid union -> level fan-out join
+    (histogram x levels rows) -> per-base-cell min-level -> final group.
+    At 10^12 docs every frame after the scan is bounded by the fixed grid
+    size, not the data."""
+    kk = int(k)
+    lv = int(levels)
+    base = salted_cell_counts(doc_geo, config).localCheckpoint()
+    ancestors = (
+        f"transform(sequence(0, {lv - 1}), "
+        f"l -> named_struct('level', CAST(l AS INT), 'pcell', shiftright(cell, 2 * l)))"
+    )
+    pyr = (
+        base.select(F.explode(F.expr(ancestors)).alias("e"), "n_docs")
+        .groupBy(F.col("e.level").alias("level"), F.col("e.pcell").alias("pcell"))
+        .agg(F.sum("n_docs").cast("long").alias("total"))
+    )
+    cand = base.select(
+        "cell",
+        "n_docs",
+        F.explode(F.expr(f"sequence(0, {lv - 1})")).alias("level"),
+    ).withColumn("pcell", F.expr("shiftright(cell, 2 * level)"))
+    chosen = (
+        cand.join(pyr, ["level", "pcell"])
+        .filter(F.col("total") >= kk)
+        .groupBy("cell", "n_docs")
+        .agg(F.min(F.struct("level", "pcell", "total")).alias("ch"))
+    )
+    published = chosen.groupBy(
+        F.col("ch.level").alias("level"), F.col("ch.pcell").alias("cell")
+    ).agg(
+        F.sum("n_docs").cast("long").alias("n_pub"),
+        F.min("ch.total").cast("long").alias("region_total"),
+    )
+    supp = (
+        base.join(chosen.select("cell"), "cell", "anti")
+        .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_pub"))
+        .select(
+            F.lit(-1).cast("int").alias("level"),
+            F.lit(-1).cast("long").alias("cell"),
+            "n_pub",
+            F.col("n_pub").alias("region_total"),
+        )
+    )
+    return published.select(
+        F.col("level").cast("int"), F.col("cell").cast("long"), "n_pub", "region_total"
+    ).unionByName(supp)
+
+
+def anon_cells_oracle_select(
+    k: int, levels: int = 5, config: EngineConfig = DEFAULT
+) -> str:
+    """SELECT body over the ``doc_geo``+``hv`` CTE chain (the caller
+    supplies the recursive hilbert computation, exactly as the
+    cell_pyramid oracle).  Identical pyramid, threshold, min-level rule,
+    and unconditional suppression sentinel."""
+    kk = int(k)
+    lv = int(levels)
+    shift = 2 * config.cell_shift
+    pyr_arms = " UNION ALL ".join(
+        f"SELECT CAST({l} AS INT) AS level, cell >> {2 * l} AS pcell, "
+        f"CAST(SUM(n_docs) AS BIGINT) AS total FROM an_base GROUP BY 2"
+        for l in range(lv)
+    )
+    lvl_values = ", ".join(f"({l})" for l in range(lv))
+    return f""", an_base AS (
+  SELECT hv.hilbert >> {shift} AS cell, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM doc_geo d JOIN hv ON d.x = hv.cx AND d.y = hv.cy GROUP BY 1
+), an_pyr AS (
+  {pyr_arms}
+), an_cand AS (
+  SELECT b.cell, b.n_docs, CAST(l.level AS INT) AS level,
+         b.cell >> (2 * l.level) AS pcell
+  FROM an_base b, (VALUES {lvl_values}) l(level)
+), an_chosen AS (
+  SELECT c.cell, c.n_docs,
+         MIN({{'level': c.level, 'pcell': c.pcell, 'total': p.total}}) AS ch
+  FROM an_cand c
+  JOIN an_pyr p ON p.level = c.level AND p.pcell = c.pcell
+  WHERE p.total >= {kk}
+  GROUP BY c.cell, c.n_docs
+), an_flat AS (
+  SELECT cell, n_docs, CAST(ch['level'] AS INT) AS level,
+         CAST(ch['pcell'] AS BIGINT) AS pcell,
+         CAST(ch['total'] AS BIGINT) AS total
+  FROM an_chosen
+)
+SELECT level, pcell AS cell, CAST(SUM(n_docs) AS BIGINT) AS n_pub,
+       CAST(MIN(total) AS BIGINT) AS region_total
+FROM an_flat GROUP BY level, pcell
+UNION ALL
+SELECT CAST(-1 AS INT), CAST(-1 AS BIGINT),
+       CAST(COALESCE(SUM(n_docs), 0) AS BIGINT),
+       CAST(COALESCE(SUM(n_docs), 0) AS BIGINT)
+FROM an_base WHERE cell NOT IN (SELECT cell FROM an_flat)"""

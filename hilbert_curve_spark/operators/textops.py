@@ -415,3 +415,66 @@ pc AS (
 SELECT p.kw, CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS exact_n,
        CAST(est.cms_est AS BIGINT) AS cms_est
 FROM probes p LEFT JOIN exact e ON p.kw = e.kw JOIN est ON p.kw = est.kw"""
+
+
+# ---------------------------------------------------------------------------
+# eval-set contamination scan (literal probe phrases)
+# ---------------------------------------------------------------------------
+
+
+def contamination_scan(
+    docs: DataFrame, probes: list[tuple[str, str]]
+) -> DataFrame:
+    """Training-data CONTAMINATION screen — ``(probe_id, n_docs, n_occ)``:
+    for each literal probe phrase (a held-out eval question, a benchmark
+    canary string), how many corpus documents contain it verbatim and how
+    many total occurrences exist.  The occurrence count is the exact
+    non-overlapping count via the replace identity ``(len(t) -
+    len(replace(t, p, ''))) / len(p)`` — integer-divisible by
+    construction, identical semantics in both engines.  Probes with zero
+    hits still report (every document emits a row per probe, so the
+    output schema and row count are |probes|, data-independent).
+
+    This is the verbatim tier of the contamination ladder: exact phrase
+    here, near-verbatim via :func:`.dedup.containment_pairs` (shingle
+    containment), semantic via the embedding families.  Plan: ONE codegen
+    projection — the probe array is a literal, the explode fans each doc
+    to |probes| rows inside whole-stage codegen, and the aggregation is a
+    map-side-combined |probes|-group hash agg.  Fine to ~100 probes; at
+    thousands of probes switch to a broadcast probe table + an
+    Aho-Corasick ``mapInPandas`` pass (one automaton scan per doc instead
+    of |probes| substring scans)."""
+    quoted = ", ".join(
+        f"named_struct('probe_id', '{pid}', 'p', '{pat}')" for pid, pat in probes
+    )
+    ex = docs.select(
+        F.explode(F.expr(f"array({quoted})")).alias("pr"), F.col("text")
+    ).select(
+        F.col("pr.probe_id").alias("probe_id"),
+        F.expr(
+            "(length(text) - length(replace(text, pr.p, ''))) DIV length(pr.p)"
+        ).alias("occ"),
+    )
+    return ex.groupBy("probe_id").agg(
+        F.sum(F.when(F.col("occ") > 0, 1).otherwise(0)).cast("long").alias("n_docs"),
+        F.sum("occ").cast("long").alias("n_occ"),
+    )
+
+
+def contamination_scan_oracle(
+    probes: list[tuple[str, str]], table: str = "documents"
+) -> str:
+    """Identical literal probe table, replace identity, and aggregation."""
+    vals = ", ".join(f"('{pid}', '{pat}')" for pid, pat in probes)
+    return f"""WITH cs_probes AS (
+  SELECT * FROM (VALUES {vals}) p(probe_id, pat)
+), cs_hits AS (
+  SELECT p.probe_id,
+         (LENGTH(d.text) - LENGTH(REPLACE(d.text, p.pat, ''))) // LENGTH(p.pat)
+           AS occ
+  FROM {table} d CROSS JOIN cs_probes p
+)
+SELECT probe_id,
+       CAST(SUM(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(SUM(occ) AS BIGINT) AS n_occ
+FROM cs_hits GROUP BY probe_id"""

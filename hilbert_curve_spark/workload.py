@@ -336,3 +336,18 @@ RING_POLYGONS = [
 # split applies to the LATER event of each transition so no eval pair ever
 # contributes to the model.
 MARKOV_SPLIT_S = 1705881600
+
+# k-anonymity generalization threshold (anon_cells): chosen so the sf0.01
+# fixture corpus exercises all three outcomes (publish at level 0,
+# generalize upward, and the empty-suppression sentinel).
+K_ANON = 16
+
+# Contamination probes: literal phrases from the synthetic vocabulary (two
+# present in many docs, one rarer, one guaranteed miss — the zero-hit row
+# must still be emitted).
+EVAL_PROBES = [
+    ("p_table_value", "table value part"),
+    ("p_a_a_the", "a a the"),
+    ("p_sort_window", "sort table window"),
+    ("p_canary", "heldout eval canary"),
+]
