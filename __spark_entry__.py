@@ -2612,6 +2612,39 @@ def _contamination_scan_oracle() -> str:
     return textops.contamination_scan_oracle(W.EVAL_PROBES)
 
 
+def _contamination_scan_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aho-Corasick mapInPandas form of the contamination screen — one
+    automaton pass per doc, the >100-probe scale path; must equal the
+    codegen form bit-for-bit (`operators/textops.py::contamination_scan_ac`)."""
+    return textops.contamination_scan_ac(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), W.EVAL_PROBES
+    )
+
+
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget training-sequence packing plan
+    (`operators/textops.py::pack_sequences`)."""
+    return textops.pack_sequences(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), 512, 8
+    )
+
+
+def _pack_sequences_oracle() -> str:
+    return textops.pack_sequences_oracle(512, 8)
+
+
+def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic per-language sample
+    (`operators/textops.py::weighted_sample`)."""
+    return textops.weighted_sample(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), 25
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    return textops.weighted_sample_oracle(25)
+
+
 def _core_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Home-range core area: smallest cell set holding >= 90% of the corpus
     (`operators/rollup.py::core_area`)."""
@@ -3007,6 +3040,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- wave 39 --
         "anon_cells": _anon_cells,
         "contamination_scan": _contamination_scan,
+        # -- wave 40 --
+        "contamination_scan_ac": _contamination_scan_ac,
+        # -- wave 41 --
+        "pack_sequences": _pack_sequences,
+        "weighted_sample": _weighted_sample,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -3332,6 +3370,9 @@ def oracle_sql() -> dict[str, str]:
         "cell_autocorr": _cell_autocorr_oracle(),
         "anon_cells": _anon_cells_oracle(),
         "contamination_scan": _contamination_scan_oracle(),
+        "contamination_scan_ac": _contamination_scan_oracle(),
+        "pack_sequences": _pack_sequences_oracle(),
+        "weighted_sample": _weighted_sample_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

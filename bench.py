@@ -984,6 +984,24 @@ def _storage_queries(spark, geo):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         return contamination_scan(docs, W.EVAL_PROBES).count()
 
+    def q_contamination_scan_ac():
+        from hilbert_curve_spark.operators.textops import contamination_scan_ac
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return contamination_scan_ac(docs, W.EVAL_PROBES).count()
+
+    def q_pack_sequences():
+        from hilbert_curve_spark.operators.textops import pack_sequences
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return pack_sequences(docs, 512, 8).count()
+
+    def q_weighted_sample():
+        from hilbert_curve_spark.operators.textops import weighted_sample
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return weighted_sample(docs, 25).count()
+
     return {
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
@@ -1048,6 +1066,9 @@ def _storage_queries(spark, geo):
         "cell_autocorr": q_cell_autocorr,
         "anon_cells": q_anon_cells,
         "contamination_scan": q_contamination_scan,
+        "contamination_scan_ac": q_contamination_scan_ac,
+        "pack_sequences": q_pack_sequences,
+        "weighted_sample": q_weighted_sample,
     }
 
 

@@ -478,3 +478,239 @@ SELECT probe_id,
        CAST(SUM(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
        CAST(SUM(occ) AS BIGINT) AS n_occ
 FROM cs_hits GROUP BY probe_id"""
+
+
+def _ac_build(patterns: list[str]):
+    """Aho-Corasick automaton as plain dicts (goto, fail, output) — built
+    once per executor task over the (small) probe list.  A C-backed
+    automaton (`pyahocorasick`) drops in here when available outside this
+    sandbox; the construction and scan semantics are identical."""
+    goto: list[dict[str, int]] = [{}]
+    out: list[list[int]] = [[]]
+    for pid, pat in enumerate(patterns):
+        s = 0
+        for ch in pat:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append([])
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s].append(pid)
+    fail = [0] * len(goto)
+    from collections import deque
+
+    q = deque()
+    for ch, s in goto[0].items():
+        q.append(s)
+    while q:
+        r = q.popleft()
+        for ch, s in goto[r].items():
+            q.append(s)
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s else 0
+            out[s] = out[s] + out[fail[s]]
+    return goto, fail, out
+
+
+def _ac_scan(text: str, goto, fail, out, n_pat: int) -> list[int]:
+    """Single left-to-right pass; returns per-pattern match counts
+    (ALL occurrences, including overlapping)."""
+    counts = [0] * n_pat
+    s = 0
+    for ch in text:
+        while s and ch not in goto[s]:
+            s = fail[s]
+        s = goto[s].get(ch, 0)
+        for pid in out[s]:
+            counts[pid] += 1
+    return counts
+
+
+def contamination_scan_ac(
+    docs: DataFrame, probes: list[tuple[str, str]]
+) -> DataFrame:
+    """Aho-Corasick form of :func:`contamination_scan` — the documented
+    >100-probe scale path, same output contract ``(probe_id, n_docs,
+    n_occ)``: ONE automaton pass per document regardless of probe count,
+    run as an Arrow-batched ``mapInPandas`` stage (the media-pipeline
+    plumbing: no per-row Python UDF registered with the optimizer, the
+    scan lives inside the batch iterator).
+
+    Semantics note vs the codegen scan: Aho-Corasick counts ALL
+    occurrences including OVERLAPPING ones, while the replace identity
+    counts non-overlapping, greedy left-to-right.  The two agree whenever
+    no probe can overlap itself (no non-trivial self-period shorter than
+    its length) — true of the workload probes — and the shared oracle
+    pins exactly that agreement.
+
+    Plan: the only shuffle is the final |probes|-group agg over
+    per-partition partial count frames (each batch emits |probes| rows,
+    pre-combined map-side).  At 10^12 docs this is the shape you want:
+    automaton build is per-task and O(total probe chars), the scan is one
+    pass per doc, and nothing but (probe, partial-count) rows ever move."""
+    import pandas as pd
+
+    pats = [p for _, p in probes]
+    pids = [pid for pid, _ in probes]
+
+    def _iter(batches):
+        goto, fail, out = _ac_build(pats)
+        for b in batches:
+            n_docs = [0] * len(pats)
+            n_occ = [0] * len(pats)
+            for t in b["text"]:
+                c = _ac_scan(t, goto, fail, out, len(pats))
+                for i, v in enumerate(c):
+                    if v:
+                        n_docs[i] += 1
+                        n_occ[i] += v
+            yield pd.DataFrame(
+                {"probe_id": pids, "pn_docs": n_docs, "pn_occ": n_occ}
+            )
+
+    partial = docs.select("text").mapInPandas(
+        _iter, "probe_id string, pn_docs long, pn_occ long"
+    )
+    return partial.groupBy("probe_id").agg(
+        F.sum("pn_docs").cast("long").alias("n_docs"),
+        F.sum("pn_occ").cast("long").alias("n_occ"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-sequence packing and quality-weighted sampling
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame, budget_tokens: int = 512, shards: int = 8
+) -> DataFrame:
+    """Training-SEQUENCE packing plan — ``(shard, seq_id, n_docs,
+    n_tokens, first_doc, last_doc)``: documents are laid into fixed
+    ``budget_tokens`` sequences in deterministic ``doc_id`` order within
+    ``doc_id % shards`` shards; a document belongs to the sequence where
+    its first token lands (``seq_id = cum_tokens_before DIV budget`` —
+    the split-on-pack convention: a straddling doc is truncated/continued
+    at materialization time, the PLAN assigns it where it starts).  This
+    is the packing step every LLM data pipeline runs between curation and
+    tokenization; the plan form (counts per sequence, not payloads) is
+    what the engine owns at 100 TB — materialization is a later
+    shard-local pass.
+
+    Exact: token counts are the engine's separator-count rule
+    (:func:`word_count_sql` — no tokenizer-library divergence), shard is
+    ``doc_id % shards`` (engine-neutral, no hash function dependence),
+    and the running sum is a plain window.  Plan: one codegen projection,
+    ONE shard+doc_id shuffle for the cumulative window, and a
+    sequence-bounded final agg.  Shards bound window state and give the
+    materializer its parallel unit."""
+    b = int(budget_tokens)
+    s = int(shards)
+    from pyspark.sql import Window
+
+    base = docs.select(
+        "doc_id",
+        F.expr(f"doc_id % {s}").alias("shard"),
+        F.expr(word_count_sql()).cast("long").alias("toks"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        base.withColumn("cum", F.coalesce(F.sum("toks").over(w), F.lit(0)))
+        .withColumn("seq_id", F.expr(f"cum DIV {b}"))
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )
+
+
+def pack_sequences_oracle(
+    budget_tokens: int = 512, shards: int = 8, table: str = "documents"
+) -> str:
+    """Identical shard rule, running sum, and DIV assignment."""
+    b = int(budget_tokens)
+    s = int(shards)
+    return f"""WITH pk_base AS (
+  SELECT doc_id, doc_id % {s} AS shard,
+         CAST({word_count_sql()} AS BIGINT) AS toks
+  FROM {table}
+), pk_cum AS (
+  SELECT doc_id, shard, toks,
+         COALESCE(SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM pk_base
+)
+SELECT shard, cum // {b} AS seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM pk_cum GROUP BY shard, cum // {b}"""
+
+
+def weighted_sample(docs: DataFrame, k: int = 25) -> DataFrame:
+    """Quality-WEIGHTED deterministic sample — ``(lang_pred, doc_id,
+    quality, rk)``: per predicted language, the ``k`` documents with the
+    smallest ``md5(doc_id) DIV (quality + 1)`` key.  The key is the
+    integer weighted-bottom-k rule (a doc with twice the weight halves
+    its key scale, doubling its selection odds), fully deterministic and
+    engine-neutral — the sampling analogue of the KMV sketch's
+    hash-order-statistic trick, replacing the float ``u^(1/w)`` of A-Res
+    with integer division so the oracle can replay it bit-for-bit.
+
+    Plan: one codegen projection (profile + key) and one per-language
+    top-k window — partial top-k per partition before the shuffle, the
+    quality_topk_per_lang shape.  At 10^12 docs the moved rows are
+    bounded by k x partitions per language."""
+    kk = int(k)
+    from .dedup import _hex_to_long_sql
+    from pyspark.sql import Window
+
+    key = (
+        f"{_hex_to_long_sql('md5(CAST(doc_id AS STRING))', 1, 10)}"
+        f" DIV ({quality_score_sql()} + 1)"
+    )
+    base = docs.select(
+        "doc_id",
+        F.expr(lang_pred_sql()).alias("lang_pred"),
+        F.expr(quality_score_sql()).cast("long").alias("quality"),
+        F.expr(key).cast("long").alias("skey"),
+    )
+    w = Window.partitionBy("lang_pred").orderBy("skey", "doc_id")
+    return (
+        base.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= kk)
+        .select("lang_pred", "doc_id", "quality", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def weighted_sample_oracle(k: int = 25, table: str = "documents") -> str:
+    """Identical key, stratification, and tie-break."""
+    kk = int(k)
+    from .dedup import _hex_to_long_sql
+
+    key = (
+        f"{_hex_to_long_sql('md5(CAST(doc_id AS STRING))', 1, 10)}"
+        f" // ({quality_score_sql()} + 1)"
+    )
+    return f"""WITH ws_base AS (
+  SELECT doc_id, {lang_pred_sql()} AS lang_pred,
+         CAST({quality_score_sql()} AS BIGINT) AS quality,
+         CAST({key} AS BIGINT) AS skey
+  FROM {table}
+), ws_ranked AS (
+  SELECT lang_pred, doc_id, quality,
+         ROW_NUMBER() OVER (PARTITION BY lang_pred ORDER BY skey, doc_id) AS rk
+  FROM ws_base
+)
+SELECT lang_pred, doc_id, quality, CAST(rk AS INT) AS rk
+FROM ws_ranked WHERE rk <= {kk}"""

@@ -62,3 +62,24 @@ def test_contamination_scan_brute_force(spark, sf_dir):
     assert len(got) == len(W.EVAL_PROBES)
     assert any(n_docs == 0 for _, n_docs, _ in got)
     assert any(n_docs > 0 for _, n_docs, _ in got)
+
+
+def test_contamination_scan_ac_equals_codegen(spark, sf_dir):
+    """The Aho-Corasick mapInPandas form must equal the codegen replace
+    form bit-for-bit (the no-self-overlap probe precondition)."""
+    import __spark_entry__ as E
+
+    a = {tuple(r) for r in E._contamination_scan(spark, sf_dir).collect()}
+    b = {tuple(r) for r in E._contamination_scan_ac(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_ac_automaton_overlaps():
+    """The automaton counts ALL occurrences, including overlapping —
+    pinned so the no-self-overlap precondition stays visible."""
+    from hilbert_curve_spark.operators.textops import _ac_build, _ac_scan
+
+    pats = ["aa", "aba", "b"]
+    g, f, o = _ac_build(pats)
+    assert _ac_scan("aaa", g, f, o, 3) == [2, 0, 0]  # overlapping 'aa' twice
+    assert _ac_scan("ababa", g, f, o, 3) == [0, 2, 2]  # overlapping 'aba'
