@@ -2645,6 +2645,121 @@ def _weighted_sample_oracle() -> str:
     return textops.weighted_sample_oracle(25)
 
 
+def _pack_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document multimodal sequence packing over the interleaved
+    corpus — the ACROSS-documents half of sequence assembly
+    (`operators/spans.py::pack_mm`; span_chunks is the within-doc half)."""
+    return spans_ops.pack_mm(
+        build_documents(spark, sf_dir),
+        W.PACK_MM_BUDGET,
+        W.MEDIA_TOKEN_COST,
+        W.PACK_MM_SHARDS,
+    )
+
+
+def _pack_mm_oracle() -> str:
+    return spans_ops.pack_mm_oracle(
+        W.PACK_MM_BUDGET, W.MEDIA_TOKEN_COST, W.PACK_MM_SHARDS
+    )
+
+
+def _mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder token-budget apportionment across (language,
+    quality band) strata (`operators/textops.py::mixture_plan`)."""
+    return textops.mixture_plan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        W.MIX_BUDGET,
+        W.MIX_BAND,
+    )
+
+
+def _mixture_plan_oracle() -> str:
+    return textops.mixture_plan_oracle(W.MIX_BUDGET, W.MIX_BAND)
+
+
+def _boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-document-frequency span payloads over the interleaved corpus —
+    the C4/CCNet boilerplate pass at span granularity, salted two-level
+    agg (`operators/spans.py::boilerplate_spans`)."""
+    return spans_ops.boilerplate_spans(
+        build_documents(spark, sf_dir), W.BOILER_MIN_DOCS, W.BOILER_TOPK
+    )
+
+
+def _boilerplate_spans_oracle() -> str:
+    return spans_ops.boilerplate_spans_oracle(W.BOILER_MIN_DOCS, W.BOILER_TOPK)
+
+
+def _spatial_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-buffered spatial train/test split (block cross-validation
+    hygiene): hash-picked test blocks + an excluded 8-neighbor buffer ring,
+    all membership inline in codegen
+    (`operators/partitioning.py::spatial_split`)."""
+    from hilbert_curve_spark.operators.partitioning import spatial_split
+
+    return spatial_split(
+        _doc_geo(spark, sf_dir), W.SPLIT_SHIFT, W.SPLIT_TEST_MOD
+    )
+
+
+def _spatial_split_oracle() -> str:
+    from hilbert_curve_spark.operators.partitioning import spatial_split_oracle
+
+    return f"{_doc_geo_cte()} " + spatial_split_oracle(
+        W.SPLIT_SHIFT, W.SPLIT_TEST_MOD
+    )
+
+
+def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-overlap matrix — which crawls share content
+    (`operators/dedup.py::source_overlap`)."""
+    from hilbert_curve_spark.operators.dedup import source_overlap
+
+    return source_overlap(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _source_overlap_oracle() -> str:
+    from hilbert_curve_spark.operators.dedup import source_overlap_oracle
+
+    return source_overlap_oracle()
+
+
+def _source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation profile: volume, dedup headroom, exact quality
+    and token mass (`operators/textops.py::source_profile`)."""
+    return textops.source_profile(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def _source_profile_oracle() -> str:
+    return textops.source_profile_oracle()
+
+
+def _length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-count deciles via the bounded-histogram trick
+    (`operators/textops.py::length_deciles`)."""
+    return textops.length_deciles(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def _length_deciles_oracle() -> str:
+    return textops.length_deciles_oracle()
+
+
+def _vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve over the interleaved corpus
+    (`operators/spans.py::vocab_growth`)."""
+    return spans_ops.vocab_growth(
+        build_documents(spark, sf_dir), W.VOCAB_BUCKET_DOCS
+    )
+
+
+def _vocab_growth_oracle() -> str:
+    return spans_ops.vocab_growth_oracle(W.VOCAB_BUCKET_DOCS)
+
+
 def _core_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Home-range core area: smallest cell set holding >= 90% of the corpus
     (`operators/rollup.py::core_area`)."""
@@ -3045,6 +3160,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- wave 41 --
         "pack_sequences": _pack_sequences,
         "weighted_sample": _weighted_sample,
+        # -- wave 42 --
+        "pack_mm": _pack_mm,
+        "mixture_plan": _mixture_plan,
+        "boilerplate_spans": _boilerplate_spans,
+        # -- wave 43 --
+        "spatial_split": _spatial_split,
+        "source_overlap": _source_overlap,
+        "source_profile": _source_profile,
+        # -- wave 44 --
+        "length_deciles": _length_deciles,
+        "vocab_growth": _vocab_growth,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -3373,6 +3499,14 @@ def oracle_sql() -> dict[str, str]:
         "contamination_scan_ac": _contamination_scan_oracle(),
         "pack_sequences": _pack_sequences_oracle(),
         "weighted_sample": _weighted_sample_oracle(),
+        "pack_mm": _pack_mm_oracle(),
+        "mixture_plan": _mixture_plan_oracle(),
+        "boilerplate_spans": _boilerplate_spans_oracle(),
+        "spatial_split": _spatial_split_oracle(),
+        "source_overlap": _source_overlap_oracle(),
+        "source_profile": _source_profile_oracle(),
+        "length_deciles": _length_deciles_oracle(),
+        "vocab_growth": _vocab_growth_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

@@ -1002,6 +1002,57 @@ def _storage_queries(spark, geo):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         return weighted_sample(docs, 25).count()
 
+    def q_pack_mm():
+        from hilbert_curve_spark.operators.spans import pack_mm
+
+        corpus = spark.read.parquet(_corpus_path())
+        return pack_mm(
+            corpus, W.PACK_MM_BUDGET, W.MEDIA_TOKEN_COST, W.PACK_MM_SHARDS
+        ).count()
+
+    def q_mixture_plan():
+        from hilbert_curve_spark.operators.textops import mixture_plan
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return mixture_plan(docs, W.MIX_BUDGET, W.MIX_BAND).count()
+
+    def q_boilerplate_spans():
+        from hilbert_curve_spark.operators.spans import boilerplate_spans
+
+        corpus = spark.read.parquet(_corpus_path())
+        return boilerplate_spans(
+            corpus, W.BOILER_MIN_DOCS, W.BOILER_TOPK
+        ).count()
+
+    def q_spatial_split():
+        from hilbert_curve_spark.operators.partitioning import spatial_split
+
+        return spatial_split(geo, W.SPLIT_SHIFT, W.SPLIT_TEST_MOD).count()
+
+    def q_source_overlap():
+        from hilbert_curve_spark.operators.dedup import source_overlap
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return source_overlap(docs).count()
+
+    def q_source_profile():
+        from hilbert_curve_spark.operators.textops import source_profile
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return source_profile(docs).count()
+
+    def q_length_deciles():
+        from hilbert_curve_spark.operators.textops import length_deciles
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return length_deciles(docs).count()
+
+    def q_vocab_growth():
+        from hilbert_curve_spark.operators.spans import vocab_growth
+
+        corpus = spark.read.parquet(_corpus_path())
+        return vocab_growth(corpus, W.VOCAB_BUCKET_DOCS).count()
+
     return {
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
@@ -1069,6 +1120,14 @@ def _storage_queries(spark, geo):
         "contamination_scan_ac": q_contamination_scan_ac,
         "pack_sequences": q_pack_sequences,
         "weighted_sample": q_weighted_sample,
+        "pack_mm": q_pack_mm,
+        "mixture_plan": q_mixture_plan,
+        "boilerplate_spans": q_boilerplate_spans,
+        "spatial_split": q_spatial_split,
+        "source_overlap": q_source_overlap,
+        "source_profile": q_source_profile,
+        "length_deciles": q_length_deciles,
+        "vocab_growth": q_vocab_growth,
     }
 
 

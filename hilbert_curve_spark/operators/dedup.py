@@ -680,3 +680,63 @@ FROM cp_inter i
 JOIN cp_sz sa ON i.doc_a = sa.doc_id
 JOIN cp_sz sb ON i.doc_b = sb.doc_id
 WHERE (100 * i.inter) // sa.sz >= {t} OR (100 * i.inter) // sb.sz >= {t}"""
+
+
+def wordset_fp_sql(col: str = "text") -> str:
+    """Bag-of-words content signature: md5 of the SORTED DISTINCT word
+    set.  Coarser than the exact-text fingerprint (word order and
+    repetition collapse), so it catches the reordered/templated variants
+    that cross-crawl duplication actually produces; identical string
+    sort + binary collation in Spark and DuckDB keep it engine-exact."""
+    return f"md5(array_join(array_sort(array_distinct(split({col}, ' '))), ' '))"
+
+
+def _wordset_fp_duck(col: str = "text") -> str:
+    return (
+        f"md5(array_to_string(list_sort(list_distinct("
+        f"string_split({col}, ' '))), ' '))"
+    )
+
+
+def source_overlap(docs: DataFrame) -> DataFrame:
+    """Cross-source duplicate-overlap matrix — ``(src_a, src_b,
+    n_shared)``: for every unordered source pair, how many DISTINCT
+    document content signatures (``wordset_fp_sql`` — the bag-of-words
+    collapse; the exact-text md5 is the stricter drop-in) appear in
+    both.  This is the crawl-dedup planning table of a pretraining
+    pipeline: it says which source to keep as canonical when corpora
+    overlap, and how much each new crawl actually adds.
+
+    Physical plan: distinct ``(source, fp)`` first (map-side combine
+    absorbs within-source duplicates), then a self-equi-join on ``fp``
+    with ``src_a < src_b``.  The distinct step bounds the join fan-out
+    BY CONSTRUCTION: a fingerprint duplicated millions of times across
+    the corpus still contributes at most ``C(|sources|, 2)`` joined rows,
+    because each source carries it once.  Final agg is |sources|^2-sized.
+    No all-pairs anywhere; the fp join key is md5-uniform so the shuffle
+    cannot skew."""
+    fps = docs.select(
+        "source", F.expr(wordset_fp_sql()).alias("fp")
+    ).distinct()
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+def source_overlap_oracle(table: str = "documents") -> str:
+    """Identical distinct-then-join arithmetic."""
+    return (
+        f"WITH so_fps AS (SELECT DISTINCT source, {_wordset_fp_duck()} AS fp "
+        f"FROM {table}) "
+        f"SELECT a.source AS src_a, b.source AS src_b, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_shared "
+        f"FROM so_fps a JOIN so_fps b ON a.fp = b.fp "
+        f"AND a.source < b.source GROUP BY 1, 2"
+    )

@@ -444,3 +444,250 @@ def span_kind_transitions_oracle(
         f"ON a.doc_id = b.doc_id AND b.off = a.off + 1 "
         f"GROUP BY 1, 2"
     )
+
+
+def pack_mm(
+    docs: DataFrame,
+    budget: int,
+    media_cost: int = 16,
+    shards: int = 8,
+) -> DataFrame:
+    """Cross-document MULTIMODAL sequence packing — ``(shard, seq_id,
+    n_docs, n_tokens, n_media, first_doc, last_doc)``: whole interleaved
+    documents are laid into fixed ``budget``-token training sequences in
+    deterministic ``doc_id`` order within ``shard = numeric(doc_id) %
+    shards`` shards, where a document's cost is its span-sequence cost
+    under the same model as :func:`span_chunks` (text/geo span ->
+    ``length(text)`` proxy tokens, media span -> the flat ``media_cost``
+    image-token budget).  ``span_chunks`` splits WITHIN a document;
+    this packs ACROSS documents — together they are the two halves of the
+    sequence-assembly step of a multimodal training pipeline.
+
+    A document belongs to the sequence where its first token lands
+    (``seq_id = cum_tokens_before DIV budget`` — the split-on-pack
+    convention of ``textops.pack_sequences``).
+
+    Physical plan: per-doc cost is pure ARRAY ALGEBRA (one ``aggregate``
+    lambda over the spans column — no explode, no per-span rows ever
+    exist), then ONE shard+doc_id shuffle feeds the per-shard cumulative
+    window and a sequence-bounded agg.  Window state is bounded by one
+    shard's stream regardless of corpus size; at 10^12 docs you raise
+    ``shards`` until a shard fits a task, and shards are exactly the
+    materializer's parallel unit.  Zero-padded doc keys make string order
+    equal numeric order, so both engines sort identically.
+
+    Reference parity: the reference carries payloads opaquely
+    (`Scheme/RSKQ/RSKQ_Biginteger.java:120-161`); packing is the
+    training-pipeline op its interleaved payload shape exists to feed."""
+    from pyspark.sql import Window
+
+    b = int(budget)
+    s = int(shards)
+    mc = int(media_cost)
+    cost = F.expr(
+        "aggregate(spans, CAST(0 AS BIGINT), (acc, sp) -> acc + "
+        f"(CASE WHEN sp.kind = 'media' THEN {mc} ELSE length(sp.text) END))"
+    )
+    n_media = F.expr("size(filter(spans, sp -> sp.kind = 'media'))")
+    base = docs.select(
+        "doc_id",
+        F.expr(f"CAST(substr(doc_id, 4) AS BIGINT) % {s}").alias("shard"),
+        cost.alias("toks"),
+        n_media.cast("long").alias("n_media"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = base.withColumn(
+        "cum", F.coalesce(F.sum("toks").over(w), F.lit(0))
+    ).withColumn("seq_id", F.expr(f"cum DIV {b}"))
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+        F.sum("n_media").cast("long").alias("n_media"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def pack_mm_oracle(
+    budget: int,
+    media_cost: int = 16,
+    shards: int = 8,
+    table: str = "documents",
+    amp: int = derive.AMP,
+) -> str:
+    """DuckDB oracle: identical cost model, shard rule, running sum, and
+    DIV assignment over the flat span reconstruction."""
+    b = int(budget)
+    s = int(shards)
+    mc = int(media_cost)
+    return (
+        f"WITH {flat_spans_sql(table, amp)}, "
+        f"doc_cost AS (SELECT doc_id, "
+        f"CAST(substr(doc_id, 4) AS BIGINT) % {s} AS shard, "
+        f"CAST(SUM(CASE WHEN kind = 'media' THEN {mc} ELSE length(text) END) "
+        f"AS BIGINT) AS toks, "
+        f"CAST(SUM(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_media FROM spans GROUP BY doc_id), "
+        f"cum AS (SELECT doc_id, shard, toks, n_media, "
+        f"COALESCE(SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum "
+        f"FROM doc_cost) "
+        f"SELECT shard, CAST(cum // {b} AS BIGINT) AS seq_id, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"CAST(SUM(toks) AS BIGINT) AS n_tokens, "
+        f"CAST(SUM(n_media) AS BIGINT) AS n_media, "
+        f"MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc "
+        f"FROM cum GROUP BY shard, CAST(cum // {b} AS BIGINT)"
+    )
+
+
+def boilerplate_spans(
+    docs: DataFrame,
+    min_docs: int,
+    k: int = 20,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Boilerplate detection over the interleaved corpus — ``(text,
+    n_docs, n_occ, rk)``: the ``k`` ``text``-span payloads that occur in
+    the most DISTINCT documents (at least ``min_docs``), ranked by
+    ``(n_docs DESC, n_occ DESC, text)`` with a dense deterministic
+    ``rk``.  This is the span-granularity form of the C4/CCNet
+    boilerplate pass: payloads repeated across many documents are
+    navigation chrome / license headers / templated fragments, and the
+    survivors feed a removal filter.
+
+    Physical plan — built for the fact that boilerplate keys are BY
+    DEFINITION the hottest keys in the corpus: a two-level salted
+    aggregation.  Level 1 groups by ``(text, salt)`` where ``salt`` is a
+    fold of ``md5(doc_id)`` (each doc lands in exactly ONE salt bucket,
+    so per-bucket COUNT DISTINCT doc_id partials ADD EXACTLY); level 2
+    folds ``salt_buckets`` partials per payload.  No single reducer ever
+    sees a hot payload's full document list.  The final top-k is a window
+    over the payload-level frame (bounded by distinct payloads, not
+    docs).  One narrow explode feeds level 1 — map-side combine applies
+    at both levels.  The top-k itself is ``orderBy().limit()`` =
+    TakeOrdered (distributed partial top-k, nothing globally sorted); the
+    rank column is attached by a window over the k survivors only."""
+    kk = int(k)
+    flat = docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).filter(F.col("s.kind") == "text")
+    lvl1 = (
+        flat.select(
+            F.col("s.text").alias("text"),
+            "doc_id",
+            F.expr(f"CAST(conv(substr(md5(doc_id), 1, 3), 16, 10) AS BIGINT) % {int(salt_buckets)}").alias(
+                "salt"
+            ),
+        )
+        .groupBy("text", "salt")
+        .agg(
+            F.countDistinct("doc_id").alias("pn_docs"),
+            F.count(F.lit(1)).alias("pn_occ"),
+        )
+    )
+    lvl2 = lvl1.groupBy("text").agg(
+        F.sum("pn_docs").cast("long").alias("n_docs"),
+        F.sum("pn_occ").cast("long").alias("n_occ"),
+    )
+    from pyspark.sql import Window
+
+    topk = (
+        lvl2.filter(F.col("n_docs") >= int(min_docs))
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("text"))
+        .limit(kk)
+    )
+    w = Window.orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("text"))
+    return topk.withColumn("rk", F.row_number().over(w)).select(
+        "text", "n_docs", "n_occ", F.col("rk").cast("int").alias("rk")
+    )
+
+
+def boilerplate_spans_oracle(
+    min_docs: int,
+    k: int = 20,
+    table: str = "documents",
+    amp: int = derive.AMP,
+) -> str:
+    """DuckDB oracle: single-level exact aggregation (the salted two-level
+    form partitions COUNT DISTINCT exactly, so the plain form is the same
+    function) + identical ranking and tie-break."""
+    kk = int(k)
+    return (
+        f"WITH {flat_spans_sql(table, amp)}, "
+        f"payloads AS (SELECT text, "
+        f"CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_occ "
+        f"FROM spans WHERE kind = 'text' GROUP BY text), "
+        f"ranked AS (SELECT text, n_docs, n_occ, "
+        f"ROW_NUMBER() OVER (ORDER BY n_docs DESC, n_occ DESC, text) AS rk "
+        f"FROM payloads WHERE n_docs >= {int(min_docs)}) "
+        f"SELECT text, n_docs, n_occ, CAST(rk AS INT) AS rk "
+        f"FROM ranked WHERE rk <= {kk}"
+    )
+
+
+def vocab_growth(docs: DataFrame, bucket_docs: int = 64) -> DataFrame:
+    """Heaps-law vocabulary growth curve over the interleaved corpus —
+    ``(bucket, new_terms, cum_terms)``: scanning documents in ingestion
+    order (``bucket_docs`` flat documents per bucket), how many DISTINCT
+    text-span payloads appear for the first time in each bucket, and the
+    running vocabulary size.  A flattening curve means new data stops
+    adding diversity — the saturation diagnostic a corpus refresh is
+    judged by.
+
+    Physical plan: first-occurrence is ``MIN(doc_id)`` per distinct
+    payload (one map-side-combined agg over the exploded text spans —
+    zero-padded doc keys make string MIN the numeric first occurrence),
+    which collapses the corpus to a |vocabulary|-sized frame; everything
+    after (bucket fold, per-bucket count, running sum) is
+    vocabulary-sized, so the single-partition cumulative window is safe
+    by construction.  One scan, one shuffle on the payload key
+    (md5-uniform in practice: the zipf head is absorbed by the map-side
+    MIN combine — a hot payload leaves each task as ONE row)."""
+    from pyspark.sql import Window
+
+    g = int(bucket_docs)
+    step = 8192 * g  # sid = flat_doc_id * 8192 + rep (sources/derive)
+    first = (
+        docs.select(F.explode("spans").alias("s"), "doc_id")
+        .filter(F.col("s.kind") == "text")
+        .groupBy(F.col("s.text").alias("term"))
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    hist = (
+        first.select(
+            F.expr(f"CAST(substr(fd, 4) AS BIGINT) DIV {step}").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return hist.withColumn(
+        "cum_terms", F.sum("new_terms").over(w).cast("long")
+    )
+
+
+def vocab_growth_oracle(
+    bucket_docs: int = 64, table: str = "documents", amp: int = derive.AMP
+) -> str:
+    """Identical first-occurrence, bucket fold, and running sum over the
+    flat span reconstruction."""
+    g = int(bucket_docs)
+    step = 8192 * g
+    return (
+        f"WITH {flat_spans_sql(table, amp)}, "
+        f"vg_first AS (SELECT text AS term, MIN(doc_id) AS fd "
+        f"FROM spans WHERE kind = 'text' GROUP BY text), "
+        f"vg_hist AS (SELECT CAST(substr(fd, 4) AS BIGINT) // {step} "
+        f"AS bucket, CAST(COUNT(*) AS BIGINT) AS new_terms "
+        f"FROM vg_first GROUP BY 1) "
+        f"SELECT bucket, new_terms, "
+        f"CAST(SUM(new_terms) OVER (ORDER BY bucket "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        f"AS cum_terms FROM vg_hist"
+    )

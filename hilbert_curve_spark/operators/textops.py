@@ -650,11 +650,12 @@ def pack_sequences_oracle(
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
   FROM pk_base
 )
-SELECT shard, cum // {b} AS seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+SELECT shard, CAST(cum // {b} AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(toks) AS BIGINT) AS n_tokens,
        CAST(MIN(doc_id) AS BIGINT) AS first_doc,
        CAST(MAX(doc_id) AS BIGINT) AS last_doc
-FROM pk_cum GROUP BY shard, cum // {b}"""
+FROM pk_cum GROUP BY shard, CAST(cum // {b} AS BIGINT)"""
 
 
 def weighted_sample(docs: DataFrame, k: int = 25) -> DataFrame:
@@ -714,3 +715,202 @@ def weighted_sample_oracle(k: int = 25, table: str = "documents") -> str:
 )
 SELECT lang_pred, doc_id, quality, CAST(rk AS INT) AS rk
 FROM ws_ranked WHERE rk <= {kk}"""
+
+
+def mixture_plan(docs: DataFrame, budget: int, band_width: int = 5) -> DataFrame:
+    """Data-MIXTURE allocation plan — ``(lang_pred, band, n_docs,
+    n_tokens, alloc_tokens)``: a global token ``budget`` is apportioned
+    across (predicted language, quality band) strata proportionally to
+    each stratum's token mass, by the largest-remainder (Hamilton)
+    method in EXACT integer arithmetic: every stratum gets
+    ``floor(budget * tokens / total)``, and the leftover seats go to the
+    largest remainders (tie-break ``(remainder DESC, lang_pred, band)``),
+    so ``SUM(alloc_tokens) == budget`` exactly.  This is the sampling-
+    weights step between curation and training — the plan every mixture
+    schedule (lang balancing, quality up-weighting) starts from.
+
+    Physical plan: ONE corpus scan into a map-side-combined histogram
+    (strata count = |langs| x |bands| — a few dozen rows), then all the
+    apportionment arithmetic runs as windows over that histogram-sized
+    frame; the single-partition windows are safe BECAUSE the frame is
+    histogram-sized, never data-sized.  Integer precondition (documented,
+    checked by the conservation test): ``budget * max_stratum_tokens``
+    must fit int64 — at larger budgets swap the multiply to
+    DECIMAL(38,0) in both engines."""
+    b = int(budget)
+    bw = int(band_width)
+    from pyspark.sql import Window
+
+    strata = (
+        docs.select(
+            F.expr(lang_pred_sql()).alias("lang_pred"),
+            F.expr(f"({quality_score_sql()}) DIV {bw}").alias("band"),
+            F.expr(word_count_sql()).cast("long").alias("toks"),
+        )
+        .groupBy("lang_pred", "band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+        )
+    )
+    wall = Window.partitionBy()
+    wrank = Window.orderBy(
+        F.desc("rem"), F.asc("lang_pred"), F.asc("band")
+    )
+    planned = (
+        strata.withColumn("total", F.sum("n_tokens").over(wall))
+        .withColumn("fl", F.expr(f"({b} * n_tokens) DIV total"))
+        .withColumn("rem", F.expr(f"({b} * n_tokens) % total"))
+        .withColumn("extra", F.lit(b) - F.sum("fl").over(wall))
+        .withColumn("rk", F.row_number().over(wrank))
+    )
+    return planned.select(
+        "lang_pred",
+        "band",
+        "n_docs",
+        "n_tokens",
+        (F.col("fl") + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc_tokens"),
+    )
+
+
+def mixture_plan_oracle(
+    budget: int, band_width: int = 5, table: str = "documents"
+) -> str:
+    """Identical histogram, floor/remainder arithmetic, and seat
+    tie-break."""
+    b = int(budget)
+    bw = int(band_width)
+    return f"""WITH mx_strata AS (
+  SELECT {lang_pred_sql()} AS lang_pred,
+         CAST(({quality_score_sql()}) // {bw} AS BIGINT) AS band,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM({word_count_sql()}) AS BIGINT) AS n_tokens
+  FROM {table} GROUP BY 1, 2
+), mx_tot AS (
+  SELECT *, SUM(n_tokens) OVER () AS total,
+         ({b} * n_tokens) // SUM(n_tokens) OVER () AS fl,
+         ({b} * n_tokens) % SUM(n_tokens) OVER () AS rem
+  FROM mx_strata
+), mx_rk AS (
+  SELECT *, {b} - SUM(fl) OVER () AS extra,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, lang_pred, band) AS rk
+  FROM mx_tot
+)
+SELECT lang_pred, band, n_docs, n_tokens,
+       CAST(fl + (CASE WHEN rk <= extra THEN 1 ELSE 0 END) AS BIGINT)
+         AS alloc_tokens
+FROM mx_rk"""
+
+
+def source_profile(docs: DataFrame) -> DataFrame:
+    """Per-source curation profile — ``(source, n_docs, n_uniq,
+    sum_quality, sum_tokens)``: document count, DISTINCT exact
+    fingerprints (the within-source dedup headroom), and exact integer
+    quality/token mass (sums, not means — means are a driver-side
+    division away and sums stay engine-exact).  The distinct count uses
+    the same bag-of-words signature as ``dedup.source_overlap``, so the
+    two reports share one duplicate definition.  Together they are the
+    source-selection report every corpus refresh starts from.
+
+    Physical plan: one scan, one |sources|-group agg with map-side
+    combine; COUNT DISTINCT partials partition cleanly by the group
+    key."""
+    from .dedup import wordset_fp_sql
+
+    return (
+        docs.select(
+            "source",
+            F.expr(wordset_fp_sql()).alias("fp"),
+            F.expr(quality_score_sql()).cast("long").alias("q"),
+            F.expr(word_count_sql()).cast("long").alias("wc"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("fp").cast("long").alias("n_uniq"),
+            F.sum("q").cast("long").alias("sum_quality"),
+            F.sum("wc").cast("long").alias("sum_tokens"),
+        )
+    )
+
+
+def source_profile_oracle(table: str = "documents") -> str:
+    """Identical profile arithmetic."""
+    from .dedup import _wordset_fp_duck
+
+    return (
+        f"SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"CAST(COUNT(DISTINCT {_wordset_fp_duck()}) AS BIGINT) AS n_uniq, "
+        f"CAST(SUM({quality_score_sql()}) AS BIGINT) AS sum_quality, "
+        f"CAST(SUM({word_count_sql()}) AS BIGINT) AS sum_tokens "
+        f"FROM {table} GROUP BY source"
+    )
+
+
+def length_deciles(docs: DataFrame, buckets: int = 10) -> DataFrame:
+    """Exact corpus length quantiles — ``(decile, threshold)``: for each
+    ``d in 1..buckets-1``, the smallest token count ``t`` such that at
+    least ``d/buckets`` of documents have ``tokens <= t`` (the lower
+    quantile convention, exact — no sketch, no interpolation).  Length
+    quantiles drive truncation budgets and packing-efficiency estimates
+    in a training pipeline, and the usual approach (approxQuantile /
+    t-digest) is neither exact nor engine-portable.
+
+    Physical plan — the HISTOGRAM TRICK that makes exact quantiles
+    scale-free: token counts are integers bounded by document length, so
+    ONE map-side-combined ``groupBy(tokens)`` collapses 10^12 docs to a
+    histogram of at most ~|distinct lengths| rows; the cumulative window
+    and the per-decile threshold search then run on that histogram-sized
+    frame (the zonal_median / cell_bands convention).  The only
+    data-sized operation is the first scan."""
+    b = int(buckets)
+    from pyspark.sql import Window
+
+    hist = (
+        docs.select(F.expr(word_count_sql()).cast("long").alias("toks"))
+        .groupBy("toks")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.orderBy("toks").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(wall)
+    )
+    # decile d is the first length whose cumulative count reaches
+    # ceil(d * total / b) — integer ceil via (d * total + b - 1) DIV b
+    exploded = cum.select(
+        "toks",
+        "cum",
+        "total",
+        F.explode(F.expr(f"sequence(1, {b - 1})")).alias("decile"),
+    ).filter(F.expr(f"cum >= (decile * total + {b} - 1) DIV {b}"))
+    return (
+        exploded.groupBy("decile")
+        .agg(F.min("toks").cast("long").alias("threshold"))
+        .select(F.col("decile").cast("int").alias("decile"), "threshold")
+    )
+
+
+def length_deciles_oracle(buckets: int = 10, table: str = "documents") -> str:
+    """Identical histogram, cumulative window, and integer-ceil search."""
+    b = int(buckets)
+    return f"""WITH ld_hist AS (
+  SELECT CAST({word_count_sql()} AS BIGINT) AS toks,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM {table} GROUP BY 1
+), ld_cum AS (
+  SELECT toks,
+         CAST(SUM(n) OVER (ORDER BY toks
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(n) OVER () AS BIGINT) AS total
+  FROM ld_hist
+), ld_hit AS (
+  SELECT d.decile, toks FROM ld_cum,
+         (SELECT unnest(range(1, {b})) AS decile) d
+  WHERE cum >= (d.decile * total + {b} - 1) // {b}
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(MIN(toks) AS BIGINT) AS threshold
+FROM ld_hit GROUP BY decile"""

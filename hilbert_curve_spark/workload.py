@@ -290,6 +290,19 @@ MEDIA_TOKEN_COST = 16
 # Hot-cell skew report: how many top cells to emit.
 SKEW_TOPK = 20
 
+# Cross-doc multimodal sequence packing (pack_mm): sequence token budget
+# and shard count (same split-on-pack convention as pack_sequences).
+PACK_MM_BUDGET = 512
+PACK_MM_SHARDS = 8
+
+# Data-mixture apportionment: global token budget + quality band width.
+MIX_BUDGET = 100_000
+MIX_BAND = 5
+
+# Boilerplate span detection: document-frequency floor + top-k.
+BOILER_MIN_DOCS = 100
+BOILER_TOPK = 20
+
 # Keyword co-occurrence: how many top pairs to emit.
 COOC_TOPK = 30
 
@@ -351,3 +364,10 @@ EVAL_PROBES = [
     ("p_sort_window", "sort table window"),
     ("p_canary", "heldout eval canary"),
 ]
+
+# Leakage-buffered spatial split: block width 2^shift, ~1/test_mod test.
+SPLIT_SHIFT = 8
+SPLIT_TEST_MOD = 5
+
+# Vocabulary growth curve: flat docs per ingestion-order bucket.
+VOCAB_BUCKET_DOCS = 64

@@ -837,3 +837,69 @@ def test_kmv_merge_no_python_no_cartesian_blowup(sorted_geo):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the only cross join is 1-row x 1-row (merged x direct arms)
     assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+
+
+def test_pack_mm_no_explode_single_window_no_python(spark, sf_dir):
+    """pack_mm's per-doc cost is pure array algebra: no Generate (explode)
+    node, exactly one Window, no Python stages."""
+    from hilbert_curve_spark.operators.spans import pack_mm
+
+    q = pack_mm(build_documents(spark, sf_dir, amp=4), 512, 16, 8)
+    plan = _plan(q)
+    # no per-SPAN rows ever exist: the only Generate is the corpus
+    # amplification's rep explode (one row per derived DOC), never an
+    # explode of the spans column
+    assert "explode(spans" not in plan and "posexplode" not in plan
+    assert plan.count("Window") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_spatial_split_broadcast_block_join_no_python(sorted_geo):
+    """spatial_split evaluates the 9-fold membership once per BLOCK on a
+    grid-sized frame and broadcast-hash-joins it to the docs: the doc
+    side must see a BroadcastHashJoin, never a BNLJ, and no Python."""
+    from hilbert_curve_spark.operators.partitioning import spatial_split
+
+    plan = _plan(spatial_split(sorted_geo, W.SPLIT_SHIFT, W.SPLIT_TEST_MOD))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_boilerplate_spans_salted_two_level_no_python(spark, sf_dir):
+    """The distinct-doc count runs as the salted two-level agg (two
+    HashAggregate pairs before the top-k) with no Python stages."""
+    from hilbert_curve_spark.operators.spans import boilerplate_spans
+
+    q = boilerplate_spans(build_documents(spark, sf_dir, amp=4), 10, 5)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrdered" in plan  # partial top-k, nothing globally sorted
+
+
+def test_source_overlap_distinct_before_join(spark, sf_dir):
+    """The fp self-join must consume the DISTINCT (source, fp) frames —
+    the distinct is the fan-out/skew guard — and stay a hash join."""
+    from hilbert_curve_spark.operators.dedup import source_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(source_overlap(docs))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # distinct (partial+final) + final agg
+
+
+def test_length_deciles_histogram_sized_windows(spark, sf_dir):
+    """Everything after the first aggregate runs on the histogram: the
+    scan-side frame is aggregated before any window/explode."""
+    from hilbert_curve_spark.operators.textops import length_deciles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(length_deciles(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the Generate (sequence explode) must sit ABOVE the first HashAggregate
+    gen = plan.find("Generate")
+    agg = plan.rfind("HashAggregate")
+    assert gen != -1 and agg != -1 and gen < agg  # explode feeds off the histogram
