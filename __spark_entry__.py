@@ -2760,6 +2760,44 @@ def _vocab_growth_oracle() -> str:
     return spans_ops.vocab_growth_oracle(W.VOCAB_BUCKET_DOCS)
 
 
+def _traj_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-limited Douglas-Peucker trajectory simplification — retained
+    vertices per user after W.TRAJ_SIMP_DEPTH breadth-first split rounds
+    at integer tolerance W.TRAJ_SIMP_EPS, exact int64 cross-product test
+    (`operators/trajectory.py::traj_simplify`)."""
+    return traj_ops.traj_simplify(
+        _events(spark, sf_dir), W.TRAJ_SIMP_EPS, W.TRAJ_SIMP_DEPTH
+    )
+
+
+def _traj_simplify_oracle() -> str:
+    return traj_ops.traj_simplify_oracle(W.TRAJ_SIMP_EPS, W.TRAJ_SIMP_DEPTH)
+
+
+def _doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition census (Gopher-style duplicate-span
+    fraction, banded) — pure array algebra + an 11-group agg
+    (`operators/spans.py::doc_repetition`)."""
+    return spans_ops.doc_repetition(build_documents(spark, sf_dir))
+
+
+def _doc_repetition_oracle() -> str:
+    return spans_ops.doc_repetition_oracle()
+
+
+def _source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-cap curation plan (keep top-C by quality with
+    deterministic hash shuffle; kept/dropped token mass per source)
+    (`operators/textops.py::source_caps`)."""
+    return textops.source_caps(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), W.SOURCE_CAP
+    )
+
+
+def _source_caps_oracle() -> str:
+    return textops.source_caps_oracle(W.SOURCE_CAP)
+
+
 def _core_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Home-range core area: smallest cell set holding >= 90% of the corpus
     (`operators/rollup.py::core_area`)."""
@@ -3171,6 +3209,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- wave 44 --
         "length_deciles": _length_deciles,
         "vocab_growth": _vocab_growth,
+        # -- wave 45 --
+        "traj_simplify": _traj_simplify,
+        "doc_repetition": _doc_repetition,
+        "source_caps": _source_caps,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -3507,6 +3549,9 @@ def oracle_sql() -> dict[str, str]:
         "source_profile": _source_profile_oracle(),
         "length_deciles": _length_deciles_oracle(),
         "vocab_growth": _vocab_growth_oracle(),
+        "traj_simplify": _traj_simplify_oracle(),
+        "doc_repetition": _doc_repetition_oracle(),
+        "source_caps": _source_caps_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

@@ -1053,6 +1053,24 @@ def _storage_queries(spark, geo):
         corpus = spark.read.parquet(_corpus_path())
         return vocab_growth(corpus, W.VOCAB_BUCKET_DOCS).count()
 
+    def q_traj_simplify():
+        from hilbert_curve_spark.operators.trajectory import traj_simplify
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return traj_simplify(ev, W.TRAJ_SIMP_EPS, W.TRAJ_SIMP_DEPTH).count()
+
+    def q_doc_repetition():
+        from hilbert_curve_spark.operators.spans import doc_repetition
+
+        corpus = spark.read.parquet(_corpus_path())
+        return doc_repetition(corpus).count()
+
+    def q_source_caps():
+        from hilbert_curve_spark.operators.textops import source_caps
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return source_caps(docs, W.SOURCE_CAP).count()
+
     return {
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
@@ -1128,6 +1146,9 @@ def _storage_queries(spark, geo):
         "source_profile": q_source_profile,
         "length_deciles": q_length_deciles,
         "vocab_growth": q_vocab_growth,
+        "traj_simplify": q_traj_simplify,
+        "doc_repetition": q_doc_repetition,
+        "source_caps": q_source_caps,
     }
 
 

@@ -691,3 +691,66 @@ def vocab_growth_oracle(
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
         f"AS cum_terms FROM vg_hist"
     )
+
+
+def doc_repetition(docs: DataFrame) -> DataFrame:
+    """Intra-document repetition census over the interleaved corpus —
+    ``(dup_band, n_docs, dup_spans, text_spans)``: documents banded by
+    their duplicated-text-span percentage (``dup_band`` = ``pct DIV 10``,
+    pct = exact integer ``100 * (n_text - n_distinct) DIV n_text``).  This
+    is the span-granularity form of the Gopher/MassiveText *repetition*
+    quality gate (fraction of duplicate lines within a document) — a
+    document whose spans repeat internally is boilerplate-heavy or
+    machine-looped, and the band census sizes a removal threshold before
+    anything is dropped.
+
+    Plan shape: the per-document statistic is PURE ARRAY ALGEBRA over the
+    ``spans`` column — ``filter(kind='text') -> transform(.text) ->
+    size vs size(array_distinct)`` inside whole-stage codegen, so the
+    corpus scan emits only the (band, 1, dups, texts) quadruple per doc
+    and the census is one map-side-combined hash aggregation over <= 11
+    groups.  Zero joins, zero explodes, zero UDFs; at 10^12 docs this is
+    the cheapest full-corpus statistic in the suite.
+
+    Reference parity: no counterpart (the reference stores opaque point
+    payloads); this is training-data curation over the input_hint span
+    schema."""
+    texts = "transform(filter(spans, s -> s.kind = 'text'), s -> s.text)"
+    n_text = f"size({texts})"
+    n_dist = f"size(array_distinct({texts}))"
+    per_doc = docs.select(
+        F.expr(
+            f"CASE WHEN {n_text} = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE (100 * CAST({n_text} - {n_dist} AS BIGINT)) DIV {n_text} END"
+        ).alias("dup_pct"),
+        F.expr(f"CAST({n_text} - {n_dist} AS BIGINT)").alias("dups"),
+        F.expr(f"CAST({n_text} AS BIGINT)").alias("texts"),
+    )
+    return (
+        per_doc.withColumn("dup_band", F.expr("dup_pct DIV 10"))
+        .groupBy("dup_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dups").alias("dup_spans"),
+            F.sum("texts").alias("text_spans"),
+        )
+    )
+
+
+def doc_repetition_oracle(table: str = "documents", amp: int = derive.AMP) -> str:
+    """DuckDB replay over the flat span rebuild: per-doc COUNT vs
+    COUNT(DISTINCT) of text payloads, identical integer pct/band."""
+    return (
+        f"WITH {flat_spans_sql(table, amp)}, "
+        f"rep_doc AS (SELECT doc_id, COUNT(*) AS n_text, "
+        f"COUNT(DISTINCT text) AS n_dist "
+        f"FROM spans WHERE kind = 'text' GROUP BY doc_id), "
+        f"rep_band AS (SELECT "
+        f"((100 * CAST(n_text - n_dist AS BIGINT)) // n_text) // 10 AS dup_band, "
+        f"CAST(n_text - n_dist AS BIGINT) AS dups, "
+        f"CAST(n_text AS BIGINT) AS texts FROM rep_doc) "
+        f"SELECT dup_band, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"CAST(SUM(dups) AS BIGINT) AS dup_spans, "
+        f"CAST(SUM(texts) AS BIGINT) AS text_spans "
+        f"FROM rep_band GROUP BY dup_band"
+    )

@@ -914,3 +914,76 @@ def length_deciles_oracle(buckets: int = 10, table: str = "documents") -> str:
 SELECT CAST(decile AS INT) AS decile,
        CAST(MIN(toks) AS BIGINT) AS threshold
 FROM ld_hit GROUP BY decile"""
+
+
+def source_caps(docs: DataFrame, cap: int = 15) -> DataFrame:
+    """Per-source document-cap curation plan — ``(source, n_docs, n_kept,
+    kept_tokens, dropped_tokens)``: keep at most ``cap`` documents per
+    source, chosen by ``(quality DESC, md5-hash ASC, doc_id ASC)`` — the
+    CommonCrawl-style per-domain cap that stops one hot domain from
+    dominating the training mixture, with the deterministic hash as the
+    within-quality shuffle.
+
+    Plan: one codegen projection (quality + token count + hash key), one
+    per-source ``row_number`` window, one ``|sources|``-group aggregation.
+    Spark's window operator already computes per-partition partial sorts
+    before the shuffle; at 10^12 docs with truly monstrous domains the
+    two-level partial top-C form applies verbatim (per-partition
+    ``row_number <= cap`` pre-filter, then the global window over the
+    survivors — bounded at ``cap x partitions`` moved rows per source;
+    same trick :func:`weighted_sample` documents), because only rank
+    ``<= cap`` ever matters and ranks only grow when partitions merge."""
+    from .dedup import _hex_to_long_sql
+
+    key = _hex_to_long_sql("md5(CAST(doc_id AS STRING))", 1, 10)
+    base = docs.select(
+        "source",
+        "doc_id",
+        F.expr(word_count_sql()).cast("long").alias("tokens"),
+        F.expr(quality_score_sql()).cast("long").alias("quality"),
+        F.expr(key).cast("long").alias("skey"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("skey"), F.asc("doc_id")
+    )
+    ranked = base.withColumn("rk", F.row_number().over(w))
+    kept = F.col("rk") <= int(cap)
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("tokens")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.sum(F.when(kept, 0).otherwise(F.col("tokens")))
+        .cast("long")
+        .alias("dropped_tokens"),
+    )
+
+
+def source_caps_oracle(cap: int = 15, table: str = "documents") -> str:
+    """Identical key, rank, and integer mass split."""
+    from .dedup import _hex_to_long_sql
+
+    key = _hex_to_long_sql("md5(CAST(doc_id AS STRING))", 1, 10)
+    return f"""WITH sc_base AS (
+  SELECT source, doc_id,
+         CAST({word_count_sql()} AS BIGINT) AS tokens,
+         CAST({quality_score_sql()} AS BIGINT) AS quality,
+         CAST({key} AS BIGINT) AS skey
+  FROM {table}
+), sc_ranked AS (
+  SELECT source, tokens,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality DESC, skey, doc_id) AS rk
+  FROM sc_base
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rk <= {int(cap)} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN rk <= {int(cap)} THEN tokens ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       CAST(SUM(CASE WHEN rk <= {int(cap)} THEN 0 ELSE tokens END) AS BIGINT)
+         AS dropped_tokens
+FROM sc_ranked GROUP BY source"""

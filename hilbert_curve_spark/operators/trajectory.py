@@ -2969,3 +2969,189 @@ SELECT cell,
        CAST(SUM(CASE WHEN p_hr = hr - 1 THEN n * p_n ELSE 0 END) AS BIGINT)
          AS lag_prod
 FROM au_lagged GROUP BY cell"""
+
+
+# ---------------------------------------------------------------------------
+# depth-limited Douglas-Peucker trajectory simplification
+# ---------------------------------------------------------------------------
+
+
+def traj_simplify(events: DataFrame, eps: int = 48, depth: int = 3) -> DataFrame:
+    """Depth-limited Douglas-Peucker polyline simplification per user —
+    ``(user_id, seq, x, y)``: the retained vertices of each user's
+    time-ordered trajectory after ``depth`` split rounds with integer
+    tolerance ``eps``.
+
+    Classic DP is recursive with data-dependent splits; the distributed
+    form here is the standard breadth-first *depth-limited* variant: every
+    round, EVERY active segment (delimited by the kept points found so
+    far, seeded with each user's first and last vertex) elects its
+    maximum-deviation interior vertex and keeps it iff the perpendicular
+    deviation exceeds ``eps``.  ``depth`` rounds bound the output at
+    ``2^depth + 1`` vertices per user and make the whole computation a
+    fixed-size composition of window functions — which is what lets the
+    DuckDB oracle replay it exactly (same trick as the unrolled
+    ``grid_kmeans`` optimisation).
+
+    All arithmetic is exact int64: the point-to-chord test compares
+    ``cross^2 > eps^2 * |chord|^2`` (cross = 2x triangle area), avoiding
+    the sqrt/division of the textbook form; on the 4096 lattice
+    ``cross^2 <= ~1.1e15`` and ``eps^2 * chord^2 <= ~7.7e10`` — no
+    overflow.  A degenerate zero-length chord (coincident kept endpoints)
+    falls back to direct squared distance to the anchor.  Ties on the
+    deviation score break to the smallest ``seq`` — fully deterministic.
+
+    Plan shape: ONE user_id shuffle; each round is three window passes
+    over the same partitioning (forward last-kept scan, backward
+    next-kept scan, per-segment argmax), all whole-stage codegen, no
+    joins, no UDFs.  At 10^12 events the rounds reuse the one exchange;
+    for depth > ~6 swap the growing lineage for a per-round
+    ``localCheckpoint`` (the dbscan/CC pattern).
+
+    Reference parity: the reference simplifies nothing (it renders full
+    curves, `HilbertCurveRenderer.java:21`); this is the trajectory-
+    compression stage a 100 TB movement corpus needs before storage."""
+    from pyspark.sql import Window
+
+    e2 = int(eps) * int(eps)
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cnt = Window.partitionBy("user_id")
+    base = (
+        _with_coords_epoch(events)
+        .select("user_id", "event_id", "ts", "ex", "ey")
+        .withColumn("seq", F.row_number().over(w_ord))
+        .withColumn("n_u", F.count(F.lit(1)).over(w_cnt))
+    )
+    cur = base.select(
+        "user_id",
+        "seq",
+        F.col("ex").cast("long").alias("x"),
+        F.col("ey").cast("long").alias("y"),
+        ((F.col("seq") == 1) | (F.col("seq") == F.col("n_u"))).alias("kept"),
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("seq")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    for _ in range(int(depth)):
+        kseq = F.when(F.col("kept"), F.col("seq"))
+        kx = F.when(F.col("kept"), F.col("x"))
+        ky = F.when(F.col("kept"), F.col("y"))
+        g = (
+            cur.withColumn("a_seq", F.last(kseq, ignorenulls=True).over(wf))
+            .withColumn("a_x", F.last(kx, ignorenulls=True).over(wf))
+            .withColumn("a_y", F.last(ky, ignorenulls=True).over(wf))
+            .withColumn("b_x", F.first(kx, ignorenulls=True).over(wb))
+            .withColumn("b_y", F.first(ky, ignorenulls=True).over(wb))
+        )
+        cr = (F.col("b_x") - F.col("a_x")) * (F.col("y") - F.col("a_y")) - (
+            F.col("b_y") - F.col("a_y")
+        ) * (F.col("x") - F.col("a_x"))
+        chord2 = (F.col("b_x") - F.col("a_x")) * (F.col("b_x") - F.col("a_x")) + (
+            F.col("b_y") - F.col("a_y")
+        ) * (F.col("b_y") - F.col("a_y"))
+        dist2 = (F.col("x") - F.col("a_x")) * (F.col("x") - F.col("a_x")) + (
+            F.col("y") - F.col("a_y")
+        ) * (F.col("y") - F.col("a_y"))
+        g = g.withColumn("chord2", chord2).withColumn(
+            "score", F.when(F.col("chord2") == 0, dist2).otherwise(cr * cr)
+        )
+        w_arg = Window.partitionBy("user_id", "a_seq").orderBy(
+            F.when(~F.col("kept"), F.col("score")).otherwise(F.lit(-1)).desc(),
+            F.col("seq"),
+        )
+        g = g.withColumn("rn", F.row_number().over(w_arg))
+        passes = F.when(
+            F.col("chord2") == 0, F.col("score") > F.lit(e2)
+        ).otherwise(F.col("score") > F.lit(e2) * F.col("chord2"))
+        cur = g.select(
+            "user_id",
+            "seq",
+            "x",
+            "y",
+            (
+                F.col("kept")
+                | ((~F.col("kept")) & (F.col("rn") == 1) & passes)
+            ).alias("kept"),
+        )
+    return cur.filter("kept").select(
+        "user_id", F.col("seq").cast("int").alias("seq"), "x", "y"
+    )
+
+
+def _dp_round_sql(prev: str, out: str, eps2: int) -> str:
+    """One unrolled DP split round (oracle side, identical windows)."""
+    return f"""{out} AS (
+  SELECT user_id, seq, x, y,
+         (kept OR (NOT kept AND rn = 1 AND
+            (CASE WHEN chord2 = 0 THEN score > {eps2}
+                  ELSE score > {eps2} * chord2 END))) AS kept
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, a_seq
+        ORDER BY (CASE WHEN NOT kept THEN score ELSE -1 END) DESC, seq) AS rn
+    FROM (
+      SELECT *, CASE WHEN chord2 = 0
+                     THEN (x - a_x) * (x - a_x) + (y - a_y) * (y - a_y)
+                     ELSE cr * cr END AS score
+      FROM (
+        SELECT *,
+          ((b_x - a_x) * (y - a_y) - (b_y - a_y) * (x - a_x)) AS cr,
+          ((b_x - a_x) * (b_x - a_x) + (b_y - a_y) * (b_y - a_y)) AS chord2
+        FROM (
+          SELECT user_id, seq, x, y, kept,
+            last_value(CASE WHEN kept THEN seq END IGNORE NULLS)
+              OVER wf AS a_seq,
+            last_value(CASE WHEN kept THEN x END IGNORE NULLS)
+              OVER wf AS a_x,
+            last_value(CASE WHEN kept THEN y END IGNORE NULLS)
+              OVER wf AS a_y,
+            first_value(CASE WHEN kept THEN x END IGNORE NULLS)
+              OVER wb AS b_x,
+            first_value(CASE WHEN kept THEN y END IGNORE NULLS)
+              OVER wb AS b_y
+          FROM {prev}
+          WINDOW wf AS (PARTITION BY user_id ORDER BY seq
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wb AS (PARTITION BY user_id ORDER BY seq
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+      )
+    )
+  )
+)"""
+
+
+def traj_simplify_oracle(
+    eps: int = 48, depth: int = 3, table: str = "events"
+) -> str:
+    """The ENTIRE depth-limited DP unrolled: seed CTE + one
+    :func:`_dp_round_sql` per round — identical coordinate derivation,
+    window order, integer cross test, and tie-breaks."""
+    from ..sources import derive
+
+    e2 = int(eps) * int(eps)
+    rounds = ", ".join(
+        _dp_round_sql(f"dp_r{i}", f"dp_r{i + 1}", e2) for i in range(int(depth))
+    )
+    return f"""WITH dp_pts AS (
+  SELECT user_id, event_id, ts,
+         CAST({derive.x_sql('event_id')} AS BIGINT) AS x,
+         CAST({derive.y_sql('event_id')} AS BIGINT) AS y
+  FROM {table}
+), dp_seq AS (
+  SELECT user_id, x, y,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_u
+  FROM dp_pts
+), dp_r0 AS (
+  SELECT user_id, seq, x, y, (seq = 1 OR seq = n_u) AS kept FROM dp_seq
+), {rounds}
+SELECT user_id, CAST(seq AS INT) AS seq, x, y
+FROM dp_r{int(depth)} WHERE kept"""

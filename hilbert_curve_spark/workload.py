@@ -371,3 +371,10 @@ SPLIT_TEST_MOD = 5
 
 # Vocabulary growth curve: flat docs per ingestion-order bucket.
 VOCAB_BUCKET_DOCS = 64
+
+# Depth-limited Douglas-Peucker trajectory simplification.
+TRAJ_SIMP_EPS = 48
+TRAJ_SIMP_DEPTH = 3
+
+# Per-source document cap (CommonCrawl-style domain cap).
+SOURCE_CAP = 15
