@@ -818,6 +818,77 @@ FROM gm_agg"""
 # ---------------------------------------------------------------------------
 
 
+def _grid_relax_fn(
+    m: int, src_cells: list, rounds: int, weighted: bool, out_col: str
+):
+    """Pandas-grouped-map kernel for the grid-bounded graph operators
+    (isochrone BFS / Bellman-Ford cost distance): vectorized min-plus
+    relaxation over the occupied-cell histogram.  The graph is the rook
+    adjacency of occupied cells in an ``m x m`` grid — AT MOST ``m^2``
+    vertices no matter how large the corpus is — so the whole iteration is
+    one Arrow batch: neighbor indices are four ``searchsorted`` probes of
+    the sorted flat cell keys (computed once), each round is four
+    ``np.minimum.at`` scatter-mins, and the loop exits at the exact
+    fixpoint or the round cap.  Exact int64 throughout; ``np.minimum.at``
+    is order-independent, so the result is deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    src_keys = np.asarray(
+        sorted({gx * m + gy for gx, gy in src_cells}), dtype=np.int64
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        gx = pdf["gx"].to_numpy(np.int64)
+        gy = pdf["gy"].to_numpy(np.int64)
+        nd = pdf["n_docs"].to_numpy(np.int64)
+        empty = pd.DataFrame(
+            {
+                "gx": np.array([], np.int64),
+                "gy": np.array([], np.int64),
+                "n_docs": np.array([], np.int64),
+                out_col: np.array([], np.int64),
+            }
+        )
+        if len(gx) == 0:
+            return empty
+        key = gx * m + gy
+        order = np.argsort(key)
+        key, gx, gy, nd = key[order], gx[order], gy[order], nd[order]
+        w = 1 + np.minimum(3, nd // 8) if weighted else np.ones_like(nd)
+        inf = np.int64(2**62)
+        dist = np.where(np.isin(key, src_keys), np.int64(0), inf)
+        arms = []
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nx, ny = gx + dx, gy + dy
+            valid = (nx >= 0) & (nx < m) & (ny >= 0) & (ny < m)
+            nk = nx * m + ny
+            pos = np.clip(np.searchsorted(key, nk), 0, len(key) - 1)
+            hit = valid & (key[pos] == nk)
+            arms.append((np.nonzero(hit)[0], pos[hit]))
+        for _ in range(int(rounds)):
+            new = dist.copy()
+            for src_i, dst_i in arms:
+                np.minimum.at(new, dst_i, dist[src_i] + w[dst_i])
+            if np.array_equal(new, dist):
+                break
+            dist = new
+        # <= rounds is the oracle's recursion prune: with weights >= 1 an
+        # in-budget optimal path has <= rounds edges, so the cap loses
+        # nothing and drops exactly the out-of-budget cells
+        reached = dist <= np.int64(rounds)
+        return pd.DataFrame(
+            {
+                "gx": gx[reached],
+                "gy": gy[reached],
+                "n_docs": nd[reached],
+                out_col: dist[reached],
+            }
+        )
+
+    return fn
+
+
 def cell_isochrone(
     doc_geo: DataFrame,
     sources: list,
@@ -836,15 +907,15 @@ def cell_isochrone(
     iterative operator family after CC and DBSCAN (`operators/graph.py`).
 
     Physical plan: ONE salted corpus scan builds the histogram; everything
-    after is bounded by the ``M x M`` grid, never the corpus.  The rook
-    edge set is four equi self-joins of the histogram (computed once,
-    checkpointed); each BFS round is one broadcast-sized equi join
-    (frontier ⋈ edges) plus one anti join (drop already-visited), with the
-    round count capped by ``max_hops`` — the loop is driver-controlled
-    exactly like :func:`.graph.connected_components`, and the one action
-    per round reads a single count off the frontier.  At 10^12 docs the
-    grid is still ≤ M^2 cells, so rounds cost milliseconds after the scan.
-    """
+    after is bounded by the ``M x M`` grid — AT MOST ``M^2`` cells no
+    matter how large the corpus is — so the breadth-first closure runs as
+    ONE Arrow-batched grouped-map task over the histogram
+    (:func:`_grid_relax_fn`: four ``searchsorted`` neighbor probes + a
+    vectorized scatter-min per round, exact int64, fixpoint or hop-cap
+    exit).  This is the compaction-plan/core-area pattern — the corpus
+    never touches Python, and the manifest-sized graph step costs
+    microseconds instead of one driver-scheduled join round per hop (the
+    previous form paid ~0.5 s/round in scheduling alone at any scale)."""
     hist = (
         doc_geo.withColumn(
             "salt", F.pmod(F.hash("doc_id"), F.lit(config.salt_buckets))
@@ -857,44 +928,13 @@ def cell_isochrone(
         .agg(F.count("*").alias("pn"))
         .groupBy("gx", "gy")
         .agg(F.sum("pn").alias("n_docs"))
-        .localCheckpoint()
     )
-    occ = hist.select("gx", "gy")
-    nbr = occ.select(F.col("gx").alias("vx"), F.col("gy").alias("vy"))
-    edges = None
-    for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-        arm = occ.join(
-            nbr,
-            (F.col("vx") == F.col("gx") + dx) & (F.col("vy") == F.col("gy") + dy),
-        ).select("gx", "gy", "vx", "vy")
-        edges = arm if edges is None else edges.union(arm)
-    edges = edges.localCheckpoint()
-
     src_cells = sorted({(int(x) >> shift, int(y) >> shift) for x, y in sources})
-    src_df = occ.sparkSession.createDataFrame(src_cells, "gx: long, gy: long")
-    frontier = occ.join(src_df, ["gx", "gy"], "semi").withColumn(
-        "hops", F.lit(0).cast("long")
+    fn = _grid_relax_fn(
+        config.edge >> shift, src_cells, int(max_hops), False, "hops"
     )
-    visited = frontier.localCheckpoint()
-    frontier = visited
-    for h in range(1, int(max_hops) + 1):
-        nxt = (
-            frontier.join(edges, ["gx", "gy"])
-            .select(
-                F.col("vx").alias("gx"),
-                F.col("vy").alias("gy"),
-                F.lit(h).cast("long").alias("hops"),
-            )
-            .distinct()
-            .join(visited.select("gx", "gy"), ["gx", "gy"], "anti")
-            .localCheckpoint(eager=False)
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.union(nxt).localCheckpoint(eager=False)
-        frontier = nxt
-    return visited.join(hist, ["gx", "gy"]).select(
-        "gx", "gy", F.col("n_docs").cast("long").alias("n_docs"), "hops"
+    return hist.groupBy(F.lit(0).alias("_g")).applyInPandas(
+        fn, "gx long, gy long, n_docs long, hops long"
     )
 
 
@@ -1038,18 +1078,15 @@ def cell_cost_distance(
     weights of ENTERED cells through 4-connected occupied territory, stays
     within ``budget`` — ``(gx, gy, n_docs, cost)``.
 
-    Physical plan: the isochrone's one salted corpus scan and
-    histogram-sized rook edge set (each edge carrying its TARGET cell's
-    weight), then distributed Bellman–Ford: every round relaxes
-    ``dist ⋈ edges`` and min-merges — all frames grid-bounded, never the
-    corpus.  Positive integer weights bound the round count by ``budget``
-    (an optimal path has at most ``budget`` hops), and the fixpoint test
-    is the monotone ``(count, SUM(cost))`` pair — costs only ever
-    decrease and rows are only ever added, so the pair is unchanged iff
-    the labeling converged (ONE aggregate action per round, the CC
-    convergence protocol).  The driver loop + localCheckpoint structure
-    is :func:`.graph.connected_components`'s; swap in ``checkpoint()``
-    on a real cluster."""
+    Physical plan: the isochrone's one salted corpus scan, then the
+    Bellman–Ford relaxation as ONE Arrow-batched grouped-map task over the
+    grid-bounded histogram (:func:`_grid_relax_fn` with the per-cell
+    weights): positive integer weights mean an in-budget optimal path has
+    at most ``budget`` edges, so ``budget`` vectorized scatter-min rounds
+    (fixpoint-exited early) plus the ``<= budget`` cap reproduce the
+    oracle's recursive closure exactly.  The corpus never touches Python;
+    the graph step is manifest-sized (the compaction-plan/core-area
+    pattern), replacing one driver-scheduled join round per relaxation."""
     hist = (
         doc_geo.withColumn(
             "salt", F.pmod(F.hash("doc_id"), F.lit(config.salt_buckets))
@@ -1062,53 +1099,11 @@ def cell_cost_distance(
         .agg(F.count("*").alias("pn"))
         .groupBy("gx", "gy")
         .agg(F.sum("pn").alias("n_docs"))
-        .withColumn("w", F.expr("CAST(1 + LEAST(3, n_docs DIV 8) AS BIGINT)"))
-        .localCheckpoint()
     )
-    occ = hist.select("gx", "gy", "w")
-    nbr = occ.select(
-        F.col("gx").alias("vx"), F.col("gy").alias("vy"), F.col("w").alias("vw")
-    )
-    edges = None
-    for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-        arm = occ.join(
-            nbr,
-            (F.col("vx") == F.col("gx") + dx) & (F.col("vy") == F.col("gy") + dy),
-        ).select("gx", "gy", "vx", "vy", "vw")
-        edges = arm if edges is None else edges.union(arm)
-    edges = edges.localCheckpoint()
-
     src_cells = sorted({(int(x) >> shift, int(y) >> shift) for x, y in sources})
-    src_df = occ.sparkSession.createDataFrame(src_cells, "gx: long, gy: long")
-    dist = (
-        occ.join(src_df, ["gx", "gy"], "semi")
-        .select("gx", "gy", F.lit(0).cast("long").alias("cost"))
-        .localCheckpoint()
-    )
-    prev = (0, 0)
-    for _ in range(int(budget)):
-        cand = (
-            dist.join(edges, ["gx", "gy"])
-            .select(
-                F.col("vx").alias("gx"),
-                F.col("vy").alias("gy"),
-                (F.col("cost") + F.col("vw")).alias("cost"),
-            )
-            .filter(F.col("cost") <= budget)
-        )
-        dist = (
-            dist.union(cand)
-            .groupBy("gx", "gy")
-            .agg(F.min("cost").alias("cost"))
-            .localCheckpoint(eager=False)
-        )
-        row = dist.agg(F.count(F.lit(1)), F.sum("cost")).collect()[0]
-        cur = (row[0], row[1] or 0)
-        if cur == prev:
-            break
-        prev = cur
-    return dist.join(hist, ["gx", "gy"]).select(
-        "gx", "gy", F.col("n_docs").cast("long").alias("n_docs"), "cost"
+    fn = _grid_relax_fn(config.edge >> shift, src_cells, int(budget), True, "cost")
+    return hist.groupBy(F.lit(0).alias("_g")).applyInPandas(
+        fn, "gx long, gy long, n_docs long, cost long"
     )
 
 

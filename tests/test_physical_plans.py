@@ -602,7 +602,11 @@ def test_pip_rings_broadcast_cover_probe_no_python(sorted_geo):
     assert "CartesianProduct" not in plan
 
 
-def test_cell_isochrone_grid_bounded_no_python(sorted_geo):
+def test_cell_isochrone_grid_bounded_single_arrow_task(sorted_geo):
+    # the corpus side must stay native (salted hash agg, zero Python);
+    # the BFS runs as exactly ONE grouped-map Arrow task over the
+    # grid-bounded histogram — never a per-row UDF, never corpus rows
+    # through Python, never a driver-round join loop
     from hilbert_curve_spark import workload as W
     from hilbert_curve_spark.operators.rollup import cell_isochrone
 
@@ -611,11 +615,13 @@ def test_cell_isochrone_grid_bounded_no_python(sorted_geo):
     )
     plan = _plan(q)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "HashAggregate" in plan  # the histogram feeds the Arrow task
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
 
-def test_cell_cost_distance_grid_bounded_no_python(sorted_geo):
+def test_cell_cost_distance_grid_bounded_single_arrow_task(sorted_geo):
     from hilbert_curve_spark import workload as W
     from hilbert_curve_spark.operators.rollup import cell_cost_distance
 
@@ -624,6 +630,8 @@ def test_cell_cost_distance_grid_bounded_no_python(sorted_geo):
     )
     plan = _plan(q)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "HashAggregate" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
