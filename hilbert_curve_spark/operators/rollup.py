@@ -589,15 +589,17 @@ def hotspot_regions(
     shuffle-bounded large/small-star CC of :mod:`.graph`.
 
     Physical plan: ONE salted corpus scan builds the histogram; the dense
-    subset (histogram-sized, never the corpus) self-joins on the two
-    directed neighbor keys (right and up — each undirected edge once) to
-    produce the adjacency edges, and ``connected_components`` folds them
-    in O(log^2 regions) min-agg rounds.  Every post-scan frame is bounded
-    by the M^2 grid, so at 10^12 docs the cost is the scan; isolated dense
-    cells never enter the edge set and label themselves (left join +
-    coalesce — the same convention as the CC roots)."""
-    from .graph import connected_components
-
+    subset is bounded by the ``M^2`` grid no matter how large the corpus
+    is, so the component labeling runs as ONE Arrow grouped-map task over
+    it (the isochrone/cost-distance pattern, :func:`_grid_relax_fn`'s
+    sibling): right/up rook edges from two ``searchsorted`` probes of the
+    sorted flat keys, then min-root union-find with path compression —
+    the root index is always the smaller one and cells are key-sorted, so
+    the final label is exactly the component's minimum flat key.  The
+    corpus never touches Python; at 10^12 docs the cost is the scan.
+    (Corpus-sized graphs — dedup clusters, DBSCAN — keep the distributed
+    large/small-star CC of :mod:`.graph`; this kernel is ONLY for
+    manifest-sized rasters.)"""
     m = config.edge >> shift
     hist = (
         doc_geo.withColumn(
@@ -612,27 +614,51 @@ def hotspot_regions(
         .groupBy("gx", "gy")
         .agg(F.sum("pn").alias("n_docs"))
     )
-    dense = hist.filter(F.col("n_docs") >= min_docs).withColumn(
-        "k", (F.col("gx") * m + F.col("gy")).cast("long")
-    )
-    nbr = dense.select(
-        F.col("gx").alias("ngx"), F.col("gy").alias("ngy"), F.col("k").alias("nk")
-    )
-    right = dense.join(
-        nbr, (F.col("ngx") == F.col("gx") + 1) & (F.col("ngy") == F.col("gy"))
-    ).select(F.col("k").alias("u"), F.col("nk").alias("v"))
-    up = dense.join(
-        nbr, (F.col("ngx") == F.col("gx")) & (F.col("ngy") == F.col("gy") + 1)
-    ).select(F.col("k").alias("u"), F.col("nk").alias("v"))
-    cc = connected_components(right.union(up), "u", "v")
-    return (
-        dense.join(cc, dense["k"] == cc["node"], "left")
-        .select(
-            "gx",
-            "gy",
-            "n_docs",
-            F.coalesce("rep", F.col("k")).cast("long").alias("region"),
+    dense = hist.filter(F.col("n_docs") >= min_docs)
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        gx = pdf["gx"].to_numpy(np.int64)
+        gy = pdf["gy"].to_numpy(np.int64)
+        nd = pdf["n_docs"].to_numpy(np.int64)
+        if len(gx) == 0:
+            return pd.DataFrame(
+                {c: np.array([], np.int64) for c in ("gx", "gy", "n_docs", "region")}
+            )
+        key = gx * m + gy
+        order = np.argsort(key)
+        key, gx, gy, nd = key[order], gx[order], gy[order], nd[order]
+        parent = np.arange(len(key), dtype=np.int64)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for dx, dy in ((1, 0), (0, 1)):
+            nk = (gx + dx) * m + (gy + dy)
+            valid = (gx + dx < m) & (gy + dy < m)
+            pos = np.clip(np.searchsorted(key, nk), 0, len(key) - 1)
+            hit = valid & (key[pos] == nk)
+            for i, j in zip(np.nonzero(hit)[0], pos[hit]):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    # min-root union: cells are key-sorted, so the smaller
+                    # index IS the smaller flat key
+                    if ri < rj:
+                        parent[rj] = ri
+                    else:
+                        parent[ri] = rj
+        roots = np.array([find(i) for i in range(len(key))], dtype=np.int64)
+        return pd.DataFrame(
+            {"gx": gx, "gy": gy, "n_docs": nd, "region": key[roots]}
         )
+
+    return dense.groupBy(F.lit(0).alias("_g")).applyInPandas(
+        fn, "gx long, gy long, n_docs long, region long"
     )
 
 

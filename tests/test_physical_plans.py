@@ -636,6 +636,18 @@ def test_cell_cost_distance_grid_bounded_single_arrow_task(sorted_geo):
     assert "CartesianProduct" not in plan
 
 
+def test_hotspot_regions_grid_bounded_single_arrow_task(sorted_geo):
+    from hilbert_curve_spark.operators.rollup import hotspot_regions
+
+    q = hotspot_regions(sorted_geo, min_docs=3, shift=6)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_tile_topk_single_corpus_window_no_python(sorted_geo):
     from hilbert_curve_spark.operators.rollup import tile_feature_topk
 
