@@ -2798,6 +2798,43 @@ def _source_caps_oracle() -> str:
     return textops.source_caps_oracle(W.SOURCE_CAP)
 
 
+def _percolation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Ziff percolation census of the density raster: component
+    count + largest region per density threshold, ONE histogram scan +
+    ONE incremental union-find Arrow task
+    (`operators/rollup.py::percolation_curve`)."""
+    from hilbert_curve_spark.operators.rollup import percolation_curve
+
+    return percolation_curve(
+        _doc_geo(spark, sf_dir), W.PERC_THRESHOLDS, shift=W.TOPKW_SHIFT
+    )
+
+
+def _percolation_curve_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import percolation_curve_oracle
+
+    cte = _doc_geo_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"{cte}, " + percolation_curve_oracle(
+        W.PERC_THRESHOLDS, shift=W.TOPKW_SHIFT, config=DEFAULT
+    )
+
+
+def _watershed_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steepest-ascent watershed decomposition of the density raster:
+    per-basin cell/doc mass labeled by the peak's flat key
+    (`operators/rollup.py::watershed_basins`)."""
+    from hilbert_curve_spark.operators.rollup import watershed_basins
+
+    return watershed_basins(_doc_geo(spark, sf_dir), shift=W.TOPKW_SHIFT)
+
+
+def _watershed_basins_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import watershed_basins_oracle
+
+    cte = _doc_geo_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"{cte}, " + watershed_basins_oracle(shift=W.TOPKW_SHIFT, config=DEFAULT)
+
+
 def _core_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Home-range core area: smallest cell set holding >= 90% of the corpus
     (`operators/rollup.py::core_area`)."""
@@ -3224,7 +3261,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- wave 44 --
         "length_deciles": _length_deciles,
         "vocab_growth": _vocab_growth,
-        # -- wave 45 --
+        # -- wave 45 moved into the window above; wave 46 --
+        "percolation_curve": _percolation_curve,
+        "watershed_basins": _watershed_basins,
         # -- green in r2 only, component re-evidenced by an r3-green query --
         "s2_cells": _s2_cells,
         "hex_cells": _hex_cells,
@@ -3564,6 +3603,8 @@ def oracle_sql() -> dict[str, str]:
         "traj_simplify": _traj_simplify_oracle(),
         "doc_repetition": _doc_repetition_oracle(),
         "source_caps": _source_caps_oracle(),
+        "percolation_curve": _percolation_curve_oracle(),
+        "watershed_basins": _watershed_basins_oracle(),
         "zorder_range": (
             f"{cte} SELECT doc_key AS doc_id, x, y FROM doc_geo WHERE {W.box_sql(W.R1)}"
         ),

@@ -1053,6 +1053,16 @@ def _storage_queries(spark, geo):
         corpus = spark.read.parquet(_corpus_path())
         return vocab_growth(corpus, W.VOCAB_BUCKET_DOCS).count()
 
+    def q_percolation_curve():
+        from hilbert_curve_spark.operators.rollup import percolation_curve
+
+        return percolation_curve(geo, W.PERC_THRESHOLDS, shift=W.TOPKW_SHIFT).count()
+
+    def q_watershed_basins():
+        from hilbert_curve_spark.operators.rollup import watershed_basins
+
+        return watershed_basins(geo, shift=W.TOPKW_SHIFT).count()
+
     def q_traj_simplify():
         from hilbert_curve_spark.operators.trajectory import traj_simplify
 
@@ -1149,6 +1159,8 @@ def _storage_queries(spark, geo):
         "traj_simplify": q_traj_simplify,
         "doc_repetition": q_doc_repetition,
         "source_caps": q_source_caps,
+        "percolation_curve": q_percolation_curve,
+        "watershed_basins": q_watershed_basins,
     }
 
 

@@ -1843,3 +1843,321 @@ SELECT CAST(-1 AS INT), CAST(-1 AS BIGINT),
        CAST(COALESCE(SUM(n_docs), 0) AS BIGINT),
        CAST(COALESCE(SUM(n_docs), 0) AS BIGINT)
 FROM an_base WHERE cell NOT IN (SELECT cell FROM an_flat)"""
+
+
+# ---------------------------------------------------------------------------
+# percolation curve — component census as a function of density threshold
+# ---------------------------------------------------------------------------
+
+
+def percolation_curve(
+    doc_geo: DataFrame,
+    thresholds: list,
+    shift: int = 6,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """PERCOLATION analysis of the corpus density raster — ``(threshold,
+    n_cells, n_regions, max_region_cells)``: for every density threshold,
+    how many grid cells clear it, how many 4-connected regions they form,
+    and how large the biggest region is.  Sweeping the threshold traces
+    the full connectivity transition ("at which density does the hot core
+    connect up?") — the raster form of the percolation census (Newman &
+    Ziff, Phys. Rev. Lett. 85:4104, 2000), and the sweep companion to the
+    single-threshold :func:`hotspot_regions`.
+
+    Physical plan: ONE salted corpus scan builds the histogram; the whole
+    multi-threshold census then runs as ONE Arrow grouped-map task over
+    the grid-bounded histogram using the Newman–Ziff incremental trick —
+    cells enter in DESCENDING density order, union-find merges them with
+    already-active rook neighbors while component count and max size
+    update incrementally, and each requested threshold reads its stats
+    the moment its last cell has entered.  All thresholds cost ONE pass
+    over the (≤ M^2)-cell raster, not one component labeling each; the
+    corpus never touches Python.
+
+    Reference parity: no counterpart (the reference renders single tile
+    windows, `Experiment/TestByUserInput/BRQComparisonInput.java:13-23`);
+    this is corpus-density structure analysis over the engine's own cell
+    grid."""
+    m = config.edge >> shift
+    ts = sorted({int(t) for t in thresholds})
+    hist = (
+        doc_geo.withColumn(
+            "salt", F.pmod(F.hash("doc_id"), F.lit(config.salt_buckets))
+        )
+        .groupBy(
+            F.shiftright("x", shift).alias("gx"),
+            F.shiftright("y", shift).alias("gy"),
+            "salt",
+        )
+        .agg(F.count("*").alias("pn"))
+        .groupBy("gx", "gy")
+        .agg(F.sum("pn").alias("n_docs"))
+    )
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        gx = pdf["gx"].to_numpy(np.int64)
+        gy = pdf["gy"].to_numpy(np.int64)
+        nd = pdf["n_docs"].to_numpy(np.int64)
+        key = gx * m + gy
+        order = np.argsort(key)
+        key, gx, gy, nd = key[order], gx[order], gy[order], nd[order]
+        n = len(key)
+        # neighbor slots (computed once, like _grid_relax_fn)
+        arms = []
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nx, ny = gx + dx, gy + dy
+            valid = (nx >= 0) & (nx < m) & (ny >= 0) & (ny < m)
+            nk = nx * m + ny
+            if n:
+                pos = np.clip(np.searchsorted(key, nk), 0, n - 1)
+                hit = valid & (key[pos] == nk)
+            else:
+                pos = np.zeros(0, np.int64)
+                hit = np.zeros(0, bool)
+            full = np.full(n, -1, np.int64)
+            full[hit] = pos[hit]
+            arms.append(full)
+        parent = np.arange(n, dtype=np.int64)
+        size = np.ones(n, dtype=np.int64)
+        active = np.zeros(n, dtype=bool)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        stats = {"comp": 0, "max": 0, "cells": 0}
+
+        def activate(i):
+            active[i] = True
+            stats["comp"] += 1
+            stats["cells"] += 1
+            stats["max"] = max(stats["max"], 1)
+            for arm in arms:
+                j = arm[i]
+                if j >= 0 and active[j]:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        if size[ri] < size[rj]:
+                            ri, rj = rj, ri
+                        parent[rj] = ri
+                        size[ri] += size[rj]
+                        stats["comp"] -= 1
+                        stats["max"] = max(stats["max"], size[ri])
+
+        by_density = np.argsort(-nd, kind="stable")
+        rows = []
+        ptr = 0
+        for t in sorted(ts, reverse=True):
+            while ptr < n and nd[by_density[ptr]] >= t:
+                activate(int(by_density[ptr]))
+                ptr += 1
+            rows.append((t, stats["cells"], stats["comp"], stats["max"]))
+        out = pd.DataFrame(
+            rows, columns=["threshold", "n_cells", "n_regions", "max_region_cells"]
+        )
+        return out.astype("int64")
+
+    return hist.groupBy(F.lit(0).alias("_g")).applyInPandas(
+        fn, "threshold long, n_cells long, n_regions long, max_region_cells long"
+    )
+
+
+def percolation_curve_oracle(
+    thresholds: list, shift: int = 6, config: EngineConfig = DEFAULT
+) -> str:
+    """Appends to a ``WITH RECURSIVE`` CTE chain defining ``doc_geo``:
+    identical histogram, then per literal threshold an INDEPENDENT
+    recursive min-label closure over the dense subset (the straightforward
+    one-labeling-per-threshold formulation the one-pass Newman–Ziff sweep
+    must equal), aggregated to the same census columns."""
+    m = config.edge >> shift
+    s = int(shift)
+    ts = sorted({int(t) for t in thresholds})
+    blocks, selects = [], []
+    for i, t in enumerate(ts):
+        blocks.append(
+            f"""pc_dense_{i} AS (
+  SELECT gx, gy, CAST(gx * {m} + gy AS BIGINT) AS k
+  FROM pc_hist WHERE n_docs >= {t}
+), pc_pairs_{i} AS (
+  SELECT a.k AS u, b.k AS v FROM pc_dense_{i} a JOIN pc_dense_{i} b
+  ON (b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1)
+), pc_edges_{i} AS (
+  SELECT u, v FROM pc_pairs_{i} UNION SELECT v, u FROM pc_pairs_{i}
+), pc_cc_{i}(node, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM pc_edges_{i})
+  UNION
+  SELECT e.v, c.label FROM pc_cc_{i} c JOIN pc_edges_{i} e ON e.u = c.node
+), pc_lab_{i} AS (
+  SELECT d.k, COALESCE(l.rep, d.k) AS region
+  FROM pc_dense_{i} d LEFT JOIN
+    (SELECT node, MIN(label) AS rep FROM pc_cc_{i} GROUP BY node) l
+    ON l.node = d.k
+), pc_sz_{i} AS (
+  SELECT region, COUNT(*) AS sz FROM pc_lab_{i} GROUP BY region
+)"""
+        )
+        selects.append(
+            f"""SELECT CAST({t} AS BIGINT) AS threshold,
+       CAST((SELECT COUNT(*) FROM pc_lab_{i}) AS BIGINT) AS n_cells,
+       CAST((SELECT COUNT(*) FROM pc_sz_{i}) AS BIGINT) AS n_regions,
+       CAST((SELECT COALESCE(MAX(sz), 0) FROM pc_sz_{i}) AS BIGINT)
+         AS max_region_cells"""
+        )
+    body = ", ".join(blocks)
+    union = "\nUNION ALL\n".join(selects)
+    return f"""pc_hist AS (
+  SELECT x >> {s} AS gx, y >> {s} AS gy, COUNT(*) AS n_docs
+  FROM doc_geo GROUP BY 1, 2
+), {body}
+{union}"""
+
+
+# ---------------------------------------------------------------------------
+# watershed basins — steepest-ascent drainage labeling of the density raster
+# ---------------------------------------------------------------------------
+
+
+def watershed_basins(
+    doc_geo: DataFrame, shift: int = 6, config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """WATERSHED decomposition of the corpus density raster — ``(basin,
+    n_cells, n_docs, peak_docs)``: every occupied grid cell drains along
+    its steepest-ASCENT pointer (the rook neighbor with strictly greater
+    density; ties toward the smaller flat key; local maxima point at
+    themselves), and a basin is the set of cells draining to the same
+    peak, labeled by the peak's flat key ``gx*M + gy``.  The hill-climbing
+    dual of :func:`hotspot_regions`: regions say which dense cells touch,
+    basins say which PEAK each cell belongs to — the classic GIS
+    watershed / catchment operator transplanted onto the density surface.
+
+    Physical plan: ONE salted corpus scan builds the histogram; pointer
+    assignment and root-finding run as ONE Arrow grouped-map task over
+    the grid-bounded histogram — four ``searchsorted`` neighbor probes
+    pick each cell's steepest ascent vectorized, then pointer-jumping
+    (``parent = parent[parent]``) converges in O(log chain) fully
+    vectorized rounds (the forest is acyclic because density strictly
+    increases along every pointer).  Aggregation back to basin rows is
+    numpy group-by inside the same batch; the corpus never touches
+    Python."""
+    m = config.edge >> shift
+    hist = (
+        doc_geo.withColumn(
+            "salt", F.pmod(F.hash("doc_id"), F.lit(config.salt_buckets))
+        )
+        .groupBy(
+            F.shiftright("x", shift).alias("gx"),
+            F.shiftright("y", shift).alias("gy"),
+            "salt",
+        )
+        .agg(F.count("*").alias("pn"))
+        .groupBy("gx", "gy")
+        .agg(F.sum("pn").alias("n_docs"))
+    )
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        gx = pdf["gx"].to_numpy(np.int64)
+        gy = pdf["gy"].to_numpy(np.int64)
+        nd = pdf["n_docs"].to_numpy(np.int64)
+        if len(gx) == 0:
+            return pd.DataFrame(
+                {c: np.array([], np.int64)
+                 for c in ("basin", "n_cells", "n_docs", "peak_docs")}
+            )
+        key = gx * m + gy
+        order = np.argsort(key)
+        key, gx, gy, nd = key[order], gx[order], gy[order], nd[order]
+        n = len(key)
+        best = np.arange(n, dtype=np.int64)  # self-pointer = local peak
+        best_nd = nd.copy()
+        best_key = key.copy()
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nx, ny = gx + dx, gy + dy
+            valid = (nx >= 0) & (nx < m) & (ny >= 0) & (ny < m)
+            nk = nx * m + ny
+            pos = np.clip(np.searchsorted(key, nk), 0, n - 1)
+            hit = valid & (key[pos] == nk)
+            cand = pos[hit]
+            rows_ = np.nonzero(hit)[0]
+            # strictly denser beats current best; equal density breaks to
+            # the smaller flat key (and any strictly-denser neighbor beats
+            # the self pointer, which carries the cell's own density)
+            better = (nd[cand] > best_nd[rows_]) | (
+                (nd[cand] == best_nd[rows_])
+                & (nd[cand] > nd[rows_])
+                & (key[cand] < best_key[rows_])
+            )
+            best[rows_[better]] = cand[better]
+            best_nd[rows_] = nd[best[rows_]]
+            best_key[rows_] = key[best[rows_]]
+        parent = best
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+        basin = key[parent]
+        df = pd.DataFrame(
+            {"basin": basin, "cells": 1, "docs": nd, "peak": nd[parent]}
+        )
+        out = (
+            df.groupby("basin", sort=True)
+            .agg(n_cells=("cells", "sum"), n_docs=("docs", "sum"),
+                 peak_docs=("peak", "max"))
+            .reset_index()
+        )
+        return out.astype("int64")
+
+    return hist.groupBy(F.lit(0).alias("_g")).applyInPandas(
+        fn, "basin long, n_cells long, n_docs long, peak_docs long"
+    )
+
+
+def watershed_basins_oracle(shift: int = 6, config: EngineConfig = DEFAULT) -> str:
+    """Appends to a ``WITH RECURSIVE`` CTE chain defining ``doc_geo``:
+    identical histogram, the same steepest-ascent pointer (strictly denser
+    rook neighbor, ties to the smaller flat key, peaks self-pointing) via
+    a ranked neighbor join, then a recursive pointer walk to the root and
+    the same basin aggregation."""
+    m = config.edge >> shift
+    s = int(shift)
+    return f"""ws_hist AS (
+  SELECT x >> {s} AS gx, y >> {s} AS gy, COUNT(*) AS n_docs,
+         CAST((x >> {s}) * {m} + (y >> {s}) AS BIGINT) AS k
+  FROM doc_geo GROUP BY 1, 2
+), ws_nbr AS (
+  SELECT a.k, b.k AS nk, b.n_docs AS nnd,
+         ROW_NUMBER() OVER (PARTITION BY a.k
+                            ORDER BY b.n_docs DESC, b.k) AS rn
+  FROM ws_hist a JOIN ws_hist b
+  ON (ABS(b.gx - a.gx) + ABS(b.gy - a.gy)) = 1
+  WHERE b.n_docs > a.n_docs
+), ws_ptr AS (
+  SELECT h.k, COALESCE(nb.nk, h.k) AS ptr
+  FROM ws_hist h LEFT JOIN (SELECT k, nk FROM ws_nbr WHERE rn = 1) nb
+  ON nb.k = h.k
+), ws_walk(k, cur) AS (
+  SELECT k, ptr FROM ws_ptr
+  UNION
+  SELECT w.k, p.ptr FROM ws_walk w JOIN ws_ptr p ON p.k = w.cur
+  WHERE p.ptr <> w.cur
+), ws_root AS (
+  SELECT w.k, w.cur AS basin FROM ws_walk w
+  JOIN ws_ptr p ON p.k = w.cur AND p.ptr = w.cur
+)
+SELECT r.basin, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(h.n_docs) AS BIGINT) AS n_docs,
+       CAST(MAX(pk.n_docs) AS BIGINT) AS peak_docs
+FROM ws_root r
+JOIN ws_hist h ON h.k = r.k
+JOIN ws_hist pk ON pk.k = r.basin
+GROUP BY r.basin"""

@@ -378,3 +378,7 @@ TRAJ_SIMP_DEPTH = 3
 
 # Per-source document cap (CommonCrawl-style domain cap).
 SOURCE_CAP = 15
+
+# Percolation curve: density thresholds swept over the shift-6 raster
+# (1 = every occupied cell .. 64 = the hot core only).
+PERC_THRESHOLDS = [1, 4, 16, 64]

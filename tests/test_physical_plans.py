@@ -648,6 +648,30 @@ def test_hotspot_regions_grid_bounded_single_arrow_task(sorted_geo):
     assert "CartesianProduct" not in plan
 
 
+def test_percolation_curve_grid_bounded_single_arrow_task(sorted_geo):
+    from hilbert_curve_spark.operators.rollup import percolation_curve
+
+    q = percolation_curve(sorted_geo, [1, 4, 16], shift=6)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_watershed_basins_grid_bounded_single_arrow_task(sorted_geo):
+    from hilbert_curve_spark.operators.rollup import watershed_basins
+
+    q = watershed_basins(sorted_geo, shift=6)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_tile_topk_single_corpus_window_no_python(sorted_geo):
     from hilbert_curve_spark.operators.rollup import tile_feature_topk
 
