@@ -185,6 +185,70 @@ def _construction2_grq_oracle() -> str:
     )
 
 
+def _bloom_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter index->fact fetch: the R1 box's key set folds
+    into a broadcast m-bit bloom that prunes the interleaved-payload scan
+    BEFORE the exact join; output keeps the false positives — they are the
+    filter's observable, oracle-checkable semantics
+    (`operators/runtime_filter.py::bloom_pruned_fetch`)."""
+    from hilbert_curve_spark.operators.runtime_filter import bloom_pruned_fetch
+
+    return bloom_pruned_fetch(
+        build_documents(spark, sf_dir),
+        _doc_geo(spark, sf_dir),
+        **W.R1,
+        m_bits=W.BLOOM_M,
+        k_hashes=W.BLOOM_K,
+    )
+
+
+def _bloom_fetch_oracle() -> str:
+    from hilbert_curve_spark.operators.runtime_filter import (
+        bloom_pruned_fetch_oracle,
+    )
+
+    return f"{_doc_geo_cte()}, " + bloom_pruned_fetch_oracle(
+        **W.R1, m_bits=W.BLOOM_M, k_hashes=W.BLOOM_K
+    )
+
+
+def _hull_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region convex-hull boundary over an md5 corpus sample: monotone
+    chain + exact on-edge classification in one Arrow task per region
+    (`operators/spatial_join.py::hull_points`); the oracle applies the
+    halfplane boundary definition literally as an O(n^3) NOT EXISTS."""
+    from hilbert_curve_spark.operators.spatial_join import hull_points
+
+    return hull_points(
+        _doc_geo(spark, sf_dir), W.HULL_SAMPLE_MOD, W.HULL_SHIFT, config=DEFAULT
+    )
+
+
+def _hull_points_oracle() -> str:
+    from hilbert_curve_spark.operators.spatial_join import hull_points_oracle
+
+    return f"{_doc_geo_cte()}, " + hull_points_oracle(
+        W.HULL_SAMPLE_MOD, W.HULL_SHIFT, config=DEFAULT
+    )
+
+
+def _segment_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-crossing segment join: PBSM cell blocking + reference-point
+    exactly-once rule + strict integer orientation tests
+    (`operators/trajectory.py::segment_crossings`)."""
+    from hilbert_curve_spark.operators.trajectory import segment_crossings
+
+    return segment_crossings(
+        _events(spark, sf_dir), W.XING_USER_MOD, W.XING_MAX_LEN, W.XING_SHIFT
+    )
+
+
+def _segment_crossings_oracle() -> str:
+    from hilbert_curve_spark.operators.trajectory import segment_crossings_oracle
+
+    return segment_crossings_oracle(W.XING_USER_MOD, W.XING_MAX_LEN)
+
+
 def _keyword_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRDSSE (SRDSSE.java:81-238): per-keyword versioned add/delete chains
     folded last-writer-wins at search — batched over the KW_ANY keyword set."""
@@ -3082,6 +3146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round --------------------------------------------------
         "keyword_updates": _keyword_updates,
         "construction2_grq": _construction2_grq,
+        "bloom_fetch": _bloom_fetch,
+        "hull_points": _hull_points,
+        "segment_crossings": _segment_crossings,
         "geofence_join": _geofence_join,
         "poi_nearest_join": _poi_nearest_join,
         "doc_fingerprints": _doc_fingerprints,
@@ -3438,6 +3505,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "keyword_updates": _keyword_updates_oracle(),
         "construction2_grq": _construction2_grq_oracle(),
+        "bloom_fetch": _bloom_fetch_oracle(),
+        "hull_points": _hull_points_oracle(),
+        "segment_crossings": _segment_crossings_oracle(),
         "geofence_join": ev_ops.geofence_counts_oracle(FENCES_LARGE),
         "poi_nearest_join": _poi_nearest_join_oracle(),
         "doc_fingerprints": textops.winnow_fingerprints_oracle(),

@@ -596,6 +596,27 @@ def _storage_queries(spark, geo):
 
         return geohash_search(geo, **W.R3, chars=4).count()
 
+    def q_bloom_fetch():
+        from hilbert_curve_spark.operators.runtime_filter import bloom_pruned_fetch
+
+        docs = spark.read.parquet(_corpus_path())
+        return bloom_pruned_fetch(
+            docs, geo, **W.R1, m_bits=W.BLOOM_M, k_hashes=W.BLOOM_K
+        ).count()
+
+    def q_hull_points():
+        from hilbert_curve_spark.operators.spatial_join import hull_points
+
+        return hull_points(geo, W.HULL_SAMPLE_MOD, W.HULL_SHIFT).count()
+
+    def q_segment_crossings():
+        from hilbert_curve_spark.operators.trajectory import segment_crossings
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return segment_crossings(
+            ev, W.XING_USER_MOD, W.XING_MAX_LEN, W.XING_SHIFT
+        ).count()
+
     def q_grq_manifest():
         from hilbert_curve_spark.sources.manifest import read_pruned, write_with_manifest
 
@@ -1082,6 +1103,9 @@ def _storage_queries(spark, geo):
         return source_caps(docs, W.SOURCE_CAP).count()
 
     return {
+        "bloom_fetch": q_bloom_fetch,
+        "hull_points": q_hull_points,
+        "segment_crossings": q_segment_crossings,
         "geohash_search": q_geohash_search,
         "grq_manifest": q_grq_manifest,
         "snap_to_road": q_snap_to_road,

@@ -1354,3 +1354,167 @@ def idw_surface_oracle(
 SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_samples,
        CAST(SUM(w * v) // SUM(w) AS BIGINT) AS est
 FROM idw_w GROUP BY cell"""
+
+
+# ---------------------------------------------------------------------------
+# Convex hull boundary per region (the footprint/coverage summary)
+# ---------------------------------------------------------------------------
+
+
+def hull_points(
+    doc_geo: DataFrame,
+    sample_mod: int = 32,
+    shift: int = 11,
+    group_cap: int = 65536,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Convex-hull boundary extraction per coarse region: over an md5-sampled
+    subset of the corpus, emit every sampled document whose lattice point
+    lies ON the boundary of its region's convex hull —
+    ``(gid, doc_id, x, y)`` with ``gid = (x >> shift) * (edge >> shift) +
+    (y >> shift)``.
+
+    Definition (exact, degenerate-safe): a point ``p`` is *boundary* iff
+    some other sampled point ``q`` in the region has different coordinates
+    and every region point ``r`` satisfies ``cross(q - p, r - p) >= 0`` —
+    i.e. a closed halfplane through ``p`` contains the whole region.  This
+    includes collinear points ON hull edges; a region whose points share one
+    coordinate has no boundary (no witness ``q`` exists), and a fully
+    collinear region is all-boundary.  All arithmetic is int64 cross
+    products on the 2^12 lattice (|cross| < 2^25) — overflow-free and
+    bit-identical in the oracle, which applies the definition literally as
+    a NOT EXISTS over an O(n^3) triple join.
+
+    Physical plan: codegen md5 sample filter (1-in-``sample_mod`` — pushed
+    into the scan) → ONE hash shuffle on ``gid`` → one Arrow grouped-map
+    task per region running Andrew's monotone chain over the DISTINCT
+    coordinates (O(n log n)), then classifying every sampled point by exact
+    on-hull-edge tests against the ``h`` hull edges (O(n·h) vectorized
+    numpy).  Python cost is per *region sample*, never per corpus row;
+    ``group_cap`` asserts the sampled-region bound that keeps the Arrow
+    task sized (at 100 TB you raise ``sample_mod``, not the cap).
+
+    Reference parity: the reference renders query regions as pixel boxes
+    (`SpatialDataProcessor/HilbertCurveRenderer.java:21-112`) and has no
+    vector summarization; this is the footprint operator its tile matrices
+    would need for reporting coverage outlines.
+    """
+    from .dedup import _hex_to_long_sql
+
+    m_cells = config.edge >> shift
+    sel = _hex_to_long_sql("md5(doc_id)", 1, 8)
+    sampled = doc_geo.filter(F.expr(f"({sel}) % {int(sample_mod)} = 0")).select(
+        (
+            F.shiftright("x", shift) * m_cells + F.shiftright("y", shift)
+        ).alias("gid"),
+        "doc_id",
+        "x",
+        "y",
+    )
+    cap = int(group_cap)
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "gid": np.array([], np.int64),
+                "doc_id": np.array([], object),
+                "x": np.array([], np.int64),
+                "y": np.array([], np.int64),
+            }
+        )
+        n = len(pdf)
+        if n == 0:
+            return empty
+        if n > cap:
+            raise ValueError(
+                f"hull_points region sample {n} exceeds cap {cap}: raise sample_mod"
+            )
+        xs = pdf["x"].to_numpy(np.int64)
+        ys = pdf["y"].to_numpy(np.int64)
+        coords = np.unique(np.stack([xs, ys], axis=1), axis=0)
+        if len(coords) < 2:
+            return empty
+        # Andrew's monotone chain, STRICT turns (hull vertices only) —
+        # boundary membership is then the exact on-edge test below, which
+        # re-admits collinear edge points.
+        pts = coords  # already lexicographically sorted by np.unique
+
+        def chain(seq):
+            out = []
+            for p in seq:
+                while len(out) >= 2:
+                    ox, oy = out[-2]
+                    ax, ay = out[-1]
+                    if (ax - ox) * (p[1] - oy) - (ay - oy) * (p[0] - ox) <= 0:
+                        out.pop()
+                    else:
+                        break
+                out.append((int(p[0]), int(p[1])))
+            return out
+
+        lower = chain(pts)
+        upper = chain(pts[::-1])
+        hull = lower[:-1] + upper[:-1]
+        if len(hull) < 2:  # all points collinear: hull is the 2 endpoints
+            lo, hi = pts[0], pts[-1]
+            hull = [(int(lo[0]), int(lo[1])), (int(hi[0]), int(hi[1]))]
+        hv = np.array(hull, dtype=np.int64)
+        a = hv
+        b = np.roll(hv, -1, axis=0)
+        # on-segment test for every sampled point against every hull edge:
+        # cross == 0 AND within the edge bbox
+        px = xs[:, None]
+        py = ys[:, None]
+        cross = (b[None, :, 0] - a[None, :, 0]) * (py - a[None, :, 1]) - (
+            b[None, :, 1] - a[None, :, 1]
+        ) * (px - a[None, :, 0])
+        inx = (px >= np.minimum(a[None, :, 0], b[None, :, 0])) & (
+            px <= np.maximum(a[None, :, 0], b[None, :, 0])
+        )
+        iny = (py >= np.minimum(a[None, :, 1], b[None, :, 1])) & (
+            py <= np.maximum(a[None, :, 1], b[None, :, 1])
+        )
+        on_boundary = ((cross == 0) & inx & iny).any(axis=1)
+        keep = pdf[on_boundary]
+        return pd.DataFrame(
+            {
+                "gid": keep["gid"].to_numpy(np.int64),
+                "doc_id": keep["doc_id"].to_numpy(object),
+                "x": keep["x"].to_numpy(np.int64),
+                "y": keep["y"].to_numpy(np.int64),
+            }
+        )
+
+    return sampled.groupBy("gid").applyInPandas(
+        fn, "gid long, doc_id string, x long, y long"
+    )
+
+
+def hull_points_oracle(
+    sample_mod: int = 32,
+    shift: int = 11,
+    config: EngineConfig = DEFAULT,
+    doc_geo_table: str = "doc_geo",
+) -> str:
+    """Appends to a chain defining ``doc_geo``: the halfplane definition
+    applied literally — ``p`` is boundary iff EXISTS ``q`` (different
+    coords) with NOT EXISTS ``r`` strictly right of ``(p, q)``."""
+    from .dedup import _hex_to_long_sql
+
+    m_cells = config.edge >> int(shift)
+    s = int(shift)
+    sel = _hex_to_long_sql("md5(doc_key)", 1, 8)
+    cross = "(q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x)"
+    return f"""hp AS (
+  SELECT (x >> {s}) * {m_cells} + (y >> {s}) AS gid, doc_key AS doc_id, x, y
+  FROM {doc_geo_table} WHERE ({sel}) % {int(sample_mod)} = 0
+)
+SELECT DISTINCT p.gid, p.doc_id, p.x, p.y
+FROM hp p JOIN hp q
+  ON q.gid = p.gid AND (q.x <> p.x OR q.y <> p.y)
+WHERE NOT EXISTS (
+  SELECT 1 FROM hp r WHERE r.gid = p.gid AND {cross} < 0
+)"""

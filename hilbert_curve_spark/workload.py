@@ -382,3 +382,21 @@ SOURCE_CAP = 15
 # Percolation curve: density thresholds swept over the shift-6 raster
 # (1 = every occupied cell .. 64 = the hot core only).
 PERC_THRESHOLDS = [1, 4, 16, 64]
+
+# Runtime bloom-filter fetch (index->fact payload join, wave 47): filter
+# size in bits (power of two, so the 40-bit md5 fold is EXACTLY uniform
+# mod m) and hashes per key; sized for visible-but-bounded false positives
+# at fixture scale (~1-2% fp over the unselected corpus).
+BLOOM_M = 4096
+BLOOM_K = 3
+
+# Convex-hull boundary per region (wave 47): 1-in-mod md5 sample over 2x2
+# regions (shift 11); the sample bounds the O(n^3) oracle join.
+HULL_SAMPLE_MOD = 16
+HULL_SHIFT = 11
+
+# Path-crossing segment join (wave 47): 1-in-mod user sample, segments
+# longer than max_len are dropped as teleport noise, PBSM cell shift.
+XING_USER_MOD = 8
+XING_MAX_LEN = 896
+XING_SHIFT = 9
