@@ -249,6 +249,60 @@ def _segment_crossings_oracle() -> str:
     return segment_crossings_oracle(W.XING_USER_MOD, W.XING_MAX_LEN)
 
 
+def _str_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STR R-tree bulk-load leaf plan: exact global ranks WITHOUT a global
+    sort (bounded-domain histogram + per-column windows), slice/run packing
+    in pure integer arithmetic (`operators/partitioning.py::str_pack`)."""
+    from hilbert_curve_spark.operators.partitioning import str_pack
+
+    return str_pack(_doc_geo(spark, sf_dir), W.STR_LEAF_CAP)
+
+
+def _str_pack_oracle() -> str:
+    from hilbert_curve_spark.operators.partitioning import str_pack_oracle
+
+    return f"{_doc_geo_cte()}, " + str_pack_oracle(W.STR_LEAF_CAP)
+
+
+def _stay_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contact-episode join over stay points: grid-blocked half-offset pair
+    generation + exact interval-overlap/distance residuals
+    (`operators/trajectory.py::stay_contacts`)."""
+    from hilbert_curve_spark.operators.trajectory import stay_contacts
+
+    return stay_contacts(
+        _events(spark, sf_dir),
+        dist=W.CONTACT_DIST,
+        min_overlap_s=W.CONTACT_MIN_OVERLAP_S,
+    )
+
+
+def _stay_contacts_oracle() -> str:
+    from hilbert_curve_spark.operators.trajectory import stay_contacts_oracle
+
+    return stay_contacts_oracle(
+        dist=W.CONTACT_DIST, min_overlap_s=W.CONTACT_MIN_OVERLAP_S
+    )
+
+
+def _viterbi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer HMM map matching (Viterbi decode over the Manhattan
+    road model) with deterministic argmin tie-breaks; the oracle is the
+    identical DP fully unrolled in SQL
+    (`operators/trajectory.py::viterbi_match`)."""
+    from hilbert_curve_spark.operators.trajectory import viterbi_match
+
+    return viterbi_match(
+        _events(spark, sf_dir), W.ROADS, W.VITERBI_T, W.VITERBI_LAMBDA
+    )
+
+
+def _viterbi_match_oracle() -> str:
+    from hilbert_curve_spark.operators.trajectory import viterbi_match_oracle
+
+    return viterbi_match_oracle(W.ROADS, W.VITERBI_T, W.VITERBI_LAMBDA)
+
+
 def _keyword_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRDSSE (SRDSSE.java:81-238): per-keyword versioned add/delete chains
     folded last-writer-wins at search — batched over the KW_ANY keyword set."""
@@ -3149,6 +3203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_fetch": _bloom_fetch,
         "hull_points": _hull_points,
         "segment_crossings": _segment_crossings,
+        "str_pack": _str_pack,
+        "stay_contacts": _stay_contacts,
+        "viterbi_match": _viterbi_match,
         "geofence_join": _geofence_join,
         "poi_nearest_join": _poi_nearest_join,
         "doc_fingerprints": _doc_fingerprints,
@@ -3508,6 +3565,9 @@ def oracle_sql() -> dict[str, str]:
         "bloom_fetch": _bloom_fetch_oracle(),
         "hull_points": _hull_points_oracle(),
         "segment_crossings": _segment_crossings_oracle(),
+        "str_pack": _str_pack_oracle(),
+        "stay_contacts": _stay_contacts_oracle(),
+        "viterbi_match": _viterbi_match_oracle(),
         "geofence_join": ev_ops.geofence_counts_oracle(FENCES_LARGE),
         "poi_nearest_join": _poi_nearest_join_oracle(),
         "doc_fingerprints": textops.winnow_fingerprints_oracle(),

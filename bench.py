@@ -596,6 +596,25 @@ def _storage_queries(spark, geo):
 
         return geohash_search(geo, **W.R3, chars=4).count()
 
+    def q_str_pack():
+        from hilbert_curve_spark.operators.partitioning import str_pack
+
+        return str_pack(geo, W.STR_LEAF_CAP).count()
+
+    def q_stay_contacts():
+        from hilbert_curve_spark.operators.trajectory import stay_contacts
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return stay_contacts(
+            ev, dist=W.CONTACT_DIST, min_overlap_s=W.CONTACT_MIN_OVERLAP_S
+        ).count()
+
+    def q_viterbi_match():
+        from hilbert_curve_spark.operators.trajectory import viterbi_match
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return viterbi_match(ev, W.ROADS, W.VITERBI_T, W.VITERBI_LAMBDA).count()
+
     def q_bloom_fetch():
         from hilbert_curve_spark.operators.runtime_filter import bloom_pruned_fetch
 
@@ -1104,6 +1123,9 @@ def _storage_queries(spark, geo):
 
     return {
         "bloom_fetch": q_bloom_fetch,
+        "str_pack": q_str_pack,
+        "stay_contacts": q_stay_contacts,
+        "viterbi_match": q_viterbi_match,
         "hull_points": q_hull_points,
         "segment_crossings": q_segment_crossings,
         "geohash_search": q_geohash_search,

@@ -251,3 +251,118 @@ def spatial_split_oracle(shift: int = 8, test_mod: int = 5) -> str:
         f"CAST(COUNT(DISTINCT {block_key}) AS BIGINT) AS n_blocks "
         f"FROM doc_geo GROUP BY 1"
     )
+
+
+def str_pack(
+    doc_geo: DataFrame, leaf_cap: int = 512, config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """Sort-Tile-Recursive (STR) R-tree bulk-load packing (Leutenegger et
+    al., ICDE 1997): the corpus is cut into ``S = ceil(sqrt(n / C))``
+    vertical slices of ``ceil(n / S)`` points by global ``(x, y, doc_id)``
+    rank, each slice packed bottom-up into runs of ``C`` points by
+    ``(y, x, doc_id)`` rank — one output row per leaf:
+    ``(leaf_id, n_pts, x_min, x_max, y_min, y_max)`` with ``leaf_id =
+    slice * 2^20 + run``.  This is the leaf-MBR plan of a packed R-tree —
+    the storage layout dual of the engine's Hilbert-sorted order (and the
+    classic comparison partner: STR leaves have near-minimal area/overlap,
+    hilbert order has better locality under updates).
+
+    Scale design — the textbook STR needs a GLOBAL sort; on Spark a bare
+    ``row_number()`` without partition keys is a single-task bottleneck, so
+    exact global ranks are computed WITHOUT a global sort by exploiting the
+    bounded lattice domain: rank(p) = (#points in strictly smaller x) +
+    (rank of p within its x column).  The first term is a running sum over
+    the ≤2^order-row x-histogram (a broadcastable toy frame at ANY corpus
+    size); the second is a ``partitionBy(x)`` window — fully distributed.
+    The same trick gives the within-slice y-rank via the (slice, y)
+    histogram.  Nothing in the plan sorts more than one x-column / one
+    (slice, y)-column per task; the two tiny histograms ride broadcast
+    joins.  ``n``, ``S`` and the slice width derive from one 1-row count
+    broadcast (ceil(sqrt(..)) on an exact small double — engine-neutral).
+
+    Reference parity: the reference bulk-loads its curve store by sorting
+    on the Hilbert key (`Scheme/RSKQ/RSKQ_Biginteger.java` PDB keying);
+    STR is the standard alternative bulk layout, included so the engine
+    can materialize either."""
+    c = int(leaf_cap)
+    n1 = doc_geo.groupBy().agg(F.count("*").alias("n"))
+    n1 = n1.select(
+        "n",
+        F.expr(f"CAST(CEIL(SQRT(CAST(n AS DOUBLE) / {c})) AS BIGINT)").alias("s"),
+    ).select("n", "s", F.expr("CAST((n + s - 1) DIV s AS BIGINT)").alias("sw"))
+
+    # global x-rank = cum count of smaller x (tiny histogram) + within-x rank
+    xh = doc_geo.groupBy("x").agg(F.count("*").alias("xc"))
+    wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    xh = xh.select("x", F.coalesce(F.sum("xc").over(wx), F.lit(0)).alias("xb"))
+    ranked = (
+        doc_geo.join(F.broadcast(xh), "x")
+        .withColumn(
+            "rx",
+            F.col("xb")
+            + F.row_number().over(
+                Window.partitionBy("x").orderBy("y", "doc_id")
+            )
+            - 1,
+        )
+        .crossJoin(F.broadcast(n1))
+        .withColumn("slice", F.expr("CAST(rx DIV sw AS BIGINT)"))
+    )
+    yh = ranked.groupBy("slice", "y").agg(F.count("*").alias("yc"))
+    wy = Window.partitionBy("slice").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    yh = yh.select(
+        "slice", "y", F.coalesce(F.sum("yc").over(wy), F.lit(0)).alias("yb")
+    )
+    leaves = (
+        ranked.join(F.broadcast(yh), ["slice", "y"])
+        .withColumn(
+            "ry",
+            F.col("yb")
+            + F.row_number().over(
+                Window.partitionBy("slice", "y").orderBy("x", "doc_id")
+            )
+            - 1,
+        )
+        .withColumn(
+            "leaf_id",
+            F.col("slice") * (1 << 20) + F.expr(f"CAST(ry DIV {c} AS BIGINT)"),
+        )
+    )
+    return leaves.groupBy("leaf_id").agg(
+        F.count("*").alias("n_pts"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+    )
+
+
+def str_pack_oracle(leaf_cap: int = 512, doc_geo_table: str = "doc_geo") -> str:
+    """Appends to a chain defining ``doc_geo``: the same STR arithmetic via
+    plain global window ranks (exactness over parallelism — the oracle runs
+    single-node)."""
+    c = int(leaf_cap)
+    return f"""str_n AS (
+  SELECT COUNT(*) AS n,
+         CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE) / {c})) AS BIGINT) AS s
+  FROM {doc_geo_table}
+), str_cfg AS (
+  SELECT n, s, CAST((n + s - 1) // s AS BIGINT) AS sw FROM str_n
+), str_rx AS (
+  SELECT doc_key, x, y,
+         ROW_NUMBER() OVER (ORDER BY x, y, doc_key) - 1 AS rx
+  FROM {doc_geo_table}
+), str_sl AS (
+  SELECT r.doc_key, r.x, r.y, CAST(r.rx // f.sw AS BIGINT) AS slice
+  FROM str_rx r, str_cfg f
+), str_ry AS (
+  SELECT slice, x, y,
+         ROW_NUMBER() OVER (PARTITION BY slice ORDER BY y, x, doc_key) - 1 AS ry
+  FROM str_sl
+)
+SELECT CAST(slice * {1 << 20} + ry // {c} AS BIGINT) AS leaf_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pts,
+       MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+FROM str_ry GROUP BY 1"""

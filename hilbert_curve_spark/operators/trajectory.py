@@ -3317,3 +3317,306 @@ SELECT a.user_id AS user_a, a.seg_id AS seg_a,
        b.user_id AS user_b, b.seg_id AS seg_b
 FROM xs a JOIN xs b ON a.user_id < b.user_id
 WHERE {so(o1, o2)} AND {so(o3, o4)}"""
+
+
+def stay_contacts(
+    events: DataFrame,
+    radius: int = 1200,
+    gap_minutes: int = 720,
+    min_minutes: int = 60,
+    min_points: int = 3,
+    dist: int = 1500,
+    min_overlap_s: int = 1800,
+) -> DataFrame:
+    """Contact-episode join (the epidemiology / co-presence primitive): all
+    pairs of DIFFERENT users' stay points that were within ``dist`` lattice
+    units AND overlapped in time for at least ``min_overlap_s`` seconds —
+    ``(user_a, stay_a, user_b, stay_b, dist2, overlap_s)`` with the pair
+    normalized ``user_a < user_b``.
+
+    Stays are exactly :func:`stay_points` output (same derivation, same
+    tie-breaks), so the interval endpoints and integer centroids are
+    oracle-reproducible; overlap is the exact interval intersection
+    ``LEAST(end) - GREATEST(start)`` on whole-second epochs and distance is
+    exact integer ``dist2`` between centroids.
+
+    Physical plan: the pair generation is the grid-blocked half-offset
+    join of ``distance_self_join`` applied to the STAY table (already
+    orders of magnitude smaller than the event stream): centroids key to
+    ``2^b``-cells with ``2^b >= dist``, the probe side explodes to the five
+    half-offsets (self + E/NE/N/NW — each unordered cell pair generated
+    exactly once), candidates equi-join on the cell key, and the
+    time-overlap + distance residuals run in codegen.  Two shuffles total
+    (user_id window for stays, cell key for the join); at 100 TB add the
+    day-bucket to the join key so state stays bounded per partition.
+
+    Reference parity: the reference's pairwise point joins
+    (`hilbert/HilbertComponent/GetPointIndex.java:59-93`) have no temporal
+    dimension; this is their space-time contact extension."""
+    b = max(1, int(dist - 1).bit_length())
+    d2max = int(dist) * int(dist)
+    stays = stay_points(events, radius, gap_minutes, min_minutes, min_points)
+    cells = stays.select(
+        "user_id",
+        "stay_id",
+        "start_s",
+        "end_s",
+        "cx",
+        "cy",
+        F.shiftright("cx", b).alias("bx"),
+        F.shiftright("cy", b).alias("by"),
+    )
+    offsets = F.expr(
+        "array(struct(0 AS dx, 0 AS dy), struct(1 AS dx, 0 AS dy), "
+        "struct(1 AS dx, 1 AS dy), struct(0 AS dx, 1 AS dy), "
+        "struct(-1 AS dx, 1 AS dy))"
+    )
+    edge_cells = 1 << (12 - b) if b <= 12 else 1
+    probe = cells.select(
+        "*", F.explode(offsets).alias("o")
+    ).select(
+        *[F.col(c).alias(f"a_{c}") for c in cells.columns if c not in ("bx", "by")],
+        ((F.col("bx") + F.col("o.dx")) * (edge_cells + 2) + F.col("by") + F.col("o.dy")).alias("ck"),
+        F.col("o.dx").alias("dx"),
+        F.col("o.dy").alias("dy"),
+    )
+    build = cells.select(
+        *[F.col(c).alias(f"b_{c}") for c in cells.columns if c not in ("bx", "by")],
+        (F.col("bx") * (edge_cells + 2) + F.col("by")).alias("ck"),
+    )
+    d2 = (F.col("a_cx") - F.col("b_cx")) * (F.col("a_cx") - F.col("b_cx")) + (
+        F.col("a_cy") - F.col("b_cy")
+    ) * (F.col("a_cy") - F.col("b_cy"))
+    ov = F.least("a_end_s", "b_end_s") - F.greatest("a_start_s", "b_start_s")
+    pairs = (
+        probe.join(build, "ck")
+        .filter(
+            # same-cell offset: order the pair so it is emitted once;
+            # directional offsets generate each cross-cell pair exactly once
+            ((F.col("dx") != 0) | (F.col("dy") != 0) | (F.col("a_user_id") < F.col("b_user_id")))
+            & (F.col("a_user_id") != F.col("b_user_id"))
+        )
+        .filter((d2 <= d2max) & (ov >= int(min_overlap_s)))
+        .select(
+            F.col("a_user_id"),
+            F.col("a_stay_id"),
+            F.col("b_user_id"),
+            F.col("b_stay_id"),
+            d2.cast("long").alias("dist2"),
+            ov.cast("long").alias("overlap_s"),
+        )
+    )
+    swap = F.col("a_user_id") > F.col("b_user_id")
+    return pairs.select(
+        F.when(swap, F.col("b_user_id")).otherwise(F.col("a_user_id")).alias("user_a"),
+        F.when(swap, F.col("b_stay_id")).otherwise(F.col("a_stay_id")).alias("stay_a"),
+        F.when(swap, F.col("a_user_id")).otherwise(F.col("b_user_id")).alias("user_b"),
+        F.when(swap, F.col("a_stay_id")).otherwise(F.col("b_stay_id")).alias("stay_b"),
+        "dist2",
+        "overlap_s",
+    )
+
+
+def stay_contacts_oracle(
+    radius: int = 1200,
+    gap_minutes: int = 720,
+    min_minutes: int = 60,
+    min_points: int = 3,
+    dist: int = 1500,
+    min_overlap_s: int = 1800,
+    table: str = "events",
+) -> str:
+    """Quadratic reference over the identical stay derivation (nested WITH
+    — the stay SQL is the verbatim :func:`stay_points_oracle`)."""
+    d2max = int(dist) * int(dist)
+    inner = stay_points_oracle(radius, gap_minutes, min_minutes, min_points, table)
+    d2 = "(a.cx - b.cx) * (a.cx - b.cx) + (a.cy - b.cy) * (a.cy - b.cy)"
+    ov = "LEAST(a.end_s, b.end_s) - GREATEST(a.start_s, b.start_s)"
+    return f"""WITH stays AS ({inner})
+SELECT a.user_id AS user_a, a.stay_id AS stay_a,
+       b.user_id AS user_b, b.stay_id AS stay_b,
+       CAST({d2} AS BIGINT) AS dist2, CAST({ov} AS BIGINT) AS overlap_s
+FROM stays a JOIN stays b ON a.user_id < b.user_id
+WHERE {d2} <= {d2max} AND {ov} >= {int(min_overlap_s)}"""
+
+
+def viterbi_match(
+    events: DataFrame,
+    roads: list[tuple[str, int, int, int, int]],
+    n_steps: int = 5,
+    lam: int = 200000,
+) -> DataFrame:
+    """HMM map matching (the Viterbi decoder of Newson & Krumm, GIS 2009,
+    in exact-integer form): for every user with at least ``n_steps``
+    events, decode the most likely road sequence for the FIRST ``n_steps``
+    events — ``(user_id, step, event_id, road_id)``.
+
+    Model (all exact int64): states are the axis-aligned road segments of
+    :func:`..spatial_join.snap_to_road`'s Manhattan model; emission cost of
+    event ``t`` on road ``s`` is the exact squared point-to-segment
+    distance (per-axis clamping — no division); transition cost is ``0``
+    for staying on the same road and the flat penalty ``lam`` for
+    switching.  Ties are broken deterministically everywhere: the
+    backpointer takes the SMALLEST previous road index achieving the
+    minimum, and the final state is the smallest index achieving the
+    minimal total cost — so the decoded path is a pure function of the
+    data and the oracle (an UNROLLED ``n_steps``-level dynamic program with
+    the identical argmin convention) must match it row-for-row.  Overflow:
+    costs are bounded by ``n_steps * (2 * 4096^2 + lam) < 2^28``.
+
+    Physical plan: ONE user_id window pass selects the first ``n_steps``
+    events of qualifying users (codegen); the DP itself runs as one Arrow
+    grouped-map task per user over an ``n_steps x |roads|`` cost table —
+    bounded by constants, never by corpus size; the road list is a plain
+    broadcast closure.  At 100 TB this is the per-trajectory decode step
+    of a map-matching pipeline, embarrassingly parallel over users."""
+    t_max = int(n_steps)
+    pts = _with_coords_epoch(events)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sel = (
+        pts.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(Window.partitionBy("user_id")))
+        .filter((F.col("rn") <= t_max) & (F.col("cnt") >= t_max))
+        .select(
+            "user_id",
+            (F.col("rn") - 1).cast("int").alias("step"),
+            "event_id",
+            "ex",
+            "ey",
+        )
+    )
+    rd = [
+        (str(rid), min(ax, bx), max(ax, bx), min(ay, by), max(ay, by))
+        for rid, ax, ay, bx, by in roads
+    ]
+    penalty = int(lam)
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("step").reset_index(drop=True)
+        xs = pdf["ex"].to_numpy(np.int64)
+        ys = pdf["ey"].to_numpy(np.int64)
+        r = len(rd)
+        t_n = len(pdf)
+        emis = np.empty((t_n, r), dtype=np.int64)
+        for j, (_, xlo, xhi, ylo, yhi) in enumerate(rd):
+            dx = np.maximum(np.maximum(xlo - xs, xs - xhi), 0)
+            dy = np.maximum(np.maximum(ylo - ys, ys - yhi), 0)
+            emis[:, j] = dx * dx + dy * dy
+        dp = emis[0].copy()
+        bps = np.zeros((t_n, r), dtype=np.int64)
+        for t in range(1, t_n):
+            # cand[s', s] = dp[s'] + lam * (s' != s)
+            cand = dp[:, None] + penalty * (
+                1 - np.eye(r, dtype=np.int64)
+            )
+            bps[t] = np.argmin(cand, axis=0)  # first (smallest) argmin
+            dp = emis[t] + cand.min(axis=0)
+        state = int(np.argmin(dp))
+        path = [0] * t_n
+        for t in range(t_n - 1, -1, -1):
+            path[t] = state
+            if t > 0:
+                state = int(bps[t][state])
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "step": pdf["step"],
+                "event_id": pdf["event_id"],
+                "road_id": [rd[s][0] for s in path],
+            }
+        )
+
+    return sel.groupBy("user_id").applyInPandas(
+        fn, "user_id long, step int, event_id long, road_id string"
+    )
+
+
+def viterbi_match_oracle(
+    roads: list[tuple[str, int, int, int, int]],
+    n_steps: int = 5,
+    lam: int = 200000,
+    table: str = "events",
+) -> str:
+    """Unrolled exact DP with the identical smallest-index argmin
+    convention: per step a (cand, min, dp, backpointer) CTE quartet, then
+    the backtrack CTE chain from the minimal end state."""
+    from ..sources import derive
+
+    t_max = int(n_steps)
+    penalty = int(lam)
+    vals = ", ".join(
+        f"({j}, '{rid}', {min(ax, bx)}, {max(ax, bx)}, {min(ay, by)}, {max(ay, by)})"
+        for j, (rid, ax, ay, bx, by) in enumerate(roads)
+    )
+    d2 = (
+        "GREATEST(r.xlo - v.ex, v.ex - r.xhi, 0) * GREATEST(r.xlo - v.ex, v.ex - r.xhi, 0)"
+        " + GREATEST(r.ylo - v.ey, v.ey - r.yhi, 0) * GREATEST(r.ylo - v.ey, v.ey - r.yhi, 0)"
+    )
+    parts = [
+        f"""vraw AS (
+  SELECT user_id, event_id, ts,
+         {derive.x_sql('event_id')} AS ex, {derive.y_sql('event_id')} AS ey,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS step,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt
+  FROM {table}
+), vpts AS (
+  SELECT user_id, event_id, ex, ey, CAST(step AS INT) AS step
+  FROM vraw WHERE step < {t_max} AND cnt >= {t_max}
+), vroads AS (
+  SELECT * FROM (VALUES {vals}) r(idx, road_id, xlo, xhi, ylo, yhi)
+), vemis AS (
+  SELECT v.user_id, v.step, v.event_id, r.idx,
+         CAST({d2} AS BIGINT) AS d2
+  FROM vpts v CROSS JOIN vroads r
+), vdp0 AS (
+  SELECT user_id, idx, d2 AS cost FROM vemis WHERE step = 0
+)"""
+    ]
+    for t in range(1, t_max):
+        parts.append(
+            f"""vcand{t} AS (
+  SELECT e.user_id, e.idx, p.idx AS pidx,
+         p.cost + CASE WHEN p.idx = e.idx THEN 0 ELSE {penalty} END AS cand
+  FROM vemis e JOIN vdp{t - 1} p ON p.user_id = e.user_id
+  WHERE e.step = {t}
+), vmc{t} AS (
+  SELECT user_id, idx, MIN(cand) AS mc FROM vcand{t} GROUP BY user_id, idx
+), vdp{t} AS (
+  SELECT m.user_id, m.idx, e.d2 + m.mc AS cost
+  FROM vmc{t} m JOIN vemis e
+    ON e.user_id = m.user_id AND e.idx = m.idx AND e.step = {t}
+), vbp{t} AS (
+  SELECT c.user_id, c.idx, MIN(c.pidx) AS bp
+  FROM vcand{t} c JOIN vmc{t} m
+    ON m.user_id = c.user_id AND m.idx = c.idx AND c.cand = m.mc
+  GROUP BY c.user_id, c.idx
+)"""
+        )
+    last = t_max - 1
+    parts.append(
+        f"""vend AS (
+  SELECT d.user_id, MIN(d.idx) AS idx
+  FROM vdp{last} d
+  JOIN (SELECT user_id, MIN(cost) AS mc FROM vdp{last} GROUP BY user_id) m
+    ON m.user_id = d.user_id AND d.cost = m.mc
+  GROUP BY d.user_id
+), vp{last} AS (SELECT user_id, idx FROM vend)"""
+    )
+    for t in range(t_max - 2, -1, -1):
+        parts.append(
+            f"""vp{t} AS (
+  SELECT b.user_id, b.bp AS idx
+  FROM vp{t + 1} n JOIN vbp{t + 1} b
+    ON b.user_id = n.user_id AND b.idx = n.idx
+)"""
+        )
+    arms = " UNION ALL ".join(
+        f"SELECT v.user_id, v.step, v.event_id, r.road_id "
+        f"FROM vp{t} p JOIN vpts v ON v.user_id = p.user_id AND v.step = {t} "
+        f"JOIN vroads r ON r.idx = p.idx"
+        for t in range(t_max)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + arms

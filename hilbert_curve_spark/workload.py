@@ -400,3 +400,18 @@ HULL_SHIFT = 11
 XING_USER_MOD = 8
 XING_MAX_LEN = 896
 XING_SHIFT = 9
+
+# STR R-tree bulk-load packing (wave 48): leaf capacity.
+STR_LEAF_CAP = 512
+
+# Stay-point contact join (wave 48): centroid distance + minimum time
+# overlap between different users' stays (stay derivation = the driver
+# stay_points defaults).
+CONTACT_DIST = 1500
+CONTACT_MIN_OVERLAP_S = 1800
+
+# Viterbi map matching (wave 48): steps decoded per user and the flat
+# road-switch penalty (comparable to a mid-size dist2 so switching is
+# neither free nor forbidden).
+VITERBI_T = 5
+VITERBI_LAMBDA = 200000
