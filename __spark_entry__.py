@@ -303,6 +303,41 @@ def _viterbi_match_oracle() -> str:
     return viterbi_match_oracle(W.ROADS, W.VITERBI_T, W.VITERBI_LAMBDA)
 
 
+def _flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 flow accumulation over the density raster: the watershed pointer
+    forest with upstream-mass subtree sums, ONE histogram scan + ONE
+    topological Arrow task (`operators/rollup.py::flow_accumulation`)."""
+    from hilbert_curve_spark.operators.rollup import flow_accumulation
+
+    return flow_accumulation(_doc_geo(spark, sf_dir), shift=W.TOPKW_SHIFT)
+
+
+def _flow_accumulation_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import flow_accumulation_oracle
+
+    cte = _doc_geo_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"{cte}, " + flow_accumulation_oracle(shift=W.TOPKW_SHIFT, config=DEFAULT)
+
+
+def _visibility_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-of-sight between density peaks: local-maxima anti-join + exact
+    integer segment-box SAT blockers
+    (`operators/rollup.py::visibility_pairs`)."""
+    from hilbert_curve_spark.operators.rollup import visibility_pairs
+
+    return visibility_pairs(
+        _doc_geo(spark, sf_dir), W.VIS_MIN_PEAK, W.VIS_BLOCK_MIN, W.TOPKW_SHIFT
+    )
+
+
+def _visibility_pairs_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import visibility_pairs_oracle
+
+    return f"{_doc_geo_cte()}, " + visibility_pairs_oracle(
+        W.VIS_MIN_PEAK, W.VIS_BLOCK_MIN, W.TOPKW_SHIFT, DEFAULT
+    )
+
+
 def _keyword_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRDSSE (SRDSSE.java:81-238): per-keyword versioned add/delete chains
     folded last-writer-wins at search — batched over the KW_ANY keyword set."""
@@ -3206,6 +3241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_pack": _str_pack,
         "stay_contacts": _stay_contacts,
         "viterbi_match": _viterbi_match,
+        "flow_accumulation": _flow_accumulation,
+        "visibility_pairs": _visibility_pairs,
         "geofence_join": _geofence_join,
         "poi_nearest_join": _poi_nearest_join,
         "doc_fingerprints": _doc_fingerprints,
@@ -3568,6 +3605,8 @@ def oracle_sql() -> dict[str, str]:
         "str_pack": _str_pack_oracle(),
         "stay_contacts": _stay_contacts_oracle(),
         "viterbi_match": _viterbi_match_oracle(),
+        "flow_accumulation": _flow_accumulation_oracle(),
+        "visibility_pairs": _visibility_pairs_oracle(),
         "geofence_join": ev_ops.geofence_counts_oracle(FENCES_LARGE),
         "poi_nearest_join": _poi_nearest_join_oracle(),
         "doc_fingerprints": textops.winnow_fingerprints_oracle(),

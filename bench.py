@@ -615,6 +615,18 @@ def _storage_queries(spark, geo):
         ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
         return viterbi_match(ev, W.ROADS, W.VITERBI_T, W.VITERBI_LAMBDA).count()
 
+    def q_flow_accumulation():
+        from hilbert_curve_spark.operators.rollup import flow_accumulation
+
+        return flow_accumulation(geo, shift=W.TOPKW_SHIFT).count()
+
+    def q_visibility_pairs():
+        from hilbert_curve_spark.operators.rollup import visibility_pairs
+
+        return visibility_pairs(
+            geo, W.VIS_MIN_PEAK, W.VIS_BLOCK_MIN, W.TOPKW_SHIFT
+        ).count()
+
     def q_bloom_fetch():
         from hilbert_curve_spark.operators.runtime_filter import bloom_pruned_fetch
 
@@ -1123,6 +1135,8 @@ def _storage_queries(spark, geo):
 
     return {
         "bloom_fetch": q_bloom_fetch,
+        "flow_accumulation": q_flow_accumulation,
+        "visibility_pairs": q_visibility_pairs,
         "str_pack": q_str_pack,
         "stay_contacts": q_stay_contacts,
         "viterbi_match": q_viterbi_match,

@@ -2161,3 +2161,312 @@ FROM ws_root r
 JOIN ws_hist h ON h.k = r.k
 JOIN ws_hist pk ON pk.k = r.basin
 GROUP BY r.basin"""
+
+
+def flow_accumulation(
+    doc_geo: DataFrame, shift: int = 6, config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """FLOW ACCUMULATION over the density raster — ``(cell, n_docs,
+    acc_docs)``: every occupied cell forwards its mass along the SAME
+    steepest-ascent pointer as :func:`watershed_basins` (strictly denser
+    rook neighbor, ties to the smaller flat key, peaks self-pointing), and
+    ``acc_docs`` is the total document mass of the cell's entire upstream
+    subtree (itself included) — i.e. how much corpus "drains through" the
+    cell on the way to its peak.  Watershed labels WHERE a cell drains;
+    accumulation says HOW MUCH passes through — together they are the
+    classic D4 hydrology pair (O'Callaghan & Mark, CVGIP 1984)
+    transplanted onto the density surface.
+
+    Physical plan: ONE salted corpus scan builds the histogram (identical
+    to watershed); pointers + subtree sums run in ONE Arrow grouped-map
+    task over the grid-bounded histogram — children are accumulated before
+    parents by processing cells in increasing density order (every pointer
+    strictly increases density, so density order IS a topological order of
+    the drainage forest).  The corpus never touches Python; the Python
+    loop is bounded by the ``M^2`` grid, never the corpus.
+
+    Reference parity: the reference's per-window tile matrices
+    (`Experiment/TestByUserInput/BRQComparisonInput.java:13-23`) have no
+    surface analysis; this extends the engine's own raster family."""
+    m = config.edge >> shift
+    hist = (
+        doc_geo.withColumn(
+            "salt", F.pmod(F.hash("doc_id"), F.lit(config.salt_buckets))
+        )
+        .groupBy(
+            F.shiftright("x", shift).alias("gx"),
+            F.shiftright("y", shift).alias("gy"),
+            "salt",
+        )
+        .agg(F.count("*").alias("pn"))
+        .groupBy("gx", "gy")
+        .agg(F.sum("pn").alias("n_docs"))
+    )
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        gx = pdf["gx"].to_numpy(np.int64)
+        gy = pdf["gy"].to_numpy(np.int64)
+        nd = pdf["n_docs"].to_numpy(np.int64)
+        if len(gx) == 0:
+            return pd.DataFrame(
+                {c: np.array([], np.int64) for c in ("cell", "n_docs", "acc_docs")}
+            )
+        key = gx * m + gy
+        order = np.argsort(key)
+        key, gx, gy, nd = key[order], gx[order], gy[order], nd[order]
+        n = len(key)
+        best = np.arange(n, dtype=np.int64)
+        best_nd = nd.copy()
+        best_key = key.copy()
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nx, ny = gx + dx, gy + dy
+            valid = (nx >= 0) & (nx < m) & (ny >= 0) & (ny < m)
+            nk = nx * m + ny
+            pos = np.clip(np.searchsorted(key, nk), 0, n - 1)
+            hit = valid & (key[pos] == nk)
+            cand = pos[hit]
+            rows_ = np.nonzero(hit)[0]
+            better = (nd[cand] > best_nd[rows_]) | (
+                (nd[cand] == best_nd[rows_])
+                & (nd[cand] > nd[rows_])
+                & (key[cand] < best_key[rows_])
+            )
+            best[rows_[better]] = cand[better]
+            best_nd[rows_] = nd[best[rows_]]
+            best_key[rows_] = key[best[rows_]]
+        acc = nd.copy()
+        # children before parents: pointers strictly increase density, so
+        # ascending-density order is a topological order of the forest
+        for i in np.argsort(nd, kind="stable"):
+            p = best[i]
+            if p != i:
+                acc[p] += acc[i]
+        return pd.DataFrame({"cell": key, "n_docs": nd, "acc_docs": acc})
+
+    return hist.groupBy(F.lit(0).alias("_g")).applyInPandas(
+        fn, "cell long, n_docs long, acc_docs long"
+    )
+
+
+def flow_accumulation_oracle(shift: int = 6, config: EngineConfig = DEFAULT) -> str:
+    """Appends to a ``WITH RECURSIVE`` chain defining ``doc_geo``: the
+    watershed pointer CTEs verbatim, then the path closure INCLUDING the
+    start cell and a mass sum grouped by every on-path node."""
+    m = config.edge >> shift
+    s = int(shift)
+    return f"""fa_hist AS (
+  SELECT x >> {s} AS gx, y >> {s} AS gy, COUNT(*) AS n_docs,
+         CAST((x >> {s}) * {m} + (y >> {s}) AS BIGINT) AS k
+  FROM doc_geo GROUP BY 1, 2
+), fa_nbr AS (
+  SELECT a.k, b.k AS nk,
+         ROW_NUMBER() OVER (PARTITION BY a.k
+                            ORDER BY b.n_docs DESC, b.k) AS rn
+  FROM fa_hist a JOIN fa_hist b
+  ON (ABS(b.gx - a.gx) + ABS(b.gy - a.gy)) = 1
+  WHERE b.n_docs > a.n_docs
+), fa_ptr AS (
+  SELECT h.k, COALESCE(nb.nk, h.k) AS ptr
+  FROM fa_hist h LEFT JOIN (SELECT k, nk FROM fa_nbr WHERE rn = 1) nb
+  ON nb.k = h.k
+), fa_walk(k, cur) AS (
+  SELECT k, k FROM fa_hist
+  UNION
+  SELECT w.k, p.ptr FROM fa_walk w JOIN fa_ptr p ON p.k = w.cur
+  WHERE p.ptr <> w.cur
+)
+SELECT h.k AS cell, CAST(h.n_docs AS BIGINT) AS n_docs,
+       CAST(SUM(src.n_docs) AS BIGINT) AS acc_docs
+FROM fa_walk w
+JOIN fa_hist src ON src.k = w.k
+JOIN fa_hist h ON h.k = w.cur
+GROUP BY h.k, h.n_docs"""
+
+
+def visibility_pairs(
+    doc_geo: DataFrame,
+    min_peak: int = 40,
+    block_min: int = 40,
+    shift: int = 6,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Line-of-sight between density peaks — ``(peak_a, peak_b,
+    n_blockers, visible)``: peaks are the local maxima of the density
+    raster (no strictly denser rook neighbor — exactly the self-pointing
+    cells of :func:`watershed_basins`) with ``n_docs >= min_peak``; the
+    sight line between two peak-cell CENTERS is blocked by every cell of
+    density ``>= block_min`` (other than the two endpoint cells) whose
+    closed cell box intersects the closed segment.  The viewshed/LOS
+    primitive of terrain GIS on the density surface, exact by
+    construction: segment-box intersection is the integer separating-axis
+    test (bbox overlap AND the four box corners not strictly one-sided of
+    the line; |cross| < 2^25 on the 2^12 lattice).
+
+    Physical plan: ONE salted corpus scan → grid histogram; peaks via a
+    rook-neighbor anti-join on the ≤M^2 histogram; peak pairs (tiny,
+    broadcast) cross the ≤M^2 blocker set with the codegen SAT predicate
+    and aggregate blocker counts — every post-scan frame is bounded by
+    the grid, never the corpus."""
+    s = int(shift)
+    m = config.edge >> s
+    half = 1 << (s - 1)
+    hist = (
+        doc_geo.withColumn(
+            "salt", F.pmod(F.hash("doc_id"), F.lit(config.salt_buckets))
+        )
+        .groupBy(
+            F.shiftright("x", s).alias("gx"),
+            F.shiftright("y", s).alias("gy"),
+            "salt",
+        )
+        .agg(F.count("*").alias("pn"))
+        .groupBy("gx", "gy")
+        .agg(F.sum("pn").alias("n_docs"))
+        .withColumn("k", (F.col("gx") * m + F.col("gy")).cast("long"))
+    )
+    # peaks = occupied cells with NO strictly denser rook neighbor: a
+    # 4-offset explode + equi-join on the neighbor key (never a non-equi
+    # join), then an anti-join of the histogram against the non-peak set
+    off = F.expr(
+        "array(struct(1 AS dx, 0 AS dy), struct(-1 AS dx, 0 AS dy), "
+        "struct(0 AS dx, 1 AS dy), struct(0 AS dx, -1 AS dy))"
+    )
+    probes = hist.select(
+        "k", "n_docs", F.explode(off).alias("o"), "gx", "gy"
+    ).select(
+        "k",
+        "n_docs",
+        ((F.col("gx") + F.col("o.dx")) * m + F.col("gy") + F.col("o.dy")).alias(
+            "nk"
+        ),
+        (F.col("gx") + F.col("o.dx")).alias("ngx"),
+        (F.col("gy") + F.col("o.dy")).alias("ngy"),
+    ).filter(
+        (F.col("ngx") >= 0) & (F.col("ngx") < m) & (F.col("ngy") >= 0) & (F.col("ngy") < m)
+    )
+    nbr = hist.select(F.col("k").alias("nk"), F.col("n_docs").alias("nnd"))
+    non_peak = (
+        probes.join(F.broadcast(nbr), "nk")
+        .filter(F.col("nnd") > F.col("n_docs"))
+        .select(F.col("k").alias("dk"))
+        .distinct()
+    )
+    peaks = (
+        hist.join(F.broadcast(non_peak), F.col("k") == F.col("dk"), "left_anti")
+        .filter(F.col("n_docs") >= int(min_peak))
+        .select(
+            F.col("k"),
+            (F.col("gx") * (1 << s) + half).alias("cx"),
+            (F.col("gy") * (1 << s) + half).alias("cy"),
+        )
+    )
+    pa = peaks.select(
+        F.col("k").alias("peak_a"), F.col("cx").alias("ax"), F.col("cy").alias("ay")
+    )
+    pb = peaks.select(
+        F.col("k").alias("peak_b"), F.col("cx").alias("bx"), F.col("cy").alias("by")
+    )
+    pairs = pa.join(pb, F.col("peak_a") < F.col("peak_b"))
+    blockers = hist.filter(F.col("n_docs") >= int(block_min)).select(
+        F.col("k").alias("ck"),
+        (F.col("gx") * (1 << s)).alias("x0"),
+        ((F.col("gx") + 1) * (1 << s) - 1).alias("x1"),
+        (F.col("gy") * (1 << s)).alias("y0"),
+        ((F.col("gy") + 1) * (1 << s) - 1).alias("y1"),
+    )
+    j = pairs.crossJoin(F.broadcast(blockers)).filter(
+        (F.col("ck") != F.col("peak_a")) & (F.col("ck") != F.col("peak_b"))
+    )
+    # NB: pairs whose candidate set is empty (all blockers are the two
+    # endpoints, or no cell reaches block_min) would vanish from the
+    # aggregation — the left join below restores them with n_blockers = 0
+    # SAT: bbox overlap on both axes, then corners not strictly one-sided
+    bbox = (
+        (F.least("ax", "bx") <= F.col("x1"))
+        & (F.greatest("ax", "bx") >= F.col("x0"))
+        & (F.least("ay", "by") <= F.col("y1"))
+        & (F.greatest("ay", "by") >= F.col("y0"))
+    )
+    def side(px, py):
+        return (F.col("bx") - F.col("ax")) * (py - F.col("ay")) - (
+            F.col("by") - F.col("ay")
+        ) * (px - F.col("ax"))
+
+    s1 = side(F.col("x0"), F.col("y0"))
+    s2 = side(F.col("x1"), F.col("y0"))
+    s3 = side(F.col("x0"), F.col("y1"))
+    s4 = side(F.col("x1"), F.col("y1"))
+    straddle = (F.least(s1, s2, s3, s4) <= 0) & (F.greatest(s1, s2, s3, s4) >= 0)
+    hit = (bbox & straddle).cast("long")
+    cnt = j.groupBy("peak_a", "peak_b").agg(F.sum(hit).alias("nb"))
+    return (
+        pairs.select("peak_a", "peak_b")
+        .join(F.broadcast(cnt), ["peak_a", "peak_b"], "left")
+        .select(
+            "peak_a",
+            "peak_b",
+            F.coalesce(F.col("nb"), F.lit(0)).cast("long").alias("n_blockers"),
+        )
+        .withColumn(
+            "visible", (F.col("n_blockers") == 0).cast("long")
+        )
+    )
+
+
+def visibility_pairs_oracle(
+    min_peak: int = 40,
+    block_min: int = 40,
+    shift: int = 6,
+    config: EngineConfig = DEFAULT,
+) -> str:
+    """Appends to a chain defining ``doc_geo``: identical histogram, peak
+    anti-join, and SAT predicate."""
+    m = config.edge >> int(shift)
+    s = int(shift)
+    half = 1 << (s - 1)
+    side = (
+        "((p.bx - p.ax) * ({py} - p.ay) - (p.by - p.ay) * ({px} - p.ax))"
+    )
+    s1 = side.format(px="c.x0", py="c.y0")
+    s2 = side.format(px="c.x1", py="c.y0")
+    s3 = side.format(px="c.x0", py="c.y1")
+    s4 = side.format(px="c.x1", py="c.y1")
+    return f"""vis_hist AS (
+  SELECT x >> {s} AS gx, y >> {s} AS gy, COUNT(*) AS n_docs,
+         CAST((x >> {s}) * {m} + (y >> {s}) AS BIGINT) AS k
+  FROM doc_geo GROUP BY 1, 2
+), vis_peaks AS (
+  SELECT k, gx * {1 << s} + {half} AS cx, gy * {1 << s} + {half} AS cy
+  FROM vis_hist a
+  WHERE n_docs >= {int(min_peak)} AND NOT EXISTS (
+    SELECT 1 FROM vis_hist b
+    WHERE (ABS(b.gx - a.gx) + ABS(b.gy - a.gy)) = 1 AND b.n_docs > a.n_docs
+  )
+), vis_pairs AS (
+  SELECT a.k AS peak_a, a.cx AS ax, a.cy AS ay,
+         b.k AS peak_b, b.cx AS bx, b.cy AS by
+  FROM vis_peaks a JOIN vis_peaks b ON a.k < b.k
+), vis_block AS (
+  SELECT k AS ck, gx * {1 << s} AS x0, (gx + 1) * {1 << s} - 1 AS x1,
+         gy * {1 << s} AS y0, (gy + 1) * {1 << s} - 1 AS y1
+  FROM vis_hist WHERE n_docs >= {int(block_min)}
+), vis_cnt AS (
+  SELECT p.peak_a, p.peak_b,
+         CAST(SUM(CASE WHEN LEAST(p.ax, p.bx) <= c.x1 AND GREATEST(p.ax, p.bx) >= c.x0
+                        AND LEAST(p.ay, p.by) <= c.y1 AND GREATEST(p.ay, p.by) >= c.y0
+                        AND LEAST({s1}, {s2}, {s3}, {s4}) <= 0
+                        AND GREATEST({s1}, {s2}, {s3}, {s4}) >= 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_blockers
+  FROM vis_pairs p CROSS JOIN vis_block c
+  WHERE c.ck <> p.peak_a AND c.ck <> p.peak_b
+  GROUP BY p.peak_a, p.peak_b
+)
+SELECT p.peak_a, p.peak_b,
+       CAST(COALESCE(c.n_blockers, 0) AS BIGINT) AS n_blockers,
+       CAST(CASE WHEN COALESCE(c.n_blockers, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS visible
+FROM vis_pairs p LEFT JOIN vis_cnt c
+  ON c.peak_a = p.peak_a AND c.peak_b = p.peak_b"""

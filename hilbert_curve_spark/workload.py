@@ -415,3 +415,9 @@ CONTACT_MIN_OVERLAP_S = 1800
 # neither free nor forbidden).
 VITERBI_T = 5
 VITERBI_LAMBDA = 200000
+
+# Line-of-sight visibility between density peaks (wave 49): local-maxima
+# peak threshold and the blocking-cell density (shift-6 raster; 41 peaks /
+# 241 blockers at the sf0.01 fixture).
+VIS_MIN_PEAK = 14
+VIS_BLOCK_MIN = 10
