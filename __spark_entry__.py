@@ -338,6 +338,65 @@ def _visibility_pairs_oracle() -> str:
     )
 
 
+def _convex_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion peeling: n_layers rounds of hull-boundary classification per
+    region, one Arrow task each; the oracle unrolls the peels as O(n^3)
+    NOT EXISTS rounds (`operators/spatial_join.py::convex_layers`)."""
+    from hilbert_curve_spark.operators.spatial_join import convex_layers
+
+    return convex_layers(
+        _doc_geo(spark, sf_dir), W.LAYERS_N, W.LAYERS_SAMPLE_MOD, W.HULL_SHIFT
+    )
+
+
+def _convex_layers_oracle() -> str:
+    from hilbert_curve_spark.operators.spatial_join import convex_layers_oracle
+
+    return f"{_doc_geo_cte()}, " + convex_layers_oracle(
+        W.LAYERS_N, W.LAYERS_SAMPLE_MOD, W.HULL_SHIFT
+    )
+
+
+def _voronoi_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voronoi tessellation around density peaks (the geometric dual of
+    watershed_basins): broadcast peaks + struct-MIN argmin + hash agg
+    (`operators/rollup.py::voronoi_zones`)."""
+    from hilbert_curve_spark.operators.rollup import voronoi_zones
+
+    return voronoi_zones(
+        _doc_geo(spark, sf_dir), W.VIS_MIN_PEAK, W.TOPKW_SHIFT
+    )
+
+
+def _voronoi_zones_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import voronoi_zones_oracle
+
+    return f"{_doc_geo_cte()}, " + voronoi_zones_oracle(
+        W.VIS_MIN_PEAK, W.TOPKW_SHIFT, DEFAULT
+    )
+
+
+def _density_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer radial density-decay OLS per generator cluster
+    (`operators/rollup.py::density_decay_fit`)."""
+    from hilbert_curve_spark.operators.rollup import density_decay_fit
+
+    return density_decay_fit(
+        _doc_geo(spark, sf_dir),
+        W.DECAY_BUCKET_SHIFT,
+        W.DECAY_N_BUCKETS,
+        W.DECAY_SCALE,
+    )
+
+
+def _density_decay_fit_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import density_decay_fit_oracle
+
+    return f"{_doc_geo_cte()}, " + density_decay_fit_oracle(
+        W.DECAY_BUCKET_SHIFT, W.DECAY_N_BUCKETS, W.DECAY_SCALE
+    )
+
+
 def _keyword_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRDSSE (SRDSSE.java:81-238): per-keyword versioned add/delete chains
     folded last-writer-wins at search — batched over the KW_ANY keyword set."""
@@ -3243,6 +3302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viterbi_match": _viterbi_match,
         "flow_accumulation": _flow_accumulation,
         "visibility_pairs": _visibility_pairs,
+        "convex_layers": _convex_layers,
+        "voronoi_zones": _voronoi_zones,
+        "density_decay_fit": _density_decay_fit,
         "geofence_join": _geofence_join,
         "poi_nearest_join": _poi_nearest_join,
         "doc_fingerprints": _doc_fingerprints,
@@ -3607,6 +3669,9 @@ def oracle_sql() -> dict[str, str]:
         "viterbi_match": _viterbi_match_oracle(),
         "flow_accumulation": _flow_accumulation_oracle(),
         "visibility_pairs": _visibility_pairs_oracle(),
+        "convex_layers": _convex_layers_oracle(),
+        "voronoi_zones": _voronoi_zones_oracle(),
+        "density_decay_fit": _density_decay_fit_oracle(),
         "geofence_join": ev_ops.geofence_counts_oracle(FENCES_LARGE),
         "poi_nearest_join": _poi_nearest_join_oracle(),
         "doc_fingerprints": textops.winnow_fingerprints_oracle(),

@@ -627,6 +627,23 @@ def _storage_queries(spark, geo):
             geo, W.VIS_MIN_PEAK, W.VIS_BLOCK_MIN, W.TOPKW_SHIFT
         ).count()
 
+    def q_convex_layers():
+        from hilbert_curve_spark.operators.spatial_join import convex_layers
+
+        return convex_layers(geo, W.LAYERS_N, W.LAYERS_SAMPLE_MOD, W.HULL_SHIFT).count()
+
+    def q_voronoi_zones():
+        from hilbert_curve_spark.operators.rollup import voronoi_zones
+
+        return voronoi_zones(geo, W.VIS_MIN_PEAK, W.TOPKW_SHIFT).count()
+
+    def q_density_decay_fit():
+        from hilbert_curve_spark.operators.rollup import density_decay_fit
+
+        return density_decay_fit(
+            geo, W.DECAY_BUCKET_SHIFT, W.DECAY_N_BUCKETS, W.DECAY_SCALE
+        ).count()
+
     def q_bloom_fetch():
         from hilbert_curve_spark.operators.runtime_filter import bloom_pruned_fetch
 
@@ -1135,6 +1152,9 @@ def _storage_queries(spark, geo):
 
     return {
         "bloom_fetch": q_bloom_fetch,
+        "convex_layers": q_convex_layers,
+        "voronoi_zones": q_voronoi_zones,
+        "density_decay_fit": q_density_decay_fit,
         "flow_accumulation": q_flow_accumulation,
         "visibility_pairs": q_visibility_pairs,
         "str_pack": q_str_pack,

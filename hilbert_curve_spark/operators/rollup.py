@@ -2470,3 +2470,263 @@ SELECT p.peak_a, p.peak_b,
          AS visible
 FROM vis_pairs p LEFT JOIN vis_cnt c
   ON c.peak_a = p.peak_a AND c.peak_b = p.peak_b"""
+
+
+def voronoi_zones(
+    doc_geo: DataFrame,
+    min_peak: int = 14,
+    shift: int = 6,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Voronoi tessellation of the raster around the density PEAKS —
+    ``(peak, n_cells, n_docs)``: every occupied cell is assigned to the
+    nearest peak by exact integer center-to-center ``dist2`` (ties to the
+    smaller peak key), then zone size and document mass aggregate per
+    peak.  The geometric dual of :func:`watershed_basins`: watershed
+    assigns cells by steepest ASCENT (follows the density surface),
+    Voronoi by pure DISTANCE — comparing the two zonations is the
+    standard way to see where density structure deviates from geometry.
+    Peaks are the same local maxima as :func:`visibility_pairs`
+    (no strictly denser rook neighbor, ``n_docs >= min_peak``).
+
+    Physical plan: ONE salted corpus scan → grid histogram; the peak set
+    (tiny) broadcasts into a cells x peaks codegen argmin (``min_by`` over
+    the joined frame via a (dist2, peak) struct MIN — deterministic
+    because the struct orders by dist2 then peak key), then one hash
+    aggregation.  Everything after the scan is bounded by the M^2 grid.
+    Degenerate case: no cell reaches ``min_peak`` -> empty result."""
+    s = int(shift)
+    m = config.edge >> s
+    half = 1 << (s - 1)
+    hist = (
+        doc_geo.withColumn(
+            "salt", F.pmod(F.hash("doc_id"), F.lit(config.salt_buckets))
+        )
+        .groupBy(
+            F.shiftright("x", s).alias("gx"),
+            F.shiftright("y", s).alias("gy"),
+            "salt",
+        )
+        .agg(F.count("*").alias("pn"))
+        .groupBy("gx", "gy")
+        .agg(F.sum("pn").alias("n_docs"))
+        .withColumn("k", (F.col("gx") * m + F.col("gy")).cast("long"))
+    )
+    off = F.expr(
+        "array(struct(1 AS dx, 0 AS dy), struct(-1 AS dx, 0 AS dy), "
+        "struct(0 AS dx, 1 AS dy), struct(0 AS dx, -1 AS dy))"
+    )
+    probes = hist.select(
+        "k", "n_docs", F.explode(off).alias("o"), "gx", "gy"
+    ).select(
+        "k",
+        "n_docs",
+        ((F.col("gx") + F.col("o.dx")) * m + F.col("gy") + F.col("o.dy")).alias("nk"),
+        (F.col("gx") + F.col("o.dx")).alias("ngx"),
+        (F.col("gy") + F.col("o.dy")).alias("ngy"),
+    ).filter(
+        (F.col("ngx") >= 0) & (F.col("ngx") < m)
+        & (F.col("ngy") >= 0) & (F.col("ngy") < m)
+    )
+    nbr = hist.select(F.col("k").alias("nk"), F.col("n_docs").alias("nnd"))
+    non_peak = (
+        probes.join(F.broadcast(nbr), "nk")
+        .filter(F.col("nnd") > F.col("n_docs"))
+        .select(F.col("k").alias("dk"))
+        .distinct()
+    )
+    peaks = (
+        hist.join(F.broadcast(non_peak), F.col("k") == F.col("dk"), "left_anti")
+        .filter(F.col("n_docs") >= int(min_peak))
+        .select(
+            F.col("k").alias("pk"),
+            (F.col("gx") * (1 << s) + half).alias("pcx"),
+            (F.col("gy") * (1 << s) + half).alias("pcy"),
+        )
+    )
+    cells = hist.select(
+        "k",
+        "n_docs",
+        (F.col("gx") * (1 << s) + half).alias("ccx"),
+        (F.col("gy") * (1 << s) + half).alias("ccy"),
+    )
+    d2 = (F.col("ccx") - F.col("pcx")) * (F.col("ccx") - F.col("pcx")) + (
+        F.col("ccy") - F.col("pcy")
+    ) * (F.col("ccy") - F.col("pcy"))
+    assigned = (
+        cells.crossJoin(F.broadcast(peaks))
+        .groupBy("k", "n_docs")
+        .agg(F.min(F.struct(d2.alias("d2"), F.col("pk"))).alias("best"))
+        .select("k", "n_docs", F.col("best.pk").alias("peak"))
+    )
+    return assigned.groupBy("peak").agg(
+        F.count("*").alias("n_cells"),
+        F.sum("n_docs").alias("n_docs"),
+    )
+
+
+def voronoi_zones_oracle(
+    min_peak: int = 14, shift: int = 6, config: EngineConfig = DEFAULT
+) -> str:
+    """Appends to a chain defining ``doc_geo``: identical histogram, peak
+    anti-join, and (dist2, peak) argmin via a ranked window."""
+    m = config.edge >> int(shift)
+    s = int(shift)
+    half = 1 << (s - 1)
+    d2 = (
+        "(c.ccx - p.pcx) * (c.ccx - p.pcx) + (c.ccy - p.pcy) * (c.ccy - p.pcy)"
+    )
+    return f"""vz_hist AS (
+  SELECT x >> {s} AS gx, y >> {s} AS gy, COUNT(*) AS n_docs,
+         CAST((x >> {s}) * {m} + (y >> {s}) AS BIGINT) AS k
+  FROM doc_geo GROUP BY 1, 2
+), vz_peaks AS (
+  SELECT k AS pk, gx * {1 << s} + {half} AS pcx, gy * {1 << s} + {half} AS pcy
+  FROM vz_hist a
+  WHERE n_docs >= {int(min_peak)} AND NOT EXISTS (
+    SELECT 1 FROM vz_hist b
+    WHERE (ABS(b.gx - a.gx) + ABS(b.gy - a.gy)) = 1 AND b.n_docs > a.n_docs
+  )
+), vz_cells AS (
+  SELECT k, n_docs, gx * {1 << s} + {half} AS ccx, gy * {1 << s} + {half} AS ccy
+  FROM vz_hist
+), vz_rank AS (
+  SELECT c.k, c.n_docs, p.pk,
+         ROW_NUMBER() OVER (PARTITION BY c.k ORDER BY {d2}, p.pk) AS rn
+  FROM vz_cells c CROSS JOIN vz_peaks p
+)
+SELECT pk AS peak, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs
+FROM vz_rank WHERE rn = 1 GROUP BY pk"""
+
+
+def density_decay_fit(
+    doc_geo: DataFrame,
+    bucket_shift: int = 16,
+    n_buckets: int = 24,
+    scale: int = 1000000,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Radial density-decay regression per generator cluster — ``(cluster,
+    n_buckets, slope_scaled, icept_scaled)``: every document is assigned to
+    the nearest of the three known generator centers (the corpus is a
+    3-gaussian mixture, `SpatialDataProcessor/StaticData/DataSetAccess.java:149-162`;
+    ties to the smaller cluster id), its squared distance to that center is
+    bucketed (``dist2 >> bucket_shift``, capped at ``n_buckets - 1``), and
+    an exact-integer ordinary least squares line is fit to
+    (bucket index, docs-in-bucket) per cluster:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    reported as ``FLOOR(scale * num / den)`` — pure integer arithmetic, so
+    the oracle reproduces the fit bit-for-bit (spatial regression with NO
+    floats: overflow audit — counts < 2^24, x < 2^5, n ≤ 2^5 keeps every
+    product far inside int64).  Empty buckets COUNT AS ZERO (the bucket
+    frame is the dense 0..n_buckets-1 range), so the fit is over a fixed
+    design matrix and the denominator is a nonzero constant per cluster.
+
+    Physical plan: one codegen projection assigns cluster + bucket, ONE
+    hash aggregation (map-side combine) produces ≤ 3·n_buckets rows, the
+    dense bucket frame is a tiny generated cross join, and the OLS sums
+    are a second 3-row aggregation."""
+    e = config.edge
+    centers = [(0, e // 4, e // 4), (1, 3 * e // 4, 3 * e // 4), (2, e // 2, e // 2)]
+    d2s = [
+        ((F.col("x") - cx) * (F.col("x") - cx) + (F.col("y") - cy) * (F.col("y") - cy)).alias(
+            f"d{i}"
+        )
+        for i, cx, cy in centers
+    ]
+    tagged = doc_geo.select(*d2s).select(
+        F.expr(
+            "CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0 "
+            "WHEN d1 <= d2 THEN 1 ELSE 2 END"
+        ).alias("cluster"),
+        F.expr(
+            "CASE WHEN d0 <= d1 AND d0 <= d2 THEN d0 "
+            "WHEN d1 <= d2 THEN d1 ELSE d2 END"
+        ).alias("d2"),
+    )
+    nb = int(n_buckets)
+    counts = (
+        tagged.withColumn(
+            "b",
+            F.least(F.shiftright("d2", int(bucket_shift)), F.lit(nb - 1)).cast("long"),
+        )
+        .groupBy("cluster", "b")
+        .agg(F.count("*").alias("y"))
+    )
+    spark = doc_geo.sparkSession
+    dense = (
+        spark.range(3)
+        .select(F.col("id").cast("int").alias("cluster"))
+        .crossJoin(spark.range(nb).select(F.col("id").alias("b")))
+    )
+    full = dense.join(counts, ["cluster", "b"], "left").select(
+        "cluster", "b", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    agg = full.groupBy("cluster").agg(
+        F.count("*").alias("n"),
+        F.sum("b").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("b") * F.col("y")).alias("sxy"),
+        F.sum(F.col("b") * F.col("b")).alias("sxx"),
+    )
+    sc = int(scale)
+    return agg.select(
+        "cluster",
+        F.col("n").alias("n_buckets"),
+        F.expr(
+            f"CAST(FLOOR({sc} * CAST(n * sxy - sx * sy AS DOUBLE) / "
+            f"CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)"
+        ).alias("slope_scaled"),
+        F.expr(
+            f"CAST(FLOOR({sc} * CAST(sy * sxx - sx * sxy AS DOUBLE) / "
+            f"CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)"
+        ).alias("icept_scaled"),
+    )
+
+
+def density_decay_fit_oracle(
+    bucket_shift: int = 16,
+    n_buckets: int = 24,
+    scale: int = 1000000,
+    config: EngineConfig = DEFAULT,
+) -> str:
+    """Appends to a chain defining ``doc_geo``: identical cluster argmin,
+    bucketing, dense-bucket zero fill, and integer OLS sums.  The final
+    FLOOR division runs in DOUBLE in BOTH engines over integer-valued
+    operands well inside 2^53 — exact."""
+    e = config.edge
+    cs = [(0, e // 4, e // 4), (1, 3 * e // 4, 3 * e // 4), (2, e // 2, e // 2)]
+    d = {
+        i: f"((x - {cx}) * (x - {cx}) + (y - {cy}) * (y - {cy}))" for i, cx, cy in cs
+    }
+    sc = int(scale)
+    nb = int(n_buckets)
+    return f"""dd_tag AS (
+  SELECT CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} THEN 0
+              WHEN {d[1]} <= {d[2]} THEN 1 ELSE 2 END AS cluster,
+         CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} THEN {d[0]}
+              WHEN {d[1]} <= {d[2]} THEN {d[1]} ELSE {d[2]} END AS d2
+  FROM doc_geo
+), dd_cnt AS (
+  SELECT cluster, LEAST(d2 >> {int(bucket_shift)}, {nb - 1}) AS b,
+         COUNT(*) AS y
+  FROM dd_tag GROUP BY 1, 2
+), dd_dense AS (
+  SELECT c.cluster, b.b, COALESCE(n.y, 0) AS y
+  FROM (SELECT unnest(range(0, 3)) AS cluster) c
+  CROSS JOIN (SELECT unnest(range(0, {nb})) AS b) b
+  LEFT JOIN dd_cnt n ON n.cluster = c.cluster AND n.b = b.b
+), dd_agg AS (
+  SELECT cluster, COUNT(*) AS n, SUM(b) AS sx, SUM(y) AS sy,
+         SUM(b * y) AS sxy, SUM(b * b) AS sxx
+  FROM dd_dense GROUP BY cluster
+)
+SELECT CAST(cluster AS INT) AS cluster, CAST(n AS BIGINT) AS n_buckets,
+       CAST(FLOOR({sc} * CAST(n * sxy - sx * sy AS DOUBLE) /
+                  CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope_scaled,
+       CAST(FLOOR({sc} * CAST(sy * sxx - sx * sxy AS DOUBLE) /
+                  CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS icept_scaled
+FROM dd_agg"""

@@ -1518,3 +1518,178 @@ FROM hp p JOIN hp q
 WHERE NOT EXISTS (
   SELECT 1 FROM hp r WHERE r.gid = p.gid AND {cross} < 0
 )"""
+
+
+def convex_layers(
+    doc_geo: DataFrame,
+    n_layers: int = 3,
+    sample_mod: int = 32,
+    shift: int = 11,
+    group_cap: int = 65536,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Convex LAYERS (onion peeling, Chazelle 1985) per coarse region:
+    layer 1 is the region's hull boundary (:func:`hull_points` semantics,
+    collinear edge points included), layer 2 the hull boundary of what
+    remains after peeling layer 1, and so on for ``n_layers`` —
+    ``(gid, doc_id, x, y, layer)``; points deeper than ``n_layers`` are
+    omitted.  Layer index is the classic depth/outlyingness measure
+    (points on outer layers are spatial outliers; deep layers are the
+    core) — the multi-level generalization of the single hull.
+
+    Exactness: each peel applies the same halfplane boundary definition as
+    :func:`hull_points` to the REMAINING point multiset; duplicates of a
+    boundary coordinate peel together.  The oracle unrolls the peels
+    literally (``n_layers`` rounds of the O(n^3) NOT EXISTS).
+
+    Physical plan: identical to ``hull_points`` — pushed md5 sample filter,
+    ONE gid shuffle, one Arrow task per region running ``n_layers`` rounds
+    of monotone chain + exact on-edge classification over the residual
+    coordinate set (O(L·n log n + L·n·h))."""
+    from .dedup import _hex_to_long_sql
+
+    m_cells = config.edge >> shift
+    sel = _hex_to_long_sql("md5(doc_id)", 1, 8)
+    sampled = doc_geo.filter(F.expr(f"({sel}) % {int(sample_mod)} = 0")).select(
+        (
+            F.shiftright("x", shift) * m_cells + F.shiftright("y", shift)
+        ).alias("gid"),
+        "doc_id",
+        "x",
+        "y",
+    )
+    cap = int(group_cap)
+    n_l = int(n_layers)
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        def empty():
+            return pd.DataFrame(
+                {
+                    "gid": np.array([], np.int64),
+                    "doc_id": np.array([], object),
+                    "x": np.array([], np.int64),
+                    "y": np.array([], np.int64),
+                    "layer": np.array([], np.int64),
+                }
+            )
+
+        if len(pdf) == 0:
+            return empty()
+        if len(pdf) > cap:
+            raise ValueError(
+                f"convex_layers region sample {len(pdf)} exceeds cap {cap}"
+            )
+
+        def boundary_mask(xs, ys):
+            coords = np.unique(np.stack([xs, ys], axis=1), axis=0)
+            if len(coords) < 2:
+                return np.zeros(len(xs), dtype=bool)
+            pts = coords
+
+            def chain(seq):
+                out = []
+                for p in seq:
+                    while len(out) >= 2:
+                        ox, oy = out[-2]
+                        ax, ay = out[-1]
+                        if (ax - ox) * (p[1] - oy) - (ay - oy) * (p[0] - ox) <= 0:
+                            out.pop()
+                        else:
+                            break
+                    out.append((int(p[0]), int(p[1])))
+                return out
+
+            lower = chain(pts)
+            upper = chain(pts[::-1])
+            hull = lower[:-1] + upper[:-1]
+            if len(hull) < 2:
+                lo, hi = pts[0], pts[-1]
+                hull = [(int(lo[0]), int(lo[1])), (int(hi[0]), int(hi[1]))]
+            hv = np.array(hull, dtype=np.int64)
+            a, b = hv, np.roll(hv, -1, axis=0)
+            px, py = xs[:, None], ys[:, None]
+            cross = (b[None, :, 0] - a[None, :, 0]) * (py - a[None, :, 1]) - (
+                b[None, :, 1] - a[None, :, 1]
+            ) * (px - a[None, :, 0])
+            inx = (px >= np.minimum(a[None, :, 0], b[None, :, 0])) & (
+                px <= np.maximum(a[None, :, 0], b[None, :, 0])
+            )
+            iny = (py >= np.minimum(a[None, :, 1], b[None, :, 1])) & (
+                py <= np.maximum(a[None, :, 1], b[None, :, 1])
+            )
+            return ((cross == 0) & inx & iny).any(axis=1)
+
+        xs = pdf["x"].to_numpy(np.int64)
+        ys = pdf["y"].to_numpy(np.int64)
+        layer = np.zeros(len(pdf), dtype=np.int64)
+        remaining = np.ones(len(pdf), dtype=bool)
+        for li in range(1, n_l + 1):
+            if not remaining.any():
+                break
+            mask = boundary_mask(xs[remaining], ys[remaining])
+            idx = np.nonzero(remaining)[0][mask]
+            layer[idx] = li
+            remaining[idx] = False
+        keep = layer > 0
+        out = pdf[keep]
+        return pd.DataFrame(
+            {
+                "gid": out["gid"].to_numpy(np.int64),
+                "doc_id": out["doc_id"].to_numpy(object),
+                "x": out["x"].to_numpy(np.int64),
+                "y": out["y"].to_numpy(np.int64),
+                "layer": layer[keep],
+            }
+        )
+
+    return sampled.groupBy("gid").applyInPandas(
+        fn, "gid long, doc_id string, x long, y long, layer long"
+    )
+
+
+def convex_layers_oracle(
+    n_layers: int = 3,
+    sample_mod: int = 32,
+    shift: int = 11,
+    config: EngineConfig = DEFAULT,
+    doc_geo_table: str = "doc_geo",
+) -> str:
+    """Appends to a chain defining ``doc_geo``: the peels unrolled — layer
+    K's boundary test runs over the points NOT in layers 1..K-1."""
+    from .dedup import _hex_to_long_sql
+
+    m_cells = config.edge >> int(shift)
+    s = int(shift)
+    sel = _hex_to_long_sql("md5(doc_key)", 1, 8)
+    cross = "(q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x)"
+    parts = [
+        f"""cl0 AS (
+  SELECT (x >> {s}) * {m_cells} + (y >> {s}) AS gid, doc_key AS doc_id, x, y
+  FROM {doc_geo_table} WHERE ({sel}) % {int(sample_mod)} = 0
+)"""
+    ]
+    for li in range(1, int(n_layers) + 1):
+        prev = f"cl{li - 1}"
+        parts.append(
+            f"""clb{li} AS (
+  SELECT DISTINCT p.gid, p.doc_id, p.x, p.y
+  FROM {prev} p JOIN {prev} q
+    ON q.gid = p.gid AND (q.x <> p.x OR q.y <> p.y)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {prev} r WHERE r.gid = p.gid AND {cross} < 0
+  )
+), cl{li} AS (
+  SELECT c.* FROM {prev} c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM clb{li} b WHERE b.gid = c.gid AND b.doc_id = c.doc_id
+  )
+)"""
+        )
+    arms = " UNION ALL ".join(
+        f"SELECT gid, doc_id, x, y, CAST({li} AS BIGINT) AS layer FROM clb{li}"
+        for li in range(1, int(n_layers) + 1)
+    )
+    return ",\n".join(parts) + "\n" + arms

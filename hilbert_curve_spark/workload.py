@@ -421,3 +421,13 @@ VITERBI_LAMBDA = 200000
 # 241 blockers at the sf0.01 fixture).
 VIS_MIN_PEAK = 14
 VIS_BLOCK_MIN = 10
+
+# Convex layers / onion peeling (wave 50): layers, md5 sample, regions.
+LAYERS_N = 3
+LAYERS_SAMPLE_MOD = 16
+
+# Radial density-decay OLS (wave 50): dist2 bucket width 2^shift, dense
+# bucket count, and the fixed-point output scale.
+DECAY_BUCKET_SHIFT = 16
+DECAY_N_BUCKETS = 24
+DECAY_SCALE = 1000000
