@@ -397,6 +397,78 @@ def _density_decay_fit_oracle() -> str:
     )
 
 
+def _keyword_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index conjunctive keyword query (the bitmap dual of the
+    postings index): per-32-doc-block bit_or masks, bit_and intersection,
+    bit_count hits (`operators/brq.py::keyword_bitmap_query`)."""
+    return brq_ops.keyword_bitmap_query(_doc_geo(spark, sf_dir), W.KW_ALL)
+
+
+def _keyword_bitmap_oracle() -> str:
+    return f"{_doc_geo_cte()}, " + brq_ops.keyword_bitmap_query_oracle(W.KW_ALL)
+
+
+def _compact_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style hierarchical compaction of the occupied-cell set: complete
+    sibling quartets collapse into parents, log2(M) tiny aggregations
+    (`operators/tiles.py::compact_cells`)."""
+    return tiles_ops.compact_cells(_doc_geo(spark, sf_dir), 1, W.TOPKW_SHIFT)
+
+
+def _compact_cells_oracle() -> str:
+    return f"{_doc_geo_cte()}, " + tiles_ops.compact_cells_oracle(
+        1, W.TOPKW_SHIFT, DEFAULT
+    )
+
+
+def _lbp_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-binary-pattern texture census of the occupancy raster
+    (`operators/rollup.py::lbp_census`)."""
+    from hilbert_curve_spark.operators.rollup import lbp_census
+
+    return lbp_census(_doc_geo(spark, sf_dir), 1, W.TOPKW_SHIFT)
+
+
+def _lbp_census_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import lbp_census_oracle
+
+    return f"{_doc_geo_cte()}, " + lbp_census_oracle(1, W.TOPKW_SHIFT, DEFAULT)
+
+
+CURVE_BOXES = [
+    dict(box_id="r1", **W.R1),
+    dict(box_id="r2", **W.R2),
+    dict(box_id="r3", **W.R3),
+]
+
+
+def _curve_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured Hilbert-vs-Z fragmentation: per query box, covered cells
+    and maximal curve-order runs for BOTH curves — the engine's curve
+    choice as an oracle-checked result
+    (`operators/zorder.py::curve_locality_report`)."""
+    from hilbert_curve_spark.operators.zorder import curve_locality_report
+
+    return curve_locality_report(spark, CURVE_BOXES)
+
+
+def _curve_locality_oracle() -> str:
+    from hilbert_curve_spark.operators.zorder import curve_locality_report_oracle
+
+    return curve_locality_report_oracle(CURVE_BOXES)
+
+
+def _raster_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental raster maintenance under the delta log: base + net
+    transitions per cell, cross-checked against the oracle's full LWW
+    recompute (`operators/updates.py::raster_ivm`)."""
+    return upd_ops.raster_ivm(spark, sf_dir, shift=W.TOPKW_SHIFT)
+
+
+def _raster_ivm_oracle() -> str:
+    return "WITH " + upd_ops.raster_ivm_oracle(shift=W.TOPKW_SHIFT)
+
+
 def _keyword_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRDSSE (SRDSSE.java:81-238): per-keyword versioned add/delete chains
     folded last-writer-wins at search — batched over the KW_ANY keyword set."""
@@ -3305,6 +3377,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_layers": _convex_layers,
         "voronoi_zones": _voronoi_zones,
         "density_decay_fit": _density_decay_fit,
+        "keyword_bitmap": _keyword_bitmap,
+        "compact_cells": _compact_cells,
+        "lbp_census": _lbp_census,
+        "curve_locality": _curve_locality,
+        "raster_ivm": _raster_ivm,
         "geofence_join": _geofence_join,
         "poi_nearest_join": _poi_nearest_join,
         "doc_fingerprints": _doc_fingerprints,
@@ -3672,6 +3749,11 @@ def oracle_sql() -> dict[str, str]:
         "convex_layers": _convex_layers_oracle(),
         "voronoi_zones": _voronoi_zones_oracle(),
         "density_decay_fit": _density_decay_fit_oracle(),
+        "keyword_bitmap": _keyword_bitmap_oracle(),
+        "compact_cells": _compact_cells_oracle(),
+        "lbp_census": _lbp_census_oracle(),
+        "curve_locality": _curve_locality_oracle(),
+        "raster_ivm": _raster_ivm_oracle(),
         "geofence_join": ev_ops.geofence_counts_oracle(FENCES_LARGE),
         "poi_nearest_join": _poi_nearest_join_oracle(),
         "doc_fingerprints": textops.winnow_fingerprints_oracle(),

@@ -644,6 +644,36 @@ def _storage_queries(spark, geo):
             geo, W.DECAY_BUCKET_SHIFT, W.DECAY_N_BUCKETS, W.DECAY_SCALE
         ).count()
 
+    def q_keyword_bitmap():
+        from hilbert_curve_spark.operators.brq import keyword_bitmap_query
+
+        return keyword_bitmap_query(geo, W.KW_ALL).count()
+
+    def q_compact_cells():
+        from hilbert_curve_spark.operators.tiles import compact_cells
+
+        return compact_cells(geo, 1, W.TOPKW_SHIFT).count()
+
+    def q_lbp_census():
+        from hilbert_curve_spark.operators.rollup import lbp_census
+
+        return lbp_census(geo, 1, W.TOPKW_SHIFT).count()
+
+    def q_curve_locality():
+        from hilbert_curve_spark.operators.zorder import curve_locality_report
+
+        boxes = [
+            dict(box_id="r1", **W.R1),
+            dict(box_id="r2", **W.R2),
+            dict(box_id="r3", **W.R3),
+        ]
+        return curve_locality_report(spark, boxes).count()
+
+    def q_raster_ivm():
+        from hilbert_curve_spark.operators.updates import raster_ivm
+
+        return raster_ivm(spark, SF_DIR, amp=AMP).count()
+
     def q_bloom_fetch():
         from hilbert_curve_spark.operators.runtime_filter import bloom_pruned_fetch
 
@@ -1152,6 +1182,11 @@ def _storage_queries(spark, geo):
 
     return {
         "bloom_fetch": q_bloom_fetch,
+        "curve_locality": q_curve_locality,
+        "raster_ivm": q_raster_ivm,
+        "keyword_bitmap": q_keyword_bitmap,
+        "compact_cells": q_compact_cells,
+        "lbp_census": q_lbp_census,
         "convex_layers": q_convex_layers,
         "voronoi_zones": q_voronoi_zones,
         "density_decay_fit": q_density_decay_fit,

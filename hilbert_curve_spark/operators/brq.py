@@ -638,3 +638,85 @@ JOIN kl_k k ON kc.kw = k.kw
 JOIN kl_c c ON kc.gcell = c.gcell
 CROSS JOIN kl_n n
 WHERE kc.n_kc >= {int(min_count)}"""
+
+
+def keyword_bitmap_query(
+    doc_geo: DataFrame, keywords: list[str]
+) -> DataFrame:
+    """Bitmap-index conjunctive keyword query — ``(block, n_docs)``: the
+    documents carrying EVERY keyword in ``keywords``, counted per 32-doc
+    ordinal block via bit-parallel mask intersection.  The bitmap dual of
+    :func:`keyword_index`'s postings: each keyword folds into one 32-bit
+    word per ordinal block (``ordinal = the numeric doc id parsed from the
+    key; block = ordinal DIV 32, bit = ordinal % 32``), the conjunction is
+    ``bit_and`` across the query keywords, and the hit count is
+    ``bit_count`` — the classic bitmap-index evaluation (O'Neil & Quass,
+    SIGMOD 1997) in engine-neutral integer arithmetic, oracle-checkable
+    bit for bit.
+
+    Physical plan: ONE corpus scan with a codegen keyword-filtered explode
+    (only query keywords survive the map side), a ``(kw, block)`` hash
+    aggregation with map-side ``bit_or`` combine (at most
+    ``|keywords| x |blocks|`` rows leave the map stage), then a ``block``
+    aggregation whose ``HAVING`` enforces all keywords present and
+    ``bit_and`` intersects the masks.  Two shuffles, both on bounded
+    index-side frames; the corpus never shuffles.  At 100 TB the (kw,
+    block, mask) frame IS the stored bitmap index — write it once
+    partitioned by keyword and this query prunes to the query keywords'
+    partitions."""
+    n_kw = len(keywords)
+    assert n_kw >= 1
+    ordinal = F.expr("CAST(substring(doc_id, 4, 10) AS BIGINT)")
+    kw = (
+        doc_geo.select(ordinal.alias("ordinal"), F.explode("keywords").alias("kw"))
+        .filter(F.col("kw").isin(list(keywords)))
+        .select(
+            "kw",
+            F.expr("CAST(ordinal DIV 32 AS BIGINT)").alias("block"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(ordinal % 32 AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("kw", "block")
+        .agg(F.expr("bit_or(m)").alias("mask"))
+    )
+    hit = (
+        kw.groupBy("block")
+        .agg(
+            F.countDistinct("kw").alias("nk"),
+            F.expr("bit_and(mask)").alias("amask"),
+        )
+        .filter(F.col("nk") == n_kw)
+        .select(
+            "block",
+            F.expr("CAST(bit_count(amask) AS BIGINT)").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+    return hit
+
+
+def keyword_bitmap_query_oracle(keywords: list[str]) -> str:
+    """Appends to a chain defining ``doc_geo`` (kw0..kw3 columns):
+    identical ordinal/block/mask arithmetic; the keyword explode is the
+    UNION of the kw columns."""
+    from ..sources.derive import KW_PER_DOC
+
+    kws = ", ".join(f"'{k}'" for k in keywords)
+    arms = " UNION ALL ".join(
+        f"SELECT CAST(substring(doc_key, 4, 10) AS BIGINT) AS ordinal, kw{j} AS kw "
+        f"FROM doc_geo" for j in range(KW_PER_DOC)
+    )
+    return f"""kb_ex AS ({arms}),
+kb_masks AS (
+  SELECT kw, ordinal // 32 AS block,
+         BIT_OR(CAST(1 AS BIGINT) << CAST(ordinal % 32 AS INT)) AS mask
+  FROM kb_ex WHERE kw IN ({kws})
+  GROUP BY kw, ordinal // 32
+), kb_hit AS (
+  SELECT block, COUNT(DISTINCT kw) AS nk, BIT_AND(mask) AS amask
+  FROM kb_masks GROUP BY block
+)
+SELECT CAST(block AS BIGINT) AS block,
+       CAST(bit_count(amask) AS BIGINT) AS n_docs
+FROM kb_hit WHERE nk = {len(keywords)} AND bit_count(amask) > 0"""

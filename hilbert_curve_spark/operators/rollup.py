@@ -2730,3 +2730,98 @@ SELECT CAST(cluster AS INT) AS cluster, CAST(n AS BIGINT) AS n_buckets,
        CAST(FLOOR({sc} * CAST(sy * sxx - sx * sxy AS DOUBLE) /
                   CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS icept_scaled
 FROM dd_agg"""
+
+
+_LBP_OFFSETS = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1)]
+
+
+def lbp_census(
+    doc_geo: DataFrame,
+    min_docs: int = 1,
+    shift: int = 6,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Local-binary-pattern texture census of the occupancy raster —
+    ``(code, n_cells)``: every occupied cell (``n_docs >= min_docs``) gets
+    an 8-bit neighborhood code (bit ``i`` set iff the ``i``-th 8-neighbor,
+    in the fixed order E,NE,N,NW,W,SW,S,SE, is also occupied), and the
+    census counts cells per code.  LBP (Ojala et al., PAMI 2002) is the
+    standard texture descriptor; over the corpus occupancy grid it
+    summarizes the SHAPE of the settled area (interior cells ≈ 255, edges
+    and filaments get characteristic codes, isolated cells 0).
+
+    Physical plan: ONE salted corpus scan → occupancy set (≤ M^2 rows);
+    each occupied cell contributes its presence to its 8 neighbors through
+    one offset explode + equi-join on the (gx, gy) pair; a ``bit_or`` hash
+    agg folds codes and a LEFT join restores isolated cells as code 0;
+    the census is a 256-row aggregate.  All post-scan frames grid-bounded."""
+    s = int(shift)
+    m = config.edge >> s
+    occ = (
+        doc_geo.withColumn(
+            "salt", F.pmod(F.hash("doc_id"), F.lit(config.salt_buckets))
+        )
+        .groupBy(
+            F.shiftright("x", s).alias("gx"),
+            F.shiftright("y", s).alias("gy"),
+            "salt",
+        )
+        .agg(F.count("*").alias("pn"))
+        .groupBy("gx", "gy")
+        .agg(F.sum("pn").alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_docs))
+        .select("gx", "gy")
+    )
+    offs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy, {i} AS i)"
+        for i, (dx, dy) in enumerate(_LBP_OFFSETS)
+    )
+    # every occupied cell asserts bit i at the neighbor OPPOSITE offset i:
+    # center c sees neighbor c + off_i  <=>  occupied n contributes bit i
+    # to center n - off_i
+    contrib = occ.select(
+        "gx", "gy", F.explode(F.expr(f"array({offs})")).alias("o")
+    ).select(
+        (F.col("gx") - F.col("o.dx")).alias("cgx"),
+        (F.col("gy") - F.col("o.dy")).alias("cgy"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), o.i)").alias("m"),
+    ).filter(
+        (F.col("cgx") >= 0) & (F.col("cgx") < m)
+        & (F.col("cgy") >= 0) & (F.col("cgy") < m)
+    )
+    codes = (
+        occ.join(
+            contrib.groupBy("cgx", "cgy").agg(F.expr("bit_or(m)").alias("code")),
+            (F.col("gx") == F.col("cgx")) & (F.col("gy") == F.col("cgy")),
+            "left",
+        )
+        .select(F.coalesce(F.col("code"), F.lit(0)).alias("code"))
+    )
+    return codes.groupBy("code").agg(F.count("*").alias("n_cells"))
+
+
+def lbp_census_oracle(
+    min_docs: int = 1, shift: int = 6, config: EngineConfig = DEFAULT
+) -> str:
+    """Appends to a chain defining ``doc_geo``: identical occupancy set,
+    offset contributions, bit_or fold, and left-join zero restore."""
+    m = config.edge >> int(shift)
+    s = int(shift)
+    offs = ", ".join(
+        f"({dx}, {dy}, {i})" for i, (dx, dy) in enumerate(_LBP_OFFSETS)
+    )
+    return f"""lbp_occ AS (
+  SELECT x >> {s} AS gx, y >> {s} AS gy
+  FROM doc_geo GROUP BY 1, 2 HAVING COUNT(*) >= {int(min_docs)}
+), lbp_contrib AS (
+  SELECT o.gx - v.dx AS cgx, o.gy - v.dy AS cgy,
+         BIT_OR(CAST(1 AS BIGINT) << v.i) AS code
+  FROM lbp_occ o, (VALUES {offs}) v(dx, dy, i)
+  WHERE o.gx - v.dx >= 0 AND o.gx - v.dx < {m}
+    AND o.gy - v.dy >= 0 AND o.gy - v.dy < {m}
+  GROUP BY 1, 2
+)
+SELECT CAST(COALESCE(c.code, 0) AS BIGINT) AS code,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM lbp_occ o LEFT JOIN lbp_contrib c ON c.cgx = o.gx AND c.cgy = o.gy
+GROUP BY COALESCE(c.code, 0)"""

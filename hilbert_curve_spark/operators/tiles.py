@@ -106,3 +106,124 @@ WITH RECURSIVE {pre_ctes}cells AS ({cells_sql}), it AS (
   FROM it WHERE s > 0
 ), hv AS (SELECT cx, cy, d AS hilbert FROM it WHERE s = 0)
 """
+
+
+def compact_cells(
+    doc_geo: DataFrame,
+    min_docs: int = 1,
+    shift: int = 6,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Hierarchical cell-set COMPACTION (the ``compactCells`` operator of
+    the public H3 API, uber/h3 `compactCells`): the dense cell set at grid
+    level 0 (``2^shift`` lattice cells, ``n_docs >= min_docs``) is
+    re-expressed as the MINIMAL multi-resolution set — any four complete
+    sibling cells collapse into their parent, recursively up to the 1x1
+    root — ``(level, cx, cy)`` with level 0 the finest.  Exact and unique:
+    a parent appears iff its entire 4^level descendant block is dense, and
+    a cell appears iff it is complete but its parent is not, so the output
+    partitions the dense set.
+
+    Physical plan: ONE salted corpus scan builds the histogram; everything
+    after is ``log2(M)`` tiny hash aggregations (complete-parent =
+    ``groupBy(parent) HAVING COUNT(*) = 4`` over the previous level's
+    complete set, each frame <= M^2/4^level rows) plus per-level
+    anti-joins — a bounded driver loop over broadcast-sized frames, the
+    standard compaction pass a tile server runs after ingest.
+
+    Reference parity: the reference enumerates covers cell-by-cell
+    (`hilbert/HilbertComponent/BoxUtil.java`); compaction is the
+    multi-resolution representation its tile pyramid implies."""
+    s = int(shift)
+    m = config.edge >> s
+    levels = m.bit_length() - 1  # m = 2^levels
+    hist = (
+        doc_geo.withColumn(
+            "salt", F.pmod(F.hash("doc_id"), F.lit(config.salt_buckets))
+        )
+        .groupBy(
+            F.shiftright("x", s).alias("gx"),
+            F.shiftright("y", s).alias("gy"),
+            "salt",
+        )
+        .agg(F.count("*").alias("pn"))
+        .groupBy("gx", "gy")
+        .agg(F.sum("pn").alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_docs))
+        .select("gx", "gy")
+    )
+    complete = [hist]
+    for _ in range(levels):
+        nxt = (
+            complete[-1]
+            .groupBy(
+                F.shiftright("gx", 1).alias("gx"),
+                F.shiftright("gy", 1).alias("gy"),
+            )
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") == 4)
+            .select("gx", "gy")
+        )
+        complete.append(nxt)
+    outs = []
+    for lv in range(levels + 1):
+        cur = complete[lv]
+        if lv < levels:
+            parents = complete[lv + 1].select(
+                F.col("gx").alias("pgx"), F.col("gy").alias("pgy")
+            )
+            cur = cur.join(
+                parents,
+                (F.shiftright(F.col("gx"), 1) == F.col("pgx"))
+                & (F.shiftright(F.col("gy"), 1) == F.col("pgy")),
+                "left_anti",
+            )
+        outs.append(
+            cur.select(
+                F.lit(lv).cast("long").alias("level"),
+                F.col("gx").cast("long").alias("cx"),
+                F.col("gy").cast("long").alias("cy"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def compact_cells_oracle(
+    min_docs: int = 1, shift: int = 6, config: EngineConfig = DEFAULT
+) -> str:
+    """Appends to a chain defining ``doc_geo``: the same bottom-up
+    complete-parent levels unrolled, then per-level anti-joins."""
+    s = int(shift)
+    m = config.edge >> s
+    levels = m.bit_length() - 1
+    parts = [
+        f"""cc_l0 AS (
+  SELECT x >> {s} AS gx, y >> {s} AS gy
+  FROM doc_geo GROUP BY 1, 2 HAVING COUNT(*) >= {int(min_docs)}
+)"""
+    ]
+    for lv in range(1, levels + 1):
+        parts.append(
+            f"""cc_l{lv} AS (
+  SELECT gx >> 1 AS gx, gy >> 1 AS gy
+  FROM cc_l{lv - 1} GROUP BY gx >> 1, gy >> 1 HAVING COUNT(*) = 4
+)"""
+        )
+    arms = []
+    for lv in range(levels + 1):
+        if lv < levels:
+            arms.append(
+                f"SELECT CAST({lv} AS BIGINT) AS level, CAST(c.gx AS BIGINT) AS cx, "
+                f"CAST(c.gy AS BIGINT) AS cy FROM cc_l{lv} c "
+                f"WHERE NOT EXISTS (SELECT 1 FROM cc_l{lv + 1} p "
+                f"WHERE p.gx = c.gx >> 1 AND p.gy = c.gy >> 1)"
+            )
+        else:
+            arms.append(
+                f"SELECT CAST({lv} AS BIGINT), CAST(gx AS BIGINT), "
+                f"CAST(gy AS BIGINT) FROM cc_l{lv}"
+            )
+    return ",\n".join(parts) + "\n" + " UNION ALL ".join(arms)
