@@ -469,6 +469,26 @@ def _raster_ivm_oracle() -> str:
     return "WITH " + upd_ops.raster_ivm_oracle(shift=W.TOPKW_SHIFT)
 
 
+def _peak_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-cost routes from the global max density peak to every peak
+    within budget: cost surface + parent backtrack in ONE Arrow task
+    (`operators/rollup.py::peak_paths`)."""
+    from hilbert_curve_spark.operators.rollup import peak_paths
+
+    return peak_paths(
+        _doc_geo(spark, sf_dir), W.VIS_MIN_PEAK, W.PEAK_PATH_BUDGET, W.TOPKW_SHIFT
+    )
+
+
+def _peak_paths_oracle() -> str:
+    from hilbert_curve_spark.operators.rollup import peak_paths_oracle
+
+    cte = _doc_geo_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"{cte}, " + peak_paths_oracle(
+        W.VIS_MIN_PEAK, W.PEAK_PATH_BUDGET, W.TOPKW_SHIFT, DEFAULT
+    )
+
+
 def _keyword_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRDSSE (SRDSSE.java:81-238): per-keyword versioned add/delete chains
     folded last-writer-wins at search — batched over the KW_ANY keyword set."""
@@ -3382,6 +3402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lbp_census": _lbp_census,
         "curve_locality": _curve_locality,
         "raster_ivm": _raster_ivm,
+        "peak_paths": _peak_paths,
         "geofence_join": _geofence_join,
         "poi_nearest_join": _poi_nearest_join,
         "doc_fingerprints": _doc_fingerprints,
@@ -3754,6 +3775,7 @@ def oracle_sql() -> dict[str, str]:
         "lbp_census": _lbp_census_oracle(),
         "curve_locality": _curve_locality_oracle(),
         "raster_ivm": _raster_ivm_oracle(),
+        "peak_paths": _peak_paths_oracle(),
         "geofence_join": ev_ops.geofence_counts_oracle(FENCES_LARGE),
         "poi_nearest_join": _poi_nearest_join_oracle(),
         "doc_fingerprints": textops.winnow_fingerprints_oracle(),

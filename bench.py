@@ -674,6 +674,13 @@ def _storage_queries(spark, geo):
 
         return raster_ivm(spark, SF_DIR, amp=AMP).count()
 
+    def q_peak_paths():
+        from hilbert_curve_spark.operators.rollup import peak_paths
+
+        return peak_paths(
+            geo, W.VIS_MIN_PEAK, W.PEAK_PATH_BUDGET, W.TOPKW_SHIFT
+        ).count()
+
     def q_bloom_fetch():
         from hilbert_curve_spark.operators.runtime_filter import bloom_pruned_fetch
 
@@ -1182,6 +1189,7 @@ def _storage_queries(spark, geo):
 
     return {
         "bloom_fetch": q_bloom_fetch,
+        "peak_paths": q_peak_paths,
         "curve_locality": q_curve_locality,
         "raster_ivm": q_raster_ivm,
         "keyword_bitmap": q_keyword_bitmap,

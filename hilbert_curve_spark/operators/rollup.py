@@ -2825,3 +2825,195 @@ SELECT CAST(COALESCE(c.code, 0) AS BIGINT) AS code,
        CAST(COUNT(*) AS BIGINT) AS n_cells
 FROM lbp_occ o LEFT JOIN lbp_contrib c ON c.cgx = o.gx AND c.cgy = o.gy
 GROUP BY COALESCE(c.code, 0)"""
+
+
+def peak_paths(
+    doc_geo: DataFrame,
+    min_peak: int = 14,
+    budget: int = 48,
+    shift: int = 6,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Least-cost PATH EXTRACTION over the density surface — ``(peak,
+    step, gx, gy, cost)``: from the global maximum peak (highest
+    ``n_docs``, ties to the smaller flat key) to every other density peak
+    reachable within ``budget``, the cheapest 4-connected route through
+    occupied territory, using :func:`cell_cost_distance`'s exact traversal
+    weights (``w = 1 + LEAST(3, n_docs DIV 8)`` per ENTERED cell).  Rows
+    enumerate each path from the target peak (``step`` 0) back to the
+    source; ``cost`` is the path's total.  This is the corridor-planning
+    step after the cost surface: cost_distance says how far everything is,
+    peak_paths materializes the actual routes between the summits.
+
+    Determinism: the parent of a cell is derived from the FINAL cost
+    surface (the rook neighbor whose cost equals ``cost(c) - w(c)``, ties
+    to the smaller flat key), so the decoded route is a pure function of
+    the data; the oracle rebuilds the same surface with the recursive
+    closure and walks the same parent rule.
+
+    Physical plan: ONE salted corpus scan -> grid histogram; relaxation,
+    parent derivation, and all walks run in ONE Arrow grouped-map task
+    over the grid-bounded frame (paths are <= budget steps; peaks are a
+    handful) — the isochrone/cost-distance pattern with a backtrack."""
+    s = int(shift)
+    m = config.edge >> s
+    b = int(budget)
+    mp = int(min_peak)
+    hist = (
+        doc_geo.withColumn(
+            "salt", F.pmod(F.hash("doc_id"), F.lit(config.salt_buckets))
+        )
+        .groupBy(
+            F.shiftright("x", s).alias("gx"),
+            F.shiftright("y", s).alias("gy"),
+            "salt",
+        )
+        .agg(F.count("*").alias("pn"))
+        .groupBy("gx", "gy")
+        .agg(F.sum("pn").alias("n_docs"))
+    )
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {c: np.array([], np.int64) for c in ("peak", "step", "gx", "gy", "cost")}
+        )
+        if len(pdf) == 0:
+            return empty
+        gx = pdf["gx"].to_numpy(np.int64)
+        gy = pdf["gy"].to_numpy(np.int64)
+        nd = pdf["n_docs"].to_numpy(np.int64)
+        key = gx * m + gy
+        order = np.argsort(key)
+        key, gx, gy, nd = key[order], gx[order], gy[order], nd[order]
+        n = len(key)
+        w = 1 + np.minimum(3, nd // 8)
+        # rook neighbor index table (searchsorted probes, -1 = absent)
+        nbrs = np.full((n, 4), -1, dtype=np.int64)
+        for j, (dx, dy) in enumerate(((1, 0), (-1, 0), (0, 1), (0, -1))):
+            nx, ny = gx + dx, gy + dy
+            valid = (nx >= 0) & (nx < m) & (ny >= 0) & (ny < m)
+            nk = nx * m + ny
+            pos = np.clip(np.searchsorted(key, nk), 0, n - 1)
+            hit = valid & (key[pos] == nk)
+            nbrs[hit, j] = pos[hit]
+        # peaks: no STRICTLY denser rook neighbor (ties do not disqualify),
+        # n_docs >= min_peak
+        denser = np.where(nbrs >= 0, nd[np.clip(nbrs, 0, n - 1)] > nd[:, None], False)
+        is_peak = (nd >= mp) & ~denser.any(axis=1)
+        if not is_peak.any():
+            return empty
+        # source: global max peak, ties to smaller key (key-sorted array ->
+        # first index among max n_docs peaks)
+        pk_idx = np.nonzero(is_peak)[0]
+        src = pk_idx[np.argmax(nd[pk_idx])]  # first max in key order
+        INF = np.int64(1 << 40)
+        dist = np.full(n, INF, dtype=np.int64)
+        dist[src] = 0
+        # Bellman-Ford scatter-min: positive weights, <= budget edges
+        for _ in range(b):
+            prev = dist
+            new = dist.copy()
+            for j in range(4):
+                has = nbrs[:, j] >= 0
+                cand = np.where(has, dist[np.clip(nbrs[:, j], 0, n - 1)], INF) + w
+                np.minimum(new, np.where(has, cand, INF), out=new)
+            if np.array_equal(new, dist):
+                break
+            dist = new
+        dist = np.where(dist <= b, dist, INF)
+        # parent from the final surface: rook neighbor with
+        # cost[n] == cost[c] - w[c], smallest key
+        parent = np.full(n, -1, dtype=np.int64)
+        for i in range(n):
+            if dist[i] == 0 or dist[i] >= INF:
+                continue
+            best = -1
+            for j in range(4):
+                nb = nbrs[i, j]
+                if nb >= 0 and dist[nb] == dist[i] - w[i]:
+                    if best < 0 or key[nb] < key[best]:
+                        best = nb
+            parent[i] = best
+        out = {c: [] for c in ("peak", "step", "gx", "gy", "cost")}
+        for t in pk_idx:
+            if t == src or dist[t] >= INF:
+                continue
+            cur, step = t, 0
+            total = int(dist[t])
+            while True:
+                out["peak"].append(int(key[t]))
+                out["step"].append(step)
+                out["gx"].append(int(gx[cur]))
+                out["gy"].append(int(gy[cur]))
+                out["cost"].append(total)
+                if dist[cur] == 0:
+                    break
+                cur = int(parent[cur])
+                step += 1
+        return pd.DataFrame({k: np.array(v, np.int64) for k, v in out.items()})
+
+    return hist.groupBy(F.lit(0).alias("_g")).applyInPandas(
+        fn, "peak long, step long, gx long, gy long, cost long"
+    )
+
+
+def peak_paths_oracle(
+    min_peak: int = 14,
+    budget: int = 48,
+    shift: int = 6,
+    config: EngineConfig = DEFAULT,
+) -> str:
+    """Appends to a ``WITH RECURSIVE`` chain defining ``doc_geo``:
+    identical histogram/weights, recursive cost closure from the global
+    max peak, the same smallest-key parent rule, and a recursive walk."""
+    s = int(shift)
+    m = config.edge >> s
+    b = int(budget)
+    return f"""pp_hist AS (
+  SELECT x >> {s} AS gx, y >> {s} AS gy, COUNT(*) AS n_docs,
+         CAST((x >> {s}) * {m} + (y >> {s}) AS BIGINT) AS k
+  FROM doc_geo GROUP BY 1, 2
+), pp_w AS (
+  SELECT gx, gy, k, n_docs, 1 + LEAST(3, n_docs // 8) AS w FROM pp_hist
+), pp_peaks AS (
+  SELECT k, gx, gy, n_docs FROM pp_w a
+  WHERE n_docs >= {int(min_peak)} AND NOT EXISTS (
+    SELECT 1 FROM pp_w b
+    WHERE (ABS(b.gx - a.gx) + ABS(b.gy - a.gy)) = 1 AND b.n_docs > a.n_docs
+  )
+), pp_src AS (
+  SELECT k, gx, gy FROM pp_peaks ORDER BY n_docs DESC, k LIMIT 1
+), pp_edges AS (
+  SELECT a.k, b.k AS nk, b.w AS nw, b.gx AS ngx, b.gy AS ngy
+  FROM pp_w a JOIN pp_w b
+  ON (ABS(b.gx - a.gx) + ABS(b.gy - a.gy)) = 1
+), pp_reach(k, c) AS (
+  SELECT k, CAST(0 AS BIGINT) FROM pp_src
+  UNION
+  SELECT e.nk, r.c + e.nw FROM pp_reach r
+  JOIN pp_edges e ON e.k = r.k
+  WHERE r.c + e.nw <= {b}
+), pp_cost AS (SELECT k, MIN(c) AS cost FROM pp_reach GROUP BY k),
+pp_parent AS (
+  SELECT c.k, MIN(e.nk) AS parent
+  FROM pp_cost c
+  JOIN pp_w cw ON cw.k = c.k
+  JOIN pp_edges e ON e.k = c.k
+  JOIN pp_cost nc ON nc.k = e.nk AND nc.cost = c.cost - cw.w
+  WHERE c.cost > 0
+  GROUP BY c.k
+), pp_targets AS (
+  SELECT p.k AS peak, c.cost AS total
+  FROM pp_peaks p JOIN pp_cost c ON c.k = p.k
+  WHERE p.k <> (SELECT k FROM pp_src)
+), pp_walk(peak, step, k, total) AS (
+  SELECT peak, CAST(0 AS BIGINT), peak, total FROM pp_targets
+  UNION ALL
+  SELECT w.peak, w.step + 1, p.parent, w.total
+  FROM pp_walk w JOIN pp_parent p ON p.k = w.k
+)
+SELECT w.peak, w.step, h.gx, h.gy, CAST(w.total AS BIGINT) AS cost
+FROM pp_walk w JOIN pp_hist h ON h.k = w.k"""

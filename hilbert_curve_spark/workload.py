@@ -431,3 +431,7 @@ LAYERS_SAMPLE_MOD = 16
 DECAY_BUCKET_SHIFT = 16
 DECAY_N_BUCKETS = 24
 DECAY_SCALE = 1000000
+
+# Peak-to-peak least-cost paths (wave 53): cost budget (matches the
+# cell_cost_distance default; prices the oracle's recursive closure).
+PEAK_PATH_BUDGET = 24
