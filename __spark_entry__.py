@@ -489,6 +489,23 @@ def _peak_paths_oracle() -> str:
     )
 
 
+def _doc_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dataset spatial join: docs within radius of each sampled
+    event, 9-cell lossless blocking + codegen residual
+    (`operators/spatial_join.py::doc_event_join`)."""
+    from hilbert_curve_spark.operators.spatial_join import doc_event_join
+
+    return doc_event_join(
+        _doc_geo(spark, sf_dir), _events(spark, sf_dir), W.DEJ_RADIUS, W.DEJ_MOD
+    )
+
+
+def _doc_event_join_oracle() -> str:
+    from hilbert_curve_spark.operators.spatial_join import doc_event_join_oracle
+
+    return f"{_doc_geo_cte()}, " + doc_event_join_oracle(W.DEJ_RADIUS, W.DEJ_MOD)
+
+
 def _keyword_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRDSSE (SRDSSE.java:81-238): per-keyword versioned add/delete chains
     folded last-writer-wins at search — batched over the KW_ANY keyword set."""
@@ -3403,6 +3420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curve_locality": _curve_locality,
         "raster_ivm": _raster_ivm,
         "peak_paths": _peak_paths,
+        "doc_event_join": _doc_event_join,
         "geofence_join": _geofence_join,
         "poi_nearest_join": _poi_nearest_join,
         "doc_fingerprints": _doc_fingerprints,
@@ -3776,6 +3794,7 @@ def oracle_sql() -> dict[str, str]:
         "curve_locality": _curve_locality_oracle(),
         "raster_ivm": _raster_ivm_oracle(),
         "peak_paths": _peak_paths_oracle(),
+        "doc_event_join": _doc_event_join_oracle(),
         "geofence_join": ev_ops.geofence_counts_oracle(FENCES_LARGE),
         "poi_nearest_join": _poi_nearest_join_oracle(),
         "doc_fingerprints": textops.winnow_fingerprints_oracle(),

@@ -681,6 +681,12 @@ def _storage_queries(spark, geo):
             geo, W.VIS_MIN_PEAK, W.PEAK_PATH_BUDGET, W.TOPKW_SHIFT
         ).count()
 
+    def q_doc_event_join():
+        from hilbert_curve_spark.operators.spatial_join import doc_event_join
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        return doc_event_join(geo, ev, W.DEJ_RADIUS, W.DEJ_MOD).count()
+
     def q_bloom_fetch():
         from hilbert_curve_spark.operators.runtime_filter import bloom_pruned_fetch
 
@@ -1189,6 +1195,7 @@ def _storage_queries(spark, geo):
 
     return {
         "bloom_fetch": q_bloom_fetch,
+        "doc_event_join": q_doc_event_join,
         "peak_paths": q_peak_paths,
         "curve_locality": q_curve_locality,
         "raster_ivm": q_raster_ivm,

@@ -1693,3 +1693,107 @@ def convex_layers_oracle(
         for li in range(1, int(n_layers) + 1)
     )
     return ",\n".join(parts) + "\n" + arms
+
+
+def doc_event_join(
+    doc_geo: DataFrame,
+    events: DataFrame,
+    radius: int = 64,
+    event_mod: int = 8,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """CROSS-DATASET spatial join — the corpus against the event stream:
+    for every 1-in-``event_mod`` sampled event, the number of documents
+    within ``radius`` (exact integer ``dist2 <= r^2``) of the event's
+    derived location — ``(event_id, event_type, n_docs)``, sampled events
+    with an empty neighborhood included with ``n_docs = 0``.  This is the
+    two-table form of the engine's spatial joins (every other join pairs a
+    table with itself or with literals): the "what's around this event"
+    enrichment a location-intelligence pipeline runs between its fact
+    tables.
+
+    Physical plan: the EVENT side (the smaller table after sampling)
+    explodes to the 9-cell neighborhood of its ``2^b``-cell (``2^b >=
+    radius`` — lossless: any point within radius lies in one of the 9)
+    and equi-joins the corpus on the cell key — a plain shuffled hash join
+    the AQE skew handling backstops; the dist2 residual is codegen; a
+    LEFT join back to the sampled events restores zero-neighbor rows.
+    One corpus-side shuffle on the cell key, which a cell-bucketed stored
+    layout makes shuffle-free.
+
+    Reference parity: the reference's per-query proximity scans
+    (`hilbert/HilbertComponent/GetPointIndex.java:59-93`) generalized to a
+    set-at-a-time two-table join."""
+    from ..sources import derive
+
+    b = max(1, int(radius - 1).bit_length())
+    r2 = int(radius) * int(radius)
+    m = config.edge >> b
+    ev = events.filter(F.col("event_id") % int(event_mod) == 0).select(
+        "event_id",
+        "event_type",
+        F.expr(derive.x_sql("event_id")).alias("ex"),
+        F.expr(derive.y_sql("event_id")).alias("ey"),
+    )
+    nine = F.expr(
+        "array(" + ", ".join(
+            f"struct({dx} AS dx, {dy} AS dy)"
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ) + ")"
+    )
+    probes = ev.select(
+        "event_id", "ex", "ey", F.explode(nine).alias("o")
+    ).select(
+        "event_id",
+        "ex",
+        "ey",
+        (
+            (F.shiftright("ex", b) + F.col("o.dx")) * (m + 2)
+            + F.shiftright("ey", b)
+            + F.col("o.dy")
+        ).alias("ck"),
+    )
+    docs = doc_geo.select(
+        "x", "y", (F.shiftright("x", b) * (m + 2) + F.shiftright("y", b)).alias("ck")
+    )
+    d2 = (F.col("x") - F.col("ex")) * (F.col("x") - F.col("ex")) + (
+        F.col("y") - F.col("ey")
+    ) * (F.col("y") - F.col("ey"))
+    counts = (
+        probes.join(docs, "ck")
+        .filter(d2 <= r2)
+        .groupBy("event_id")
+        .agg(F.count("*").alias("nd"))
+    )
+    return ev.join(counts, "event_id", "left").select(
+        "event_id",
+        "event_type",
+        F.coalesce(F.col("nd"), F.lit(0)).cast("long").alias("n_docs"),
+    )
+
+
+def doc_event_join_oracle(
+    radius: int = 64,
+    event_mod: int = 8,
+    events_table: str = "events",
+    doc_geo_table: str = "doc_geo",
+) -> str:
+    """Appends to a chain defining ``doc_geo``: identical event sampling +
+    coordinate derivation, quadratic distance predicate (the sampled set is
+    small at oracle scale), LEFT join restoring zero-neighbor events."""
+    from ..sources import derive
+
+    r2 = int(radius) * int(radius)
+    return f"""dej_ev AS (
+  SELECT event_id, event_type,
+         {derive.x_sql('event_id')} AS ex, {derive.y_sql('event_id')} AS ey
+  FROM {events_table} WHERE event_id % {int(event_mod)} = 0
+), dej_cnt AS (
+  SELECT e.event_id, COUNT(*) AS nd
+  FROM dej_ev e JOIN {doc_geo_table} d
+    ON (d.x - e.ex) * (d.x - e.ex) + (d.y - e.ey) * (d.y - e.ey) <= {r2}
+  GROUP BY e.event_id
+)
+SELECT e.event_id, e.event_type,
+       CAST(COALESCE(c.nd, 0) AS BIGINT) AS n_docs
+FROM dej_ev e LEFT JOIN dej_cnt c ON c.event_id = e.event_id"""

@@ -435,3 +435,8 @@ DECAY_SCALE = 1000000
 # Peak-to-peak least-cost paths (wave 53): cost budget (matches the
 # cell_cost_distance default; prices the oracle's recursive closure).
 PEAK_PATH_BUDGET = 24
+
+# Cross-dataset doc x event proximity join (wave 54): radius + 1-in-mod
+# event sample (bounds the quadratic oracle).
+DEJ_RADIUS = 64
+DEJ_MOD = 8
