@@ -72,9 +72,84 @@ def decode_stub(keys: np.ndarray, idx: np.ndarray) -> tuple[np.ndarray, np.ndarr
 
 
 def decode_real(payload: bytes) -> np.ndarray:
-    """Real pixel/sample decode — unavailable in this container (no PIL /
-    ffmpeg / torchaudio).  Kept as the documented extension point."""
-    raise NotImplementedError("media codec libraries are not available in this sandbox")
+    """Real pixel decode: PNG/JPEG bytes -> float32 HxWx3 array in [0,1].
+
+    Import-gated on PIL (absent in this sandbox, so the gate raises the
+    honest ``NotImplementedError`` here); when PIL is installed the full
+    path — binary column -> Arrow batch -> decode -> feature row — runs
+    and is covered by tests/test_media_real.py (skip-marked on the
+    import).  ffmpeg/torchaudio analogues slot in the same way."""
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - PIL absent in sandbox
+        raise NotImplementedError(
+            "media codec libraries (PIL) are not available in this sandbox"
+        ) from exc
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+REAL_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_media_features_real(media_payloads: DataFrame) -> DataFrame:
+    """(doc_id, media_ref, payload:binary) -> one REAL feature row per
+    media object: decoded dimensions + per-channel means and a 2x2-grid
+    luminance profile (FEATURE_DIM-sized, same shape as the stub path so
+    downstream dedup/ANN operators are codec-agnostic).
+
+    The Spark plumbing is the production shape: Arrow-batched
+    ``mapInPandas`` over the binary column (decode is per-object by
+    nature; the batch loop stays inside one Python invocation per Arrow
+    batch, never per-row UDF calls).  Raises ``NotImplementedError`` via
+    :func:`decode_real` where no codec library is installed."""
+
+    def _iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            widths, heights, nbytes, feats = [], [], [], []
+            for payload in b["payload"]:
+                arr = decode_real(bytes(payload))
+                h, w = arr.shape[0], arr.shape[1]
+                widths.append(w)
+                heights.append(h)
+                nbytes.append(len(payload))
+                lum = arr.mean(axis=2)
+                h2, w2 = max(h // 2, 1), max(w // 2, 1)
+                quad = [
+                    float(lum[:h2, :w2].mean()),
+                    float(lum[:h2, w2:].mean()) if w > 1 else 0.0,
+                    float(lum[h2:, :w2].mean()) if h > 1 else 0.0,
+                    float(lum[h2:, w2:].mean()) if h > 1 and w > 1 else 0.0,
+                ]
+                chan = [float(arr[:, :, c].mean()) for c in range(3)]
+                feats.append(
+                    np.asarray(chan + quad + [float(lum.std())], dtype=np.float32)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "media_ref": b["media_ref"],
+                    "width": pd.array(widths, dtype="int32"),
+                    "height": pd.array(heights, dtype="int32"),
+                    "n_bytes": pd.array(nbytes, dtype="int64"),
+                    "feature": feats,
+                }
+            )
+
+    return media_payloads.select("doc_id", "media_ref", "payload").mapInPandas(
+        _iter, REAL_FEATURE_SCHEMA
+    )
 
 
 def extract_media_features(docs_with_spans: DataFrame) -> DataFrame:

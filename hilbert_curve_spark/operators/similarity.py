@@ -903,7 +903,12 @@ ORDER BY adc_dist, a.vec_id LIMIT {int(kq)}"""
 # ---------------------------------------------------------------------------
 
 
-def label_knn_accuracy(embeddings: DataFrame, k: int = 5) -> DataFrame:
+def label_knn_accuracy(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_centroids: int | None = None,
+    nprobe: int = 2,
+) -> DataFrame:
     """kNN-classifier EVALUATION over the labeled eval set — ``(label,
     n_vecs, n_correct, acc_ppm)``: each vector is classified by the
     majority label of its ``k`` nearest neighbors (exact int64-quantized
@@ -915,11 +920,21 @@ def label_knn_accuracy(embeddings: DataFrame, k: int = 5) -> DataFrame:
     Determinism: neighbor ties break on ``(dist, nbr_id)``, vote ties on
     ``(count DESC, label ASC)``.
 
-    Plan note: the all-pairs distance join is O(n^2) BY DESIGN — labeled
-    eval sets are small by construction (this is the honest shape of an
-    eval job, not a serving path); past ~100k labeled rows swap the
-    candidate generator to the IVF/LSH layers and keep the identical
-    vote/score tail."""
+    Candidate generation — the scale dial:
+
+    - ``n_centroids=None``: exact all-pairs distance join, O(n^2).  Only
+      for tiny labeled sets (unit-test ground truth).
+    - ``n_centroids=C``: IVF-blocked.  Every vector is assigned to its
+      nearest coarse centroid (the deterministic strided centroids and
+      integer-cosine argmax shared with :func:`ivf_assign`); each query
+      vector probes its ``nprobe`` nearest cells and is scored ONLY
+      against vectors assigned there.  Neighbors come from the probed
+      inverted lists — candidate volume drops from n^2 to
+      ~n^2 * nprobe / C, and the pair join is an equi-join on ``cid``
+      (shuffle-partitioned, AQE-skew-safe) instead of a CartesianProduct.
+      The vote/score tail is identical in both modes, and the DuckDB
+      oracle replays the same probe choice integer-for-integer, so the
+      metric stays exactly checkable."""
     base = embeddings.select(
         "vec_id", F.col("label").cast("long").alias("label"),
         F.expr(_pq_quant_sql()).alias("qv"),
@@ -938,11 +953,39 @@ def label_knn_accuracy(embeddings: DataFrame, k: int = 5) -> DataFrame:
         "aggregate(zip_with(aq, bq, (x, y) -> (x - y) * (x - y)), 0L, "
         "(acc, v) -> acc + v)"
     )
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("aid") != F.col("bid"))
-        .select("aid", "alabel", "bid", "blabel", dist.alias("d"))
-    )
+    if n_centroids is None:
+        pairs = (
+            a.crossJoin(b)
+            .filter(F.col("aid") != F.col("bid"))
+            .select("aid", "alabel", "bid", "blabel", dist.alias("d"))
+        )
+    else:
+        # one C-way broadcast fanout scores every vector against every
+        # centroid; rn==1 is the assignment, rn<=nprobe the probe list
+        cents = ivf_centroids(embeddings, n_centroids)
+        cos = F.expr(
+            f"CAST(FLOOR(1000000.0 * {_dot_sql('embedding', 'cvec')} / "
+            f"(SQRT({_norm2_sql('embedding')}) * SQRT({_norm2_sql('cvec')}))) AS BIGINT)"
+        )
+        wc = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+        scored = (
+            embeddings.crossJoin(F.broadcast(cents))
+            .withColumn("ccos", cos)
+            .withColumn("crn", F.row_number().over(wc))
+            .select("vec_id", "cid", "crn")
+        )
+        probes = scored.filter(F.col("crn") <= int(nprobe)).select(
+            F.col("vec_id").alias("aid"), "cid"
+        )
+        assigned = scored.filter(F.col("crn") == 1).select(
+            F.col("vec_id").alias("bid"), "cid"
+        )
+        pairs = (
+            probes.join(a, "aid")
+            .join(assigned.join(b, "bid"), "cid")
+            .filter(F.col("aid") != F.col("bid"))
+            .select("aid", "alabel", "bid", "blabel", dist.alias("d"))
+        )
     wk = Window.partitionBy("aid").orderBy("d", "bid")
     knn = pairs.withColumn("rn", F.row_number().over(wk)).filter(
         F.col("rn") <= int(k)
@@ -970,24 +1013,61 @@ def label_knn_accuracy(embeddings: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
-def label_knn_accuracy_oracle(k: int = 5, table: str = "embeddings") -> str:
+def label_knn_accuracy_oracle(
+    k: int = 5,
+    table: str = "embeddings",
+    n_centroids: int | None = None,
+    nprobe: int = 2,
+) -> str:
     """Identical quantization, distance, neighbor/vote tie-breaks, and
-    FLOOR-ppm accuracy."""
-    dim_probe = f"(SELECT len(embedding) FROM {table} LIMIT 1)"
-    # quantized int lists via explicit index join (engine-neutral)
+    FLOOR-ppm accuracy; with ``n_centroids`` set, the same IVF candidate
+    blocking (strided centroids, integer-cosine argmax assignment, and
+    per-vector nprobe probe list) replayed integer-for-integer."""
+    if n_centroids is None:
+        pair_gen = f"""ka_pairs AS (
+  SELECT a.vec_id AS aid, a.label AS alabel, b.vec_id AS bid,
+         b.label AS blabel,
+         list_reduce(list_transform(list_zip(a.qv, b.qv),
+           p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS d
+  FROM ka_q a JOIN ka_q b ON a.vec_id <> b.vec_id
+)"""
+    else:
+        dot_cv = (
+            "list_reduce(list_transform(list_zip(e.embedding, c.cvec), "
+            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)"
+        )
+        norm_of = lambda col: (  # noqa: E731
+            f"SQRT(list_reduce(list_transform({col}, v -> CAST(v AS DOUBLE) * "
+            "CAST(v AS DOUBLE)), (a, b) -> a + b))"
+        )
+        pair_gen = f"""ka_cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM {table}
+  WHERE vec_id % {IVF_STRIDE} = 0 ORDER BY vec_id LIMIT {int(n_centroids)}
+), ka_scored AS (
+  SELECT e.vec_id, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             CAST(FLOOR(1000000.0 * {dot_cv} /
+                  ({norm_of('e.embedding')} * {norm_of('c.cvec')})) AS BIGINT) DESC,
+             c.cid) AS crn
+  FROM {table} e CROSS JOIN ka_cents c
+), ka_pairs AS (
+  SELECT a.vec_id AS aid, a.label AS alabel, b.vec_id AS bid,
+         b.label AS blabel,
+         list_reduce(list_transform(list_zip(a.qv, b.qv),
+           p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS d
+  FROM ka_scored pa
+  JOIN ka_scored sb ON pa.cid = sb.cid AND sb.crn = 1
+  JOIN ka_q a ON a.vec_id = pa.vec_id
+  JOIN ka_q b ON b.vec_id = sb.vec_id
+  WHERE pa.crn <= {int(nprobe)} AND pa.vec_id <> sb.vec_id
+)"""
     return f"""WITH ka_q AS (
   SELECT vec_id, CAST(label AS BIGINT) AS label,
          list_transform(embedding, v ->
            CAST(FLOOR(CAST(v AS DOUBLE) * {_PQ_SCALE}.0) AS BIGINT)
            + {_PQ_OFFSET}) AS qv
   FROM {table}
-), ka_pairs AS (
-  SELECT a.vec_id AS aid, a.label AS alabel, b.vec_id AS bid,
-         b.label AS blabel,
-         list_reduce(list_transform(list_zip(a.qv, b.qv),
-           p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS d
-  FROM ka_q a JOIN ka_q b ON a.vec_id <> b.vec_id
-), ka_knn AS (
+), {pair_gen}, ka_knn AS (
   SELECT * FROM (
     SELECT aid, alabel, blabel,
            ROW_NUMBER() OVER (PARTITION BY aid ORDER BY d, bid) AS rn

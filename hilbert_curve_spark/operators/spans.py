@@ -400,7 +400,7 @@ def span_chunks_inline(
     )
 
 
-def span_kind_transitions(docs: DataFrame, partitions: int = 32) -> DataFrame:
+def span_kind_transitions(docs: DataFrame, partitions: int | None = None) -> DataFrame:
     """Kind-BIGRAM census over the interleaved span sequences:
     ``(from_kind, to_kind, n_pairs)`` counting every consecutive span pair
     inside every document, AFTER a genuine array-carrying shuffle — the
@@ -412,7 +412,15 @@ def span_kind_transitions(docs: DataFrame, partitions: int = 32) -> DataFrame:
     Plan: the adjacent pairs come from ONE native array expression
     (``transform(sequence(...))`` zipping the array with its own tail — no
     posexplode of singles, no window, no self-join), then a single hash
-    aggregation with map-side combine over at most ``|kinds|^2`` groups."""
+    aggregation with map-side combine over at most ``|kinds|^2`` groups.
+
+    ``partitions`` defaults to the session's ``spark.sql.shuffle.partitions``
+    so the deliberate order-probe shuffle keeps cluster-scale parallelism
+    (a literal here would serialize the probe at 1000 executors)."""
+    if partitions is None:
+        partitions = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
     shuffled = docs.repartition(partitions, "doc_id")
     pairs = F.expr(
         "transform(sequence(1, size(spans) - 1), "

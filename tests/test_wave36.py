@@ -53,6 +53,68 @@ def test_label_knn_accuracy_brute_force(spark, sf_dir):
     assert max(t[3] for t in got) > 150_000
 
 
+def test_label_knn_accuracy_ivf_blocked(spark, sf_dir):
+    """IVF-blocked candidate generation: python model of the strided
+    centroids, integer-cosine argmax assignment, per-vector nprobe probe
+    list, then the identical vote/score tail restricted to probed cells."""
+    from hilbert_curve_spark.operators.similarity import (
+        IVF_STRIDE,
+        label_knn_accuracy,
+    )
+
+    emb, vecs, labels = _load(spark, sf_dir)
+    C, nprobe, k = 12, 2, 5
+    cents = sorted(i for i in vecs if i % IVF_STRIDE == 0)[:C]
+
+    def ccos(v, c):
+        dot = sum(float(np.float64(x)) * float(np.float64(y))
+                  for x, y in zip(vecs[v], vecs[c]))
+        nv = math.sqrt(sum(float(np.float64(x)) ** 2 for x in vecs[v]))
+        nc = math.sqrt(sum(float(np.float64(x)) ** 2 for x in vecs[c]))
+        return math.floor(1_000_000.0 * dot / (nv * nc))
+
+    ranked = {
+        v: sorted(cents, key=lambda c: (-ccos(v, c), c)) for v in vecs
+    }
+    assign = {v: ranked[v][0] for v in vecs}
+    probe = {v: set(ranked[v][:nprobe]) for v in vecs}
+    q = {
+        i: [int(math.floor(float(np.float64(v)) * _PQ_SCALE)) + _PQ_OFFSET
+            for v in vecs[i]]
+        for i in vecs
+    }
+    per_label = {}
+    for a in vecs:
+        cand = [b for b in vecs if b != a and assign[b] in probe[a]]
+        dists = sorted(
+            (sum((x - y) ** 2 for x, y in zip(q[a], q[b])), b) for b in cand
+        )[:k]
+        votes = {}
+        for _, b in dists:
+            votes[labels[b]] = votes.get(labels[b], 0) + 1
+        pred = min(votes, key=lambda l: (-votes[l], l))
+        n, c = per_label.get(labels[a], (0, 0))
+        per_label[labels[a]] = (n + 1, c + (1 if pred == labels[a] else 0))
+    expect = {
+        (l, n, c, (1_000_000 * c) // n) for l, (n, c) in per_label.items()
+    }
+    got = {
+        (r.label, r.n_vecs, r.n_correct, r.acc_ppm)
+        for r in label_knn_accuracy(emb, k, n_centroids=C, nprobe=nprobe).collect()
+    }
+    assert got == expect
+    # blocking must not destroy the signal the metric exists to measure
+    assert max(t[3] for t in got) > 150_000
+    # scale shape: the candidate join is an equi-join on cid — no
+    # CartesianProduct; the only nested-loop joins are the C-row broadcast
+    # centroid fanout
+    plan = (
+        label_knn_accuracy(emb, k, n_centroids=C, nprobe=nprobe)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
 def test_embed_cluster_purity_brute_force(spark, sf_dir):
     from hilbert_curve_spark.operators.similarity import (
         _planes,
