@@ -69,6 +69,28 @@ def _materialize_corpus(spark, partitions: int = 16) -> str:
     return path
 
 
+def _sf_table(spark, name: str, partitions: int = 8):
+    """The sf fixture table re-laid as ``partitions`` parquet files
+    (untimed, one-time per (sf, table) like the corpus materialization).
+
+    The driver's fixtures are single-row-group single-file parquet —
+    unsplittable, so every scan rooted at them would run ONE task no
+    matter the core count (measured: the md5-shingle pass over
+    documents ran 7 s single-threaded).  A deployment's tables arrive as
+    many files/row-groups; this restores that shape so the bench measures
+    the operators, not the fixture's file layout."""
+    tag = os.path.basename(SF_DIR.rstrip("/"))
+    path = f"{WORK}/table_{name}_{tag}_p{partitions}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+            .repartition(partitions)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
 def _build(spark):
     """Maintained derived tables: doc_geo (hilbert-sorted layout) + prefix
     index, written as parquet and read back — the deployment shape
@@ -161,8 +183,8 @@ def _pipeline_queries(spark):
     from hilbert_curve_spark.operators import similarity as sim_ops
     from hilbert_curve_spark.operators.media import extract_media_features, sample_frames
 
-    flat = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    flat = _sf_table(spark, "documents")
+    emb = _sf_table(spark, "embeddings")
     corpus = spark.read.parquet(_corpus_path())
 
     def q_minhash_pairs():
@@ -189,43 +211,43 @@ def _pipeline_queries(spark):
     def q_events_geofence():
         from hilbert_curve_spark.operators.events import geofence_counts
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return geofence_counts(events, W.POLYGONS).count()
 
     def q_geofence_join():
         from hilbert_curve_spark.operators.events import geofence_join
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return geofence_join(events, W.many_fences(64)).count()
 
     def q_interval_join():
         from hilbert_curve_spark.operators.events import interval_join
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return interval_join(events, "click", "purchase", 30).count()
 
     def q_stay_points():
         from hilbert_curve_spark.operators.trajectory import stay_points
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return stay_points(events).count()
 
     def q_od_flows():
         from hilbert_curve_spark.operators.trajectory import od_flows
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return od_flows(events).count()
 
     def q_colocation():
         from hilbert_curve_spark.operators.trajectory import colocation_pairs
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return colocation_pairs(events, max_dist=256, min_overlap_minutes=60).count()
 
     def q_trips():
         from hilbert_curve_spark.operators.trajectory import trips
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return trips(events).count()
 
     def q_heavy_hitters():
@@ -236,67 +258,67 @@ def _pipeline_queries(spark):
     def q_emerging_hotspots():
         from hilbert_curve_spark.operators.trajectory import emerging_hotspots
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return emerging_hotspots(events, cell_shift=8).count()
 
     def q_user_home_cells():
         from hilbert_curve_spark.operators.trajectory import user_home_cells
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return user_home_cells(events, cell_shift=8).count()
 
     def q_user_home_scd():
         from hilbert_curve_spark.operators.trajectory import user_home_scd
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return user_home_scd(events, cell_shift=8).count()
 
     def q_cell_flow_balance():
         from hilbert_curve_spark.operators.trajectory import cell_flow_balance
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return cell_flow_balance(events, 60, 8).count()
 
     def q_st_cube_trend():
         from hilbert_curve_spark.operators.trajectory import st_cube_trend
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return st_cube_trend(events, cell_shift=8, n_bins=8, s_min=6).count()
 
     def q_bearing_histogram():
         from hilbert_curve_spark.operators.trajectory import bearing_histogram
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return bearing_histogram(events, cell_shift=8).count()
 
     def q_radius_gyration():
         from hilbert_curve_spark.operators.trajectory import radius_gyration
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return radius_gyration(events).count()
 
     def q_geo_funnel():
         from hilbert_curve_spark.operators.trajectory import geo_funnel
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return geo_funnel(events, W.POLYGONS[2], W.POLYGONS[1], within_s=86400).count()
 
     def q_cell_peak_hours():
         from hilbert_curve_spark.operators.trajectory import cell_peak_hours
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return cell_peak_hours(events, cell_shift=8).count()
 
     def q_cell_recency_scores():
         from hilbert_curve_spark.operators.trajectory import cell_recency_scores
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return cell_recency_scores(events, cell_shift=8, horizon_s=604800).count()
 
     def q_companion_pairs():
         from hilbert_curve_spark.operators.trajectory import companion_pairs
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return companion_pairs(
             events, cell_shift=9, window_minutes=360, min_windows=3
         ).count()
@@ -304,43 +326,43 @@ def _pipeline_queries(spark):
     def q_cell_trigrams():
         from hilbert_curve_spark.operators.trajectory import cell_trigrams
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return cell_trigrams(events, cell_shift=8, top_k=20).count()
 
     def q_cell_dow_anomaly():
         from hilbert_curve_spark.operators.trajectory import cell_dow_anomaly
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return cell_dow_anomaly(events, cell_shift=8).count()
 
     def q_compaction_plan():
         from hilbert_curve_spark.sources.export import compaction_plan
 
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        docs = _sf_table(spark, "documents")
         return compaction_plan(docs, n_shards=64, target_rows=120).count()
 
     def q_knox_stat():
         from hilbert_curve_spark.operators.trajectory import knox_stat
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return knox_stat(events, s_radius=64, t_window=3600).count()
 
     def q_impossible_travel():
         from hilbert_curve_spark.operators.trajectory import impossible_travel
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return impossible_travel(events, vmax=2).count()
 
     def q_covisit_pairs():
         from hilbert_curve_spark.operators.trajectory import covisit_pairs
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return covisit_pairs(events, cell_shift=8, min_shared=2).count()
 
     def q_cell_visit_gaps():
         from hilbert_curve_spark.operators.trajectory import cell_visit_gaps
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return cell_visit_gaps(events, cell_shift=8).count()
 
     return {
@@ -604,7 +626,7 @@ def _storage_queries(spark, geo):
     def q_stay_contacts():
         from hilbert_curve_spark.operators.trajectory import stay_contacts
 
-        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        ev = _sf_table(spark, "events")
         return stay_contacts(
             ev, dist=W.CONTACT_DIST, min_overlap_s=W.CONTACT_MIN_OVERLAP_S
         ).count()
@@ -612,7 +634,7 @@ def _storage_queries(spark, geo):
     def q_viterbi_match():
         from hilbert_curve_spark.operators.trajectory import viterbi_match
 
-        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        ev = _sf_table(spark, "events")
         return viterbi_match(ev, W.ROADS, W.VITERBI_T, W.VITERBI_LAMBDA).count()
 
     def q_flow_accumulation():
@@ -684,7 +706,7 @@ def _storage_queries(spark, geo):
     def q_doc_event_join():
         from hilbert_curve_spark.operators.spatial_join import doc_event_join
 
-        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        ev = _sf_table(spark, "events")
         return doc_event_join(geo, ev, W.DEJ_RADIUS, W.DEJ_MOD).count()
 
     def q_bloom_fetch():
@@ -703,7 +725,7 @@ def _storage_queries(spark, geo):
     def q_segment_crossings():
         from hilbert_curve_spark.operators.trajectory import segment_crossings
 
-        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        ev = _sf_table(spark, "events")
         return segment_crossings(
             ev, W.XING_USER_MOD, W.XING_MAX_LEN, W.XING_SHIFT
         ).count()
@@ -750,7 +772,7 @@ def _storage_queries(spark, geo):
     def q_traj_hausdorff():
         from hilbert_curve_spark.operators.trajectory import hausdorff_pairs
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return hausdorff_pairs(events, max_h=512).count()
 
     def q_adaptive_cells():
@@ -857,7 +879,7 @@ def _storage_queries(spark, geo):
     def q_cell_embedding_profile():
         from hilbert_curve_spark.operators.similarity import cell_embedding_profile
 
-        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        emb = _sf_table(spark, "embeddings")
         return cell_embedding_profile(geo, emb, W.EMB_SHIFT, W.EMB_SCALE).count()
 
     def q_global_moran():
@@ -897,25 +919,25 @@ def _storage_queries(spark, geo):
     def q_user_drift():
         from hilbert_curve_spark.operators.trajectory import user_drift
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return user_drift(events, W.DRIFT_DAYS).count()
 
     def q_geo_topk():
         from hilbert_curve_spark.operators.similarity import geo_cosine_topk
 
-        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        emb = _sf_table(spark, "embeddings")
         return geo_cosine_topk(emb, W.ANN_QUERY, **W.GEO_ANN_BOX, k=W.ANN_K).count()
 
     def q_geofence_dwell():
         from hilbert_curve_spark.operators.events import geofence_dwell
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return geofence_dwell(events, W.POLYGONS, W.DWELL_GAP_MIN).count()
 
     def q_user_retention():
         from hilbert_curve_spark.operators.events import user_retention
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return user_retention(events, W.RETENTION_DAYS).count()
 
     def q_snapshot_diff():
@@ -933,7 +955,7 @@ def _storage_queries(spark, geo):
     def q_od_asymmetry():
         from hilbert_curve_spark.operators.trajectory import od_asymmetry
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return od_asymmetry(events, 60, 8).count()
 
     def q_cell_bands():
@@ -944,7 +966,7 @@ def _storage_queries(spark, geo):
     def q_user_entropy():
         from hilbert_curve_spark.operators.trajectory import user_entropy
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return user_entropy(events, 8).count()
 
     def q_diff_keywords():
@@ -974,7 +996,7 @@ def _storage_queries(spark, geo):
     def q_hotspot_persistence():
         from hilbert_curve_spark.operators.trajectory import hotspot_persistence
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return hotspot_persistence(events, 8).count()
 
     # the kNN edge table is built ONCE and persisted — pagerank and
@@ -1014,7 +1036,7 @@ def _storage_queries(spark, geo):
     def q_cell_mad_anomaly():
         from hilbert_curve_spark.operators.trajectory import cell_mad_anomaly
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return cell_mad_anomaly(events, 8).count()
 
     def q_typo_pairs():
@@ -1030,7 +1052,7 @@ def _storage_queries(spark, geo):
     def q_gravity_residuals():
         from hilbert_curve_spark.operators.trajectory import gravity_residuals
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return gravity_residuals(events, 60, 8, 3).count()
 
     def q_cell_gradient():
@@ -1041,37 +1063,37 @@ def _storage_queries(spark, geo):
     def q_fence_peak_occupancy():
         from hilbert_curve_spark.operators.events import fence_peak_occupancy
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return fence_peak_occupancy(events, W.POLYGONS, W.DWELL_GAP_MIN).count()
 
     def q_containment_pairs():
         from hilbert_curve_spark.operators.dedup import containment_pairs
 
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        docs = _sf_table(spark, "documents")
         return containment_pairs(docs, 80, 3, 64).count()
 
     def q_pq_topk():
         from hilbert_curve_spark.operators.similarity import pq_topk
 
-        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        emb = _sf_table(spark, "embeddings")
         return pq_topk(emb, W.ANN_QUERY, W.ANN_K, 4, 4, 2).count()
 
     def q_commute_matrix():
         from hilbert_curve_spark.operators.trajectory import commute_matrix
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return commute_matrix(events, 8).count()
 
     def q_activity_cube():
         from hilbert_curve_spark.operators.trajectory import activity_cube
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return activity_cube(events, 8).count()
 
     def q_label_knn_accuracy():
         from hilbert_curve_spark.operators.similarity import label_knn_accuracy
 
-        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        emb = _sf_table(spark, "embeddings")
         # IVF-blocked candidate generation (same dial as the driver query):
         # cid equi-join candidates, no all-pairs CartesianProduct
         return label_knn_accuracy(emb, 5, n_centroids=12, nprobe=2).count()
@@ -1081,25 +1103,25 @@ def _storage_queries(spark, geo):
             embed_cluster_purity,
         )
 
-        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        emb = _sf_table(spark, "embeddings")
         return embed_cluster_purity(emb, 3, 150_000).count()
 
     def q_traj_resample():
         from hilbert_curve_spark.operators.trajectory import traj_resample
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return traj_resample(events, 21600).count()
 
     def q_markov_accuracy():
         from hilbert_curve_spark.operators.trajectory import markov_accuracy
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return markov_accuracy(events, 8, W.MARKOV_SPLIT_S).count()
 
     def q_cell_autocorr():
         from hilbert_curve_spark.operators.trajectory import cell_autocorr
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        events = _sf_table(spark, "events")
         return cell_autocorr(events, 8).count()
 
     def q_anon_cells():
@@ -1110,25 +1132,25 @@ def _storage_queries(spark, geo):
     def q_contamination_scan():
         from hilbert_curve_spark.operators.textops import contamination_scan
 
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        docs = _sf_table(spark, "documents")
         return contamination_scan(docs, W.EVAL_PROBES).count()
 
     def q_contamination_scan_ac():
         from hilbert_curve_spark.operators.textops import contamination_scan_ac
 
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        docs = _sf_table(spark, "documents")
         return contamination_scan_ac(docs, W.EVAL_PROBES).count()
 
     def q_pack_sequences():
         from hilbert_curve_spark.operators.textops import pack_sequences
 
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        docs = _sf_table(spark, "documents")
         return pack_sequences(docs, 512, 8).count()
 
     def q_weighted_sample():
         from hilbert_curve_spark.operators.textops import weighted_sample
 
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        docs = _sf_table(spark, "documents")
         return weighted_sample(docs, 25).count()
 
     def q_pack_mm():
@@ -1142,7 +1164,7 @@ def _storage_queries(spark, geo):
     def q_mixture_plan():
         from hilbert_curve_spark.operators.textops import mixture_plan
 
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        docs = _sf_table(spark, "documents")
         return mixture_plan(docs, W.MIX_BUDGET, W.MIX_BAND).count()
 
     def q_boilerplate_spans():
@@ -1161,19 +1183,19 @@ def _storage_queries(spark, geo):
     def q_source_overlap():
         from hilbert_curve_spark.operators.dedup import source_overlap
 
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        docs = _sf_table(spark, "documents")
         return source_overlap(docs).count()
 
     def q_source_profile():
         from hilbert_curve_spark.operators.textops import source_profile
 
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        docs = _sf_table(spark, "documents")
         return source_profile(docs).count()
 
     def q_length_deciles():
         from hilbert_curve_spark.operators.textops import length_deciles
 
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        docs = _sf_table(spark, "documents")
         return length_deciles(docs).count()
 
     def q_vocab_growth():
@@ -1195,7 +1217,7 @@ def _storage_queries(spark, geo):
     def q_traj_simplify():
         from hilbert_curve_spark.operators.trajectory import traj_simplify
 
-        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        ev = _sf_table(spark, "events")
         return traj_simplify(ev, W.TRAJ_SIMP_EPS, W.TRAJ_SIMP_DEPTH).count()
 
     def q_doc_repetition():
@@ -1207,7 +1229,7 @@ def _storage_queries(spark, geo):
     def q_source_caps():
         from hilbert_curve_spark.operators.textops import source_caps
 
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        docs = _sf_table(spark, "documents")
         return source_caps(docs, W.SOURCE_CAP).count()
 
     return {
@@ -1405,7 +1427,7 @@ def run_heavy(master: str, amp: int) -> dict:
             ).parquet(raw)
             write_sorted(spark.read.parquet(raw), geo_path, partitions=64)
         AMP = amp_save
-        flat = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(64)
+        flat = _sf_table(spark, "documents").repartition(64)
         # warm-up: force JVM/codegen/Arrow init before timing
         encode_documents_native(build_documents(spark, SF_DIR, amp=2)).count()
         corpus = spark.read.parquet(corpus_path)

@@ -109,7 +109,8 @@ def jaccard_pairs(
         _hashed_shingle_col(n).alias("grams"),
         F.expr(f"CAST(FLOOR(size(split(text, ' ')) / {band}.0) AS INT)").alias("lband"),
         F.expr("split(text, ' ')[0]").alias("tok0"),
-    )
+    ).localCheckpoint(eager=False)  # both join sides consume the md5-shingle
+    # projection — pin it so the corpus is hashed once, not twice
     a = g.alias("a")
     b = g.withColumn(
         "jband",
@@ -321,8 +322,10 @@ def minhash_pairs_checked(
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    g = docs.join(cand_ids, "doc_id", "semi").select(
-        "doc_id", _hashed_shingle_col(n).alias("grams")
+    g = (
+        docs.join(cand_ids, "doc_id", "semi")
+        .select("doc_id", _hashed_shingle_col(n).alias("grams"))
+        .localCheckpoint(eager=False)  # consumed by both pair sides (ga/gb)
     )
     inter = F.size(F.array_intersect(F.col("ga.grams"), F.col("gb.grams")))
     union = F.size(F.col("ga.grams")) + F.size(F.col("gb.grams")) - inter
@@ -601,11 +604,20 @@ def containment_pairs(
     Banding cannot replace this (size blocking is NOT recall-complete
     for containment — the contained side can be arbitrarily smaller)."""
     g = docs.select("doc_id", _hashed_shingle_col(n).alias("grams"))
+    # the md5-shingle explode is the expensive lineage and the surviving
+    # postings feed FIVE consumers (sizes twice via sa/sb, both join sides,
+    # the pair agg) — pin them once (lazy local checkpoint: materializes on
+    # first action, executors keep the partitions) instead of re-hashing
+    # the corpus per consumer; same move dbscan makes with its pair list
     postings = g.select("doc_id", F.explode("grams").alias("gram"))
     df = postings.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    live = postings.join(
-        F.broadcast(df.filter(F.col("df") <= int(df_cap))), "gram"
-    ).select("doc_id", "gram")
+    live = (
+        postings.join(
+            F.broadcast(df.filter(F.col("df") <= int(df_cap))), "gram"
+        )
+        .select("doc_id", "gram")
+        .localCheckpoint(eager=False)
+    )
     sizes = live.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("sz")
     )

@@ -1145,7 +1145,8 @@ def embed_cluster_purity(
         "embedding",
         F.expr(f"SQRT({_norm2_sql('embedding')})").alias("nrm"),
         lsh_bucket_expr(dim, nbits).alias("bucket"),
-    )
+    ).localCheckpoint(eager=False)  # both pair sides consume the
+    # norm+bucket projection — pin it so it computes once
     a, b = n.alias("a"), n.alias("b")
     cos = F.expr(
         f"CAST(FLOOR(1000000.0 * {_dot_sql('a.embedding', 'b.embedding')} "

@@ -268,7 +268,8 @@ def colocation_pairs(
     stays = stay_points(
         events, radius=radius, gap_minutes=gap_minutes,
         min_minutes=min_minutes, min_points=min_points,
-    )
+    ).localCheckpoint(eager=False)  # probe + home both consume the
+    # sessionization window — pin it so events shuffle once, not twice
 
     def keyed(tag: str) -> DataFrame:
         return stays.select(
@@ -432,10 +433,13 @@ def hausdorff_pairs(
 
     h2 = int(max_h) * int(max_h)
     s = _cell_shift(int(max_h))
+    # the stay derivation (full event shuffle + gap-and-island window)
+    # feeds FOUR consumers (blocking probe/home + both per-user stay
+    # sides) — pin it once instead of re-sessionizing per consumer
     stays = stay_points(
         events, radius=radius, gap_minutes=gap_minutes,
         min_minutes=min_minutes, min_points=min_points,
-    )
+    ).localCheckpoint(eager=False)
 
     offs = ", ".join(
         f"named_struct('dx', {dx}L, 'dy', {dy}L)"
@@ -992,6 +996,9 @@ def covisit_pairs(
             ).alias("cell"),
         )
         .distinct()
+        # the distinct is a full shuffle and the frame feeds FOUR consumers
+        # (both join sides + the two size broadcasts) — pin it once
+        .localCheckpoint(eager=False)
     )
     sizes = visits.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_cells")
@@ -1157,10 +1164,12 @@ def knox_stat(
     final row.  Pair volume inside hot buckets is the statistic's honest
     cost (same note as pair_distance_histogram)."""
     from ..sources.derive import EDGE
+    from .spatial_join import _cell_shift
 
-    s = max(int(s_radius), 1).bit_length()
-    if (1 << s) < int(s_radius):
-        s += 1
+    # minimal lossless cell: smallest 2**s >= radius (the old
+    # bit_length-of-radius form overshot power-of-two radii by 2x per
+    # axis — 4x the candidate pairs at the default s_radius=64)
+    s = _cell_shift(int(s_radius))
     r2 = int(s_radius) * int(s_radius)
     tw = int(t_window)
     pts = _with_coords_epoch(events).select("event_id", "ex", "ey", "ep")
@@ -1248,10 +1257,9 @@ def knox_stat_oracle(
     space join (pair_distance_histogram's oracle idiom) and a +/-1 time
     bucket join, both deduped on event_id order."""
     from ..sources import derive
+    from .spatial_join import _cell_shift
 
-    s = max(int(s_radius), 1).bit_length()
-    if (1 << s) < int(s_radius):
-        s += 1
+    s = _cell_shift(int(s_radius))  # same minimal lossless cell as engine
     r2 = int(s_radius) * int(s_radius)
     tw = int(t_window)
     nine = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
@@ -3355,7 +3363,9 @@ def stay_contacts(
     dimension; this is their space-time contact extension."""
     b = max(1, int(dist - 1).bit_length())
     d2max = int(dist) * int(dist)
-    stays = stay_points(events, radius, gap_minutes, min_minutes, min_points)
+    stays = stay_points(
+        events, radius, gap_minutes, min_minutes, min_points
+    ).localCheckpoint(eager=False)  # probe + home both read the stays
     cells = stays.select(
         "user_id",
         "stay_id",
